@@ -1,0 +1,96 @@
+"""Per-partition build manifest — resume/lineage (reference S4 analogue).
+
+The reference tracks batch lifecycle in a Postgres ``batches`` table
+(REMOTE -> LOCAL -> URLS_UPDATED -> INDEXED,
+/root/reference/mwmbl/indexer/indexdb.py:10-35) advanced idempotently in
+chunks (process_batch.py:12-33), plus a ``last_page_copied`` cursor for
+re-shards (background.py:50-71). Our analogue is a tiny append-only
+Parquet table next to the index:
+
+    {index}/_manifest/   rows: (src_partition, status, n_docs,
+                                n_postings, wall_ms, committed_at)
+
+Commit protocol (idempotent, crash-safe):
+  1. segment + stats data for partition P is written with
+     ``overwrite`` into partition-scoped subdirectories — re-running P
+     replaces, never duplicates;
+  2. the manifest row is appended only AFTER the data write succeeds.
+  A crash between (1) and (2) leaves P unlisted -> the next run redoes
+  P and overwrites the partial output. A crash before (1) completes
+  leaves stale files that the overwrite replaces. Readers consult the
+  manifest, so uncommitted partitions are invisible (on a real cluster
+  this maps 1:1 to an Iceberg transaction: data files + manifest entry
+  commit atomically).
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+STATUS_INDEXED = "INDEXED"
+
+MANIFEST_SCHEMA = (
+    "src_partition string, status string, n_docs long, n_postings long, "
+    "wall_ms long, committed_at timestamp"
+)
+
+
+def manifest_path(index_path: str) -> str:
+    return f"{index_path}/_manifest"
+
+
+def read_manifest(spark: SparkSession, index_path: str) -> DataFrame:
+    try:
+        return spark.read.parquet(manifest_path(index_path))
+    except Exception:  # noqa: BLE001 — first build: empty manifest
+        return spark.createDataFrame([], MANIFEST_SCHEMA)
+
+
+def committed_partitions(spark: SparkSession, index_path: str) -> set[str]:
+    m = read_manifest(spark, index_path)
+    return {
+        r["src_partition"]
+        for r in m.where(F.col("status") == STATUS_INDEXED)
+        .select("src_partition")
+        .distinct()
+        .collect()
+    }
+
+
+def commit_partition(
+    spark: SparkSession,
+    index_path: str,
+    src_partition: str,
+    n_docs: int,
+    n_postings: int,
+    wall_ms: int,
+) -> None:
+    row = [(src_partition, STATUS_INDEXED, n_docs, n_postings, wall_ms)]
+    (
+        spark.createDataFrame(
+            row,
+            "src_partition string, status string, n_docs long, "
+            "n_postings long, wall_ms long",
+        )
+        .withColumn("committed_at", F.current_timestamp())
+        .coalesce(1)
+        .write.mode("append")
+        .parquet(manifest_path(index_path))
+    )
+
+
+def pending_partitions(
+    spark: SparkSession, index_path: str, all_partitions: list[str]
+) -> list[str]:
+    """Set difference vs the manifest (the reference's status-driven
+    chunk selection, process_batch.py:27-29) — anti-join semantics,
+    done driver-side because the partition list is tiny."""
+    done = committed_partitions(spark, index_path)
+    return [p for p in all_partitions if p not in done]
+
+
+def wait_stamp() -> float:
+    return time.perf_counter()

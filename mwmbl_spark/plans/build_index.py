@@ -1,0 +1,151 @@
+"""End-to-end resumable index build (reference §3.2 pipeline, Spark-first).
+
+Layout of an index directory:
+
+    {path}/segments/src_part=P/bucket=B/*.parquet   — block-max segments
+    {path}/stats/src_part=P/*.parquet               — per-partition (term, df, cf)
+    {path}/doc_stats/src_part=P/*.parquet           — (n_docs, sum_len)
+    {path}/_manifest/                               — commit log (manifest.py)
+
+The build loops over SOURCE partitions (the analogue of the reference's
+status-driven batch chunks): each partition independently builds its
+segments/stats, then commits a manifest row. Global term statistics are
+an aggregation over per-partition partials, so a killed build resumes
+without touching completed partitions and query-time df/N/avgdl are
+always consistent with exactly the committed set.
+
+Query-time exactness across partitions: a doc lives in exactly one
+source partition and one salt, so per-(term,salt,src_part) segments are
+disjoint doc sets; the WAND kernel gathers across all of a term's
+segment rows, which sums disjoint contributions — identical scores to a
+single-shot build (asserted in tests/test_build_resume.py).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mwmbl_spark import DEFAULT_NUM_BUCKETS
+from mwmbl_spark.manifest import commit_partition, pending_partitions
+from mwmbl_spark.operators.postings import build_postings, doc_lengths, term_stats
+from mwmbl_spark.operators.segments import DEFAULT_NSALT, build_segments
+from mwmbl_spark.operators.wand import wand_topk
+
+
+@dataclass
+class IndexConfig:
+    path: str
+    num_buckets: int = DEFAULT_NUM_BUCKETS
+    nsalt: int = DEFAULT_NSALT
+    n_src_partitions: int = 8
+
+
+class IndexBuilder:
+    def __init__(self, spark: SparkSession, cfg: IndexConfig):
+        self.spark = spark
+        self.cfg = cfg
+
+    # -- source partitioning ------------------------------------------------
+    def src_partition_col(self):
+        """Deterministic source partition from conv_id: all turns of a
+        conversation land in one partition (matches Iceberg partitioning
+        by bucket(conv_id) on a real table)."""
+        return F.pmod(F.xxhash64("conv_id"), F.lit(self.cfg.n_src_partitions)).cast("string")
+
+    # -- build ---------------------------------------------------------------
+    def build(self, transcripts: DataFrame, max_partitions: int | None = None) -> list[str]:
+        """Index all pending source partitions (resume-aware). Returns the
+        list of partitions committed in this run. ``max_partitions``
+        bounds the run (used by tests to simulate a killed build)."""
+        df = transcripts.withColumn("src_part", self.src_partition_col())
+        all_parts = [str(i) for i in range(self.cfg.n_src_partitions)]
+        todo = pending_partitions(self.spark, self.cfg.path, all_parts)
+        if max_partitions is not None:
+            todo = todo[:max_partitions]
+        done = []
+        for part in todo:
+            t0 = time.perf_counter()
+            sub = df.where(F.col("src_part") == part).cache()
+            try:
+                n_docs, n_postings = self._build_partition(sub, part)
+            finally:
+                sub.unpersist()
+            wall_ms = int((time.perf_counter() - t0) * 1000)
+            commit_partition(self.spark, self.cfg.path, part, n_docs, n_postings, wall_ms)
+            done.append(part)
+        return done
+
+    def _build_partition(self, sub: DataFrame, part: str) -> tuple[int, int]:
+        p = build_postings(sub)
+        dl = doc_lengths(sub)
+        stats = term_stats(p)
+        row = dl.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("doc_len").alias("s")
+        ).collect()[0]
+        n_docs, sum_len = int(row["n"]), int(row["s"] or 0)
+        avg = sum_len / max(1, n_docs)
+        segs = build_segments(
+            p, dl, stats, n_docs, avg, self.cfg.num_buckets, self.cfg.nsalt
+        )
+        base = self.cfg.path
+        segs.write.mode("overwrite").partitionBy("bucket").parquet(
+            f"{base}/segments/src_part={part}"
+        )
+        stats.write.mode("overwrite").parquet(f"{base}/stats/src_part={part}")
+        self.spark.createDataFrame(
+            [(n_docs, sum_len)], "n_docs long, sum_len long"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{base}/doc_stats/src_part={part}")
+        n_postings = p.count()
+        return n_docs, n_postings
+
+    # -- read side ------------------------------------------------------------
+    def segments(self) -> DataFrame:
+        from mwmbl_spark.manifest import committed_partitions
+
+        done = committed_partitions(self.spark, self.cfg.path)
+        segs = self.spark.read.option("basePath", f"{self.cfg.path}/segments").parquet(
+            f"{self.cfg.path}/segments"
+        )
+        # only committed partitions are visible (crash-orphans filtered)
+        return segs.where(F.col("src_part").cast("string").isin([str(d) for d in done]))
+
+    def global_stats(self) -> tuple[DataFrame, int, float]:
+        from mwmbl_spark.manifest import committed_partitions
+
+        done = [str(d) for d in committed_partitions(self.spark, self.cfg.path)]
+        stats = (
+            self.spark.read.option("basePath", f"{self.cfg.path}/stats")
+            .parquet(f"{self.cfg.path}/stats")
+            .where(F.col("src_part").cast("string").isin(done))
+            .groupBy("term")
+            .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
+        )
+        ds = (
+            self.spark.read.option("basePath", f"{self.cfg.path}/doc_stats")
+            .parquet(f"{self.cfg.path}/doc_stats")
+            .where(F.col("src_part").cast("string").isin(done))
+            .agg(F.sum("n_docs").alias("n"), F.sum("sum_len").alias("s"))
+            .collect()[0]
+        )
+        n_docs = int(ds["n"] or 0)
+        avg_len = (int(ds["s"] or 0)) / max(1, n_docs)
+        return stats, n_docs, avg_len
+
+    def query_topk(
+        self, queries: DataFrame, k: int = 10, mode: str = "disjunctive"
+    ) -> DataFrame:
+        stats, n_docs, avg_len = self.global_stats()
+        return wand_topk(
+            self.segments(),
+            stats,
+            queries,
+            n_docs,
+            avg_len,
+            k=k,
+            mode=mode,
+            num_buckets=self.cfg.num_buckets,
+        )

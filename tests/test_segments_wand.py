@@ -1,0 +1,115 @@
+"""Segment build + pruned top-k: rank-identity vs oracle and vs the
+exhaustive DataFrame plan, plus compression roundtrip through Spark."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from mwmbl_spark.functions.codec import delta_decode, vb_decode
+from mwmbl_spark.operators.bm25 import bm25_topk
+from mwmbl_spark.operators.postings import (
+    build_postings,
+    corpus_stats,
+    doc_lengths,
+    term_stats,
+)
+from mwmbl_spark.operators.segments import build_segments, prune_segments
+from mwmbl_spark.operators.wand import wand_topk
+from mwmbl_spark.synth import synth_transcripts, with_doc_id
+from oracle.engine import build_oracle
+
+QUERIES = [
+    (0, "w0001 w0002"),
+    (1, "the spark data"),
+    (2, "w0000"),  # hottest term — exercises salting
+    (3, "w0042 w0313 w0777"),
+    (4, "missingterm w0005"),
+]
+
+
+@pytest.fixture(scope="module")
+def built(spark):
+    df = with_doc_id(synth_transcripts(spark, n_conv=80, turns_per_conv=6, seed=11)).cache()
+    p = build_postings(df).cache()
+    dl = doc_lengths(df).cache()
+    stats = term_stats(p).cache()
+    cs = corpus_stats(dl)
+    segs = build_segments(p, dl, stats, cs.n_docs, cs.avg_doc_len, num_buckets=32, nsalt=4).cache()
+    rows = df.select("doc_id", "text").collect()
+    oracle = build_oracle([(r["doc_id"], r["text"]) for r in rows])
+    qdf = spark.createDataFrame(QUERIES, "query_id long, query string")
+    return p, dl, stats, cs, segs, oracle, qdf
+
+
+def test_segment_roundtrip_postings(built):
+    """Decoding every segment must reproduce the posting table exactly."""
+    p, dl, stats, cs, segs, oracle, qdf = built
+    want = {(r["term"], r["doc_id"]): r["tf"] for r in p.collect()}
+    got = {}
+    for row in segs.collect():
+        ids = delta_decode(row["doc_ids"])
+        tfs = vb_decode(row["tfs"])
+        lens = vb_decode(row["doc_lens"])
+        assert len(ids) == len(tfs) == len(lens) == row["n_postings"]
+        assert np.all(np.diff(ids.astype(np.int64)) > 0)  # strictly sorted
+        assert len(row["block_maxes"]) == (len(ids) + 127) // 128
+        for d, t in zip(ids, tfs):
+            got[(row["term"], int(d))] = int(t)
+    assert got == want
+
+
+def test_salt_partitions_doc_space(built):
+    """All postings of one doc share its salt (term-independent)."""
+    p, dl, stats, cs, segs, oracle, qdf = built
+    seen: dict[int, int] = {}
+    for row in segs.collect():
+        for d in delta_decode(row["doc_ids"]):
+            d = int(d)
+            assert seen.setdefault(d, row["salt"]) == row["salt"]
+
+
+@pytest.mark.parametrize("mode", ["disjunctive", "conjunctive", "majority"])
+def test_wand_rank_identical_to_oracle(built, mode):
+    p, dl, stats, cs, segs, oracle, qdf = built
+    out = wand_topk(segs, stats, qdf, cs.n_docs, cs.avg_doc_len, k=10, mode=mode, num_buckets=32)
+    got: dict[int, list[tuple[int, float]]] = {i: [] for i, _ in QUERIES}
+    for r in out.orderBy("query_id", "rank").collect():
+        got[r["query_id"]].append((r["doc_id"], r["score"]))
+    for qid, q in QUERIES:
+        want = oracle.bm25_topk(q, k=10, mode=mode)
+        assert [d for d, _ in got[qid]] == [d for d, _ in want], f"{q!r} ({mode})"
+        for (gd, gs), (_, ws) in zip(got[qid], want):
+            assert abs(gs - ws) < 1e-6
+
+
+def test_wand_matches_exhaustive_plan(built, spark):
+    p, dl, stats, cs, segs, oracle, qdf = built
+    a = wand_topk(segs, stats, qdf, cs.n_docs, cs.avg_doc_len, k=10, num_buckets=32)
+    b = bm25_topk(p, dl, stats, qdf, cs.n_docs, cs.avg_doc_len, k=10)
+    ra = [(r["query_id"], r["doc_id"], r["rank"]) for r in a.orderBy("query_id", "rank").collect()]
+    rb = [(r["query_id"], r["doc_id"], r["rank"]) for r in b.orderBy("query_id", "rank").collect()]
+    assert ra == rb
+
+
+def test_prune_segments_restricts_terms(built, spark):
+    p, dl, stats, cs, segs, oracle, qdf = built
+    terms_df = spark.createDataFrame([("w0001",), ("w0002",)], "term string")
+    pruned = prune_segments(segs, terms_df, num_buckets=32)
+    assert {r["term"] for r in pruned.select("term").distinct().collect()} <= {"w0001", "w0002"}
+
+
+def test_segments_parquet_roundtrip(built, spark, tmp_path):
+    from mwmbl_spark.operators.segments import write_segments
+
+    p, dl, stats, cs, segs, oracle, qdf = built
+    path = str(tmp_path / "segs")
+    write_segments(segs, path)
+    back = spark.read.parquet(path)
+    out = wand_topk(back, stats, qdf, cs.n_docs, cs.avg_doc_len, k=10, num_buckets=32)
+    want = oracle.bm25_topk("w0001 w0002", k=10)
+    got = [
+        (r["doc_id"], r["score"])
+        for r in out.where("query_id = 0").orderBy("rank").collect()
+    ]
+    assert [d for d, _ in got] == [d for d, _ in want]
