@@ -1,0 +1,271 @@
+"""Heuristic scorer — exact reference parity (§2.7 rank-identity ops).
+
+Faithful reimplementation of the reference's query-time heuristic:
+
+- query regex: per-term ``\\b``-bounded alternation, last term
+  prefix-matched when the query is incomplete
+  [/root/reference/mwmbl/format.py:59-70]
+- match features: distinct matched strings counted once; last_match_char
+  is the end offset of the last NEW distinct match
+  [/root/reference/mwmbl/tinysearchengine/rank.py:182-201]
+- score_match = 2**(match_length - total_possible) / last_match_char
+  [rank.py:76-78]
+- score_result = (4*title + extract + 2*domain + 2*domain_tokenized +
+  path) * e^(-0.04*len(url)) * (domain_score + 0.1) / 10, zeroed when
+  matched distinct terms <= len(terms)/2 and state is None
+  [rank.py:40-53]
+- order_results: sort desc by score, drop <= threshold [rank.py:336-351]
+
+The domain-prior table (reference: hn_top_domains_filtered.py, min-max
+normalized at rank.py:168-179) is injected as a plain dict / broadcast
+DataFrame — a data dependency, not engine logic.
+
+Spark path: candidates are scored inside ``mapInPandas`` — Arrow-batched
+(the reference's own vectorized-native-UDF precedent is its Rust PyO3
+feature extractor, mwmbl_rank/src/features.rs). Regex feature
+extraction is string-wise; the batch loop is pandas ``map`` over Arrow
+batches, never row-at-a-time Python UDFs at the Spark boundary.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from collections import defaultdict
+from urllib.parse import urlparse
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+LENGTH_PENALTY = 0.04
+MATCH_EXPONENT = 2
+DOMAIN_SCORE_SMOOTHING = 0.1
+MATCH_SCORE_THRESHOLD = 0.0
+
+# DocumentState enum mirror [/root/reference/mwmbl/tinysearchengine/indexer.py:23-38]
+SYNCED_WITH_MAIN_INDEX = -2
+DELETED = -1
+FROM_USER = 2
+FROM_GOOGLE = 3
+FROM_WIKI = 4
+ORGANIC_APPROVED = 7
+FROM_USER_APPROVED = 8
+FROM_GOOGLE_APPROVED = 9
+FROM_WIKI_APPROVED = 10
+CURATED_STATES = {ORGANIC_APPROVED, FROM_USER_APPROVED, FROM_GOOGLE_APPROVED, FROM_WIKI_APPROVED}
+
+
+# ---------------------------------------------------------------------------
+# Python twins (oracle / kernel internals)
+# ---------------------------------------------------------------------------
+
+def get_query_regex_py(terms: list[str], is_complete: bool, use_word_boundaries: bool) -> str:
+    if not terms:
+        return ""
+    ws = r"\b" if use_word_boundaries else ""
+    if is_complete:
+        pats = [rf"{ws}{re.escape(t)}{ws}" for t in terms]
+    else:
+        pats = [rf"{ws}{re.escape(t)}{ws}" for t in terms[:-1]] + [
+            rf"{ws}{re.escape(terms[-1])}"
+        ]
+    return "|".join(pats)
+
+
+def get_match_features_py(
+    terms: list[str], result_string: str, is_complete: bool, is_url: bool
+):
+    pattern = get_query_regex_py(terms, is_complete, is_url)
+    matches = list(re.finditer(pattern, result_string, flags=re.IGNORECASE))
+    last_match_char = 1
+    seen: set[str] = set()
+    match_length = 0
+    match_counts: dict[str, int] = defaultdict(int)
+    for m in matches:
+        value = m.group(0).lower()
+        match_counts[value] += 1
+        if value not in seen:
+            last_match_char = m.span()[1]
+            seen.add(value)
+            match_length += len(value)
+    total_possible = sum(len(t) for t in terms)
+    return last_match_char, match_length, total_possible, len(seen), match_counts
+
+
+def score_match_py(last_match_char, match_length, total_possible) -> float:
+    return MATCH_EXPONENT ** (match_length - total_possible) / last_match_char
+
+
+def get_features_py(
+    terms: list[str],
+    title: str,
+    url: str,
+    extract: str,
+    score,
+    is_complete: bool,
+    domain_scores: dict[str, float] | None = None,
+) -> dict[str, float]:
+    assert terms and url is not None and title is not None and extract is not None
+    parsed = urlparse(url)
+    domain, path, query = parsed.netloc, parsed.path, parsed.query
+    whole = f"{title} {extract} {domain} {path} {query}"
+    feats: dict[str, float] = {}
+    for part, name, is_url in [
+        (title, "title", False),
+        (extract, "extract", False),
+        (domain, "domain", True),
+        (domain, "domain_tokenized", False),
+        (path, "path", True),
+        (query, "query", False),
+        (whole, "whole", False),
+    ]:
+        lmc, ml, tp, mt, _ = get_match_features_py(terms, part, is_complete, is_url)
+        feats[f"last_match_char_{name}"] = lmc
+        feats[f"match_length_{name}"] = ml
+        feats[f"total_possible_match_length_{name}"] = tp
+        feats[f"match_score_{name}"] = score_match_py(lmc, ml, tp)
+        feats[f"match_terms_{name}"] = mt
+        feats[f"match_term_proportion_{name}"] = mt / len(terms)
+    feats["num_terms"] = len(terms)
+    feats["num_chars"] = len(" ".join(terms))
+    feats["domain_score"] = _domain_score(domain, domain_scores)
+    feats["path_length"] = len(path)
+    feats["domain_length"] = len(domain)
+    feats["item_score"] = score
+    feats["match_terms"] = max(
+        feats[f"match_terms_{n}"]
+        for n in ["title", "extract", "domain", "domain_tokenized", "path"]
+    )
+    return feats
+
+
+def _domain_score(domain: str, domain_scores: dict[str, float] | None) -> float:
+    """Min-max-normalized domain prior [rank.py:168-179]; 0 for unknown."""
+    if not domain_scores or domain not in domain_scores:
+        return 0.0
+    lo, hi = min(domain_scores.values()), max(domain_scores.values())
+    if hi == lo:
+        return 0.0
+    return (domain_scores[domain] - lo) / (hi - lo)
+
+
+def score_result_py(
+    terms: list[str],
+    title: str,
+    url: str,
+    extract: str,
+    score,
+    state: int | None,
+    is_complete: bool,
+    domain_scores: dict[str, float] | None = None,
+) -> float:
+    feats = get_features_py(terms, title, url, extract, score, is_complete, domain_scores)
+    length_penalty = math.e ** (-LENGTH_PENALTY * len(url))
+    match_score = (
+        4 * feats["match_score_title"]
+        + feats["match_score_extract"]
+        + 2 * feats["match_score_domain"]
+        + 2 * feats["match_score_domain_tokenized"]
+        + feats["match_score_path"]
+    )
+    if feats["match_terms"] <= len(terms) / 2 and state is None:
+        return 0.0
+    if match_score > MATCH_SCORE_THRESHOLD:
+        return match_score * length_penalty * (feats["domain_score"] + DOMAIN_SCORE_SMOOTHING) / 10
+    return 0.0
+
+
+def order_results_py(
+    terms: list[str],
+    docs: list[dict],
+    is_complete: bool,
+    score_threshold: float = 0.0,
+    domain_scores: dict[str, float] | None = None,
+) -> list[dict]:
+    """HeuristicRanker.order_results twin [rank.py:336-351]: score, stable
+    sort desc, drop <= threshold."""
+    if not docs:
+        return []
+    scored = [
+        (
+            score_result_py(
+                terms,
+                d.get("title") or "",
+                d["url"],
+                d.get("extract") or "",
+                d.get("score"),
+                d.get("state"),
+                is_complete,
+                domain_scores,
+            ),
+            i,
+            d,
+        )
+        for i, d in enumerate(docs)
+    ]
+    # reference uses sorted(key=itemgetter(0), reverse=True): stable on
+    # input order for ties
+    ordered = sorted(scored, key=lambda x: x[0], reverse=True)
+    return [d for s, _, d in ordered if s > score_threshold]
+
+
+# ---------------------------------------------------------------------------
+# Spark path
+# ---------------------------------------------------------------------------
+
+def score_heuristic(
+    candidates: DataFrame,
+    domain_scores: dict[str, float] | None = None,
+    is_complete: bool = True,
+    score_col: str = "heuristic_score",
+) -> DataFrame:
+    """Add the heuristic score to a candidate DataFrame with columns
+    (terms array<string>, title, url, extract, score, state).
+
+    Arrow-batched mapInPandas; ``domain_scores`` (small dim) rides the
+    closure — the broadcast-join analogue of rank.py's DOMAINS dict.
+    """
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    cols = [f.name for f in candidates.schema.fields]
+    out_schema = StructType(
+        list(candidates.schema.fields) + [StructField(score_col, DoubleType())]
+    )
+
+    def score_batches(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[score_col] = [
+                score_result_py(
+                    list(terms),
+                    title or "",
+                    url,
+                    extract or "",
+                    score,
+                    int(state) if state is not None and not pd.isna(state) else None,
+                    is_complete,
+                    domain_scores,
+                )
+                for terms, title, url, extract, score, state in zip(
+                    pdf["terms"], pdf["title"], pdf["url"], pdf["extract"],
+                    pdf["score"], pdf["state"],
+                )
+            ]
+            yield pdf[cols + [score_col]]
+
+    return candidates.mapInPandas(score_batches, schema=out_schema)
+
+
+def heuristic_order_results(
+    candidates: DataFrame,
+    domain_scores: dict[str, float] | None = None,
+    is_complete: bool = True,
+    score_threshold: float = 0.0,
+) -> DataFrame:
+    """W1: score + global sort desc + threshold filter (Catalyst turns the
+    sort+limit downstream into TakeOrderedAndProject)."""
+    scored = score_heuristic(candidates, domain_scores, is_complete)
+    return scored.where(F.col("heuristic_score") > score_threshold).orderBy(
+        F.desc("heuristic_score")
+    )
