@@ -1,0 +1,93 @@
+"""Structured Streaming incremental build: AvailableNow micro-batches
+through the shared build path, exactly-once via manifest + checkpoint,
+new data picked up on re-run."""
+
+from __future__ import annotations
+
+import pytest
+
+from mwmbl_spark.manifest import committed_partitions, read_manifest
+from mwmbl_spark.plans.build_index import IndexBuilder, IndexConfig
+from mwmbl_spark.streaming.incremental import (
+    hourly_role_counts_stream,
+    incremental_index_stream,
+)
+from mwmbl_spark.synth import synth_transcripts, with_doc_id
+from oracle.engine import build_oracle
+
+QUERIES = [(0, "w0001 w0002"), (1, "the spark")]
+
+
+def _write_chunk(spark, path, n_conv, seed, offset=0):
+    from pyspark.sql import functions as F
+
+    df = with_doc_id(synth_transcripts(spark, n_conv=n_conv, turns_per_conv=4, seed=seed))
+    if offset:
+        df = df.withColumn(
+            "conv_id", F.concat(F.lit(f"c{offset}-"), F.col("conv_id"))
+        )
+        # doc_id must stay unique across chunks: re-derive from new conv_id
+        from mwmbl_spark.synth import with_doc_id as rid
+
+        df = rid(df.drop("doc_id"))
+    df.write.mode("append").parquet(path)
+
+
+def test_streaming_incremental_build(spark, tmp_path):
+    src = str(tmp_path / "src")
+    idx = str(tmp_path / "idx")
+    ckpt = str(tmp_path / "ckpt")
+    cfg = IndexConfig(path=idx, num_buckets=16, nsalt=4)
+
+    _write_chunk(spark, src, n_conv=20, seed=5)
+    builder = incremental_index_stream(spark, src, cfg, ckpt)
+    done1 = committed_partitions(spark, idx)
+    assert len(done1) >= 1
+
+    # append new data -> only the new files are processed on re-run
+    _write_chunk(spark, src, n_conv=10, seed=6, offset=1)
+    incremental_index_stream(spark, src, cfg, ckpt)
+    done2 = committed_partitions(spark, idx)
+    assert len(done2) > len(done1)
+
+    # re-run with no new data: no new commits (checkpoint bookkeeping)
+    incremental_index_stream(spark, src, cfg, ckpt)
+    assert committed_partitions(spark, idx) == done2
+
+    # the streamed index answers queries rank-identically to the oracle
+    all_rows = spark.read.parquet(src).select("doc_id", "text").collect()
+    oracle = build_oracle([(r["doc_id"], r["text"]) for r in all_rows])
+    qdf = spark.createDataFrame(QUERIES, "query_id long, query string")
+    out = builder.query_topk(qdf, k=10)
+    got: dict[int, list[int]] = {i: [] for i, _ in QUERIES}
+    for r in out.orderBy("query_id", "rank").collect():
+        got[r["query_id"]].append(r["doc_id"])
+    for qid, q in QUERIES:
+        assert got[qid] == [d for d, _ in oracle.bm25_topk(q, k=10)], q
+
+
+def test_streaming_hourly_counts(spark, tmp_path):
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    _write_chunk(spark, src, n_conv=12, seed=9)
+    hourly_role_counts_stream(spark, src, out, ckpt)
+    res = spark.read.parquet(out)
+    assert set(res.columns) == {"window_start", "window_end", "role", "n_turns"}
+    # counts over finalized windows must match the batch aggregation on
+    # the same (closed) windows
+    from pyspark.sql import functions as F
+
+    batch = (
+        spark.read.parquet(src)
+        .groupBy(F.window("ts", "1 hour").alias("win"), "role")
+        .count()
+    )
+    got = {(r["window_start"], r["role"]): r["n_turns"] for r in res.collect()}
+    want = {
+        (r["win"]["start"], r["role"]): r["count"]
+        for r in batch.collect()
+        if (r["win"]["start"], r["role"]) in got  # open windows withheld by watermark
+    }
+    assert got.items() >= want.items() or got == {}
+    assert len(got) > 0
