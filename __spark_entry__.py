@@ -206,6 +206,92 @@ def q_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Training-data pipeline queries (dedup / similarity / text analysis /
+# multimodal) — over the documents and embeddings tables directly
+# ---------------------------------------------------------------------------
+
+ANN_QUERY_IDS = [0, 1, 2, 3, 4]
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mwmbl_spark.operators.dedup import exact_duplicates
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return exact_duplicates(docs)
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mwmbl_spark.operators.dedup import minhash_near_duplicates
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return minhash_near_duplicates(docs, threshold=0.35)
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mwmbl_spark.operators.dedup import simhash
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return simhash(docs)
+
+
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mwmbl_spark.operators.similarity import cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return cosine_topk(emb, ANN_QUERY_IDS, k=10)
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mwmbl_spark.functions.text_quality import lang_id_expr
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select("doc_id", lang_id_expr(F.col("text")).alias("pred_lang"))
+
+
+def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mwmbl_spark.functions.text_quality import quality_features, quality_score_expr
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    f = quality_features(F.col("text"))
+    return docs.select(
+        "doc_id",
+        f["n_tokens"].alias("n_tokens"),
+        f["n_chars"].alias("n_chars"),
+        F.round(f["mean_token_len"], 6).alias("mean_token_len"),
+        F.round(f["stopword_ratio"], 6).alias("stopword_ratio"),
+        F.round(f["punct_ratio"], 6).alias("punct_ratio"),
+        quality_score_expr(F.col("text")).alias("quality"),
+    )
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mwmbl_spark.functions.text_quality import token_counts
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tc = token_counts(F.col("text"))
+    return docs.select(
+        "doc_id",
+        tc["n_ws_tokens"].alias("n_ws_tokens"),
+        tc["n_bpe_tokens"].alias("n_bpe_tokens"),
+        tc["n_chars"].alias("n_chars"),
+    )
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mwmbl_spark.functions.text_quality import fingerprint_expr
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select("doc_id", fingerprint_expr(F.col("text")).alias("fingerprint"))
+
+
+def q_mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mwmbl_spark.multimodal import attach_fake_payload, decode_image_meta
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return decode_image_meta(attach_fake_payload(docs))
+
+
+# ---------------------------------------------------------------------------
 # Oracle SQL (DuckDB)
 # ---------------------------------------------------------------------------
 
@@ -328,6 +414,185 @@ SELECT date_trunc('day', ts) AS day, count(DISTINCT user_id) AS n_users
 FROM events GROUP BY 1""",
 }
 
+# --- training-data pipeline oracles ------------------------------------------
+
+_SHINGLE_SQL = _TOK_SQL + """,
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) - 2 > 0
+              THEN list_distinct(list_transform(range(1, len(toks) - 1),
+                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+              ELSE [array_to_string(toks, ' ')] END AS shingles
+  FROM tok
+)"""
+
+_MH_COLS = ",\n         ".join(
+    f"list_min(list_transform(shingles, s -> substr(md5('{i}:' || s), 1, 16))) AS mh{i}"
+    for i in range(8)
+)
+_BAND_KEYS = ", ".join(
+    f"'{b}|' || mh{2 * b} || '|' || mh{2 * b + 1}" for b in range(4)
+)
+
+ORACLE["dedup_exact"] = """
+WITH h AS (SELECT doc_id, md5(text) AS text_hash FROM documents),
+g AS (SELECT doc_id,
+             min(doc_id) OVER (PARTITION BY text_hash) AS keep_id,
+             count(*) OVER (PARTITION BY text_hash) AS gs
+      FROM h)
+SELECT doc_id, keep_id FROM g WHERE gs > 1"""
+
+ORACLE["dedup_minhash"] = f"""
+WITH {_SHINGLE_SQL},
+sigs AS (
+  SELECT doc_id,
+         {_MH_COLS}
+  FROM sh
+),
+bands AS (
+  SELECT doc_id, unnest([{_BAND_KEYS}]) AS band_key FROM sigs
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b USING (band_key)
+  WHERE a.doc_id < b.doc_id
+),
+jac AS (
+  SELECT c.doc_a, c.doc_b,
+         len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+           / (len(sa.shingles) + len(sb.shingles)
+              - len(list_intersect(sa.shingles, sb.shingles)))::DOUBLE AS jaccard
+  FROM cand c
+  JOIN sh sa ON c.doc_a = sa.doc_id
+  JOIN sh sb ON c.doc_b = sb.doc_id
+)
+SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard FROM jac WHERE jaccard >= 0.35"""
+
+ORACLE["simhash"] = f"""
+WITH {_POST_SQL},
+hashed AS (
+  SELECT doc_id, tf,
+         ('0x' || substr(md5(term), 1, 15))::BIGINT AS h
+  FROM post
+),
+bits AS (
+  SELECT doc_id, t.b,
+         sum(CASE WHEN (h >> t.b) & 1 = 1 THEN tf ELSE -tf END) AS s
+  FROM hashed, range(0, 60) t(b)
+  GROUP BY doc_id, t.b
+)
+SELECT doc_id,
+       sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
+FROM bits GROUP BY doc_id"""
+
+ORACLE["embedding_topk"] = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id IN ({", ".join(map(str, ANN_QUERY_IDS))})
+),
+c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+s AS (
+  SELECT q.query_id, c.vec_id,
+         list_dot_product(c.v, q.qv)
+           / (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(q.qv, q.qv))) AS sim
+  FROM c, q WHERE c.vec_id != q.query_id
+),
+r AS (
+  SELECT query_id, vec_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+  FROM s
+)
+SELECT query_id, vec_id, round(sim, 6) AS sim, rank FROM r WHERE rank <= 10"""
+
+_LANG_COUNTS = ",\n       ".join(
+    "len(list_filter(toks, x -> x IN ({}))) AS c_{}".format(
+        ", ".join(f"'{w}'" for w in words), lang
+    )
+    for lang, words in sorted(
+        {
+            "de": ["der", "die", "und", "das", "ist"],
+            "en": ["the", "and", "of", "to", "is"],
+            "es": ["el", "la", "los", "que", "es"],
+            "fr": ["le", "les", "des", "un", "est"],
+        }.items()
+    )
+)
+
+ORACLE["lang_id"] = f"""
+WITH {_TOK_SQL},
+c AS (
+  SELECT doc_id,
+       {_LANG_COUNTS},
+       greatest(len(list_filter(toks, x -> x IN ('der','die','und','das','ist'))),
+                len(list_filter(toks, x -> x IN ('the','and','of','to','is'))),
+                len(list_filter(toks, x -> x IN ('el','la','los','que','es'))),
+                len(list_filter(toks, x -> x IN ('le','les','des','un','est')))) AS g
+  FROM tok
+)
+SELECT doc_id,
+       CASE WHEN c_de = g AND g > 0 THEN 'de'
+            WHEN c_en = g AND g > 0 THEN 'en'
+            WHEN c_es = g AND g > 0 THEN 'es'
+            WHEN c_fr = g AND g > 0 THEN 'fr'
+            ELSE 'unknown' END AS pred_lang
+FROM c"""
+
+_QF_SQL = """
+f AS (
+  SELECT doc_id,
+         len(toks) AS n_tokens,
+         length(text) AS n_chars,
+         len(list_filter(toks, x -> x IN
+             ('the','a','and','of','to','in','is','it','on','for'))) AS n_stop,
+         length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS n_punct
+  FROM tok JOIN documents USING (doc_id)
+)"""
+
+ORACLE["text_features"] = f"""
+WITH {_TOK_SQL},
+{_QF_SQL}
+SELECT doc_id, n_tokens, n_chars,
+       round(n_chars::DOUBLE / greatest(n_tokens, 1), 6) AS mean_token_len,
+       round(n_stop::DOUBLE / greatest(n_tokens, 1), 6) AS stopword_ratio,
+       round(n_punct::DOUBLE / greatest(n_chars, 1), 6) AS punct_ratio,
+       round(0.5 * least(n_tokens::DOUBLE / 100.0, 1.0)
+             + 0.3 * least(n_stop::DOUBLE / greatest(n_tokens, 1) * 4.0, 1.0)
+             + 0.2 * (1.0 - least(n_punct::DOUBLE / greatest(n_chars, 1) * 2.0, 1.0)),
+             6) AS quality
+FROM f"""
+
+ORACLE["token_stats"] = f"""
+WITH {_TOK_SQL}
+SELECT doc_id,
+       len(toks) AS n_ws_tokens,
+       len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_bpe_tokens,
+       length(text) AS n_chars
+FROM tok JOIN documents USING (doc_id)"""
+
+ORACLE["fingerprint"] = f"""
+WITH {_TOK_SQL},
+contrib AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) > 0 THEN
+           list_transform(range(1, len(toks) + 1),
+             i -> ('0x' || substr(md5((i - 1)::VARCHAR || ':' || toks[i]), 1, 15))::BIGINT % 4294967296)
+         ELSE [] END AS cs
+  FROM tok
+)
+SELECT doc_id,
+       CASE WHEN len(cs) > 0
+            THEN list_sum(cs)::BIGINT % 4294967296
+            ELSE 0 END::BIGINT AS fingerprint
+FROM contrib"""
+
+ORACLE["mm_decode"] = """
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       (octet_length(encode(text)) % 64 + 1)::INT AS width,
+       (octet_length(encode(text)) // 64 % 64 + 1)::INT AS height,
+       3 AS channels
+FROM documents"""
+
 
 # ---------------------------------------------------------------------------
 # Driver contract
@@ -351,6 +616,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "completions": q_completions,
         "events_daily": q_events_daily,
         "distinct_users_daily": q_distinct_users_daily,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash": q_dedup_minhash,
+        "simhash": q_simhash,
+        "embedding_topk": q_embedding_topk,
+        "lang_id": q_lang_id,
+        "text_features": q_text_features,
+        "token_stats": q_token_stats,
+        "fingerprint": q_fingerprint,
+        "mm_decode": q_mm_decode,
     }
 
 

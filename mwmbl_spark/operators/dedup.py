@@ -1,0 +1,235 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Four families, all expressed as DataFrame plans (no per-row Python):
+
+- exact:     hash-groupBy on md5(text) — the shuffle key is a fixed
+             16-byte digest, never the raw text (100 TB rule: shuffle
+             payloads stay narrow).
+- MinHash+LSH: 3-token shingles -> H md5-derived minhashes -> B banded
+             keys -> self-join on band key (candidates only) -> exact
+             Jaccard verification on the candidate pairs. The classic
+             shingle→minhash→band→bucket-join pipeline; candidate
+             generation is linear, the quadratic step never happens.
+- SimHash:   60-bit signature from per-token md5 hashes weighted by tf;
+             banded self-join + Hamming-distance (bit_count(xor)) filter.
+- n-gram Jaccard: the exact-verification primitive, also exposed alone.
+
+Every hash is md5-derived (deterministic, engine-portable): the DuckDB
+oracle states the identical computation, so these are value-gated, not
+just row-counted. mwmbl itself dedups only by exact url/title
+(reference index_batches.py:160-173, rank.py:209-215) — these operators
+extend that capability to near-duplicate detection at corpus scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from mwmbl_spark.functions.tokenize import tokenize_expr
+
+N_MINHASHES = 8
+N_BANDS = 4  # 2 hashes per band
+SHINGLE_N = 3
+
+
+def hash60(col: Column) -> Column:
+    """60-bit integer from the md5 hex prefix — identical in DuckDB via
+    ('0x' || substr(md5(x),1,15))::BIGINT."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, keep_id) for every member of a byte-identical text group
+    of size > 1; keep_id = min doc_id of the group."""
+    hashed = docs.select(
+        F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("text_hash")
+    )
+    w = Window.partitionBy("text_hash")
+    return (
+        hashed.withColumn("keep_id", F.min("doc_id").over(w))
+        .withColumn("group_size", F.count(F.lit(1)).over(w))
+        .where(F.col("group_size") > 1)
+        .select("doc_id", "keep_id")
+    )
+
+
+def shingles_expr(toks: Column, n: int = SHINGLE_N) -> Column:
+    """Distinct n-token shingles; a doc shorter than n tokens contributes
+    its whole token string as a single shingle."""
+    cnt = F.size(toks) - F.lit(n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), cnt),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
+    )
+    return F.when(cnt > 0, F.array_distinct(grams)).otherwise(
+        F.array(F.concat_ws(" ", toks))
+    )
+
+
+def doc_shingles(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        shingles_expr(tokenize_expr(F.col(text_col))).alias("shingles"),
+    ).where(F.size("shingles") > 0)
+
+
+def minhash_signature(shingles: Column, n_hashes: int = N_MINHASHES) -> Column:
+    """Array of n 16-hex-char minhashes: min over shingles of
+    md5(i || ':' || shingle) prefix. String min == numeric min for
+    fixed-width hex, and is engine-portable."""
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    shingles,
+                    lambda s, i=i: F.substring(F.md5(F.concat(F.lit(f"{i}:"), s)), 1, 16),
+                )
+            )
+            for i in range(n_hashes)
+        ]
+    )
+
+
+def minhash_candidates(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    n_hashes: int = N_MINHASHES, n_bands: int = N_BANDS,
+) -> DataFrame:
+    """LSH candidate pairs (doc_a < doc_b) sharing at least one band."""
+    rows_per_band = n_hashes // n_bands
+    sigs = doc_shingles(docs, text_col, id_col).select(
+        "doc_id", minhash_signature(F.col("shingles"), n_hashes).alias("sig")
+    )
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "|",
+                        F.lit(str(b)),
+                        *[F.element_at("sig", b * rows_per_band + r + 1) for r in range(rows_per_band)],
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band_key"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(b, "band_key")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    pairs: DataFrame, shingle_df: DataFrame
+) -> DataFrame:
+    """Exact Jaccard for candidate pairs: |A ∩ B| / |A ∪ B| on distinct
+    shingle sets (verification step of the LSH pipeline)."""
+    sa = shingle_df.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sb = shingle_df.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    joined = pairs.join(sa, "doc_a").join(sb, "doc_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
+    return joined.select(
+        "doc_a", "doc_b", (inter / union).alias("jaccard")
+    )
+
+
+def minhash_near_duplicates(
+    docs: DataFrame, threshold: float = 0.5,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Full pipeline: LSH candidates -> exact Jaccard >= threshold."""
+    cands = minhash_candidates(docs, text_col, id_col)
+    sh = doc_shingles(docs, text_col, id_col)
+    jc = jaccard_pairs(cands, sh)
+    return jc.where(F.col("jaccard") >= threshold).select(
+        "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 60
+
+
+def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, simhash): 60-bit tf-weighted signature.
+
+    Plan: tokens -> (term, tf) postings -> explode 60 bit positions ->
+    per-(doc, bit) signed tf sum -> per-doc signature. Two hash-partition
+    shuffles, keys near-unique (doc_id×bit), no skew.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), tokenize_expr(F.col(text_col)).alias("toks")
+    )
+    tf = (
+        toks.select("doc_id", F.explode("toks").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("h", hash60(F.col("term")))
+    )
+    bits = tf.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("b"),
+        "tf",
+        "h",
+    )
+    signed = bits.groupBy("doc_id", "b").agg(
+        F.sum(
+            F.when(F.expr("(shiftright(h, b) & 1) = 1"), F.col("tf")).otherwise(-F.col("tf"))
+        ).alias("s")
+    )
+    return signed.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("shiftleft(cast(1 as bigint), b)")).otherwise(F.lit(0).cast("long"))
+        ).alias("simhash")
+    )
+
+
+def simhash_near_duplicates(
+    docs: DataFrame, max_hamming: int = 8,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Banded simhash join: 4 bands of 15 bits; pairs sharing >= 1 band
+    are candidates, kept when Hamming(sig_a, sig_b) <= max_hamming."""
+    sigs = simhash(docs, text_col, id_col)
+    bands = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "|",
+                        F.lit(str(k)),
+                        F.shiftright("simhash", 15 * k).bitwiseAND(F.lit(32767)).cast("string"),
+                    )
+                    for k in range(4)
+                ]
+            )
+        ).alias("band_key"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(b, "band_key")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return pairs.select("doc_a", "doc_b", hamming.alias("hamming")).where(
+        F.col("hamming") <= max_hamming
+    )

@@ -1,0 +1,134 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_topk``: exact brute-force top-k — the correctness baseline.
+  Query side is tiny and broadcast; the corpus scan is a single pass,
+  the per-pair kernel is a JVM higher-order function (zip_with +
+  aggregate), no shuffle until the final per-query top-k window.
+- ``lsh_bucket_topk``: the scale path — deterministic sign-bit LSH
+  (random-hyperplane family with md5-derived hyperplanes) buckets the
+  corpus; each query probes only its own bucket(s). Approximate; recall
+  vs the brute-force baseline is pytest-gated (tests/test_similarity.py).
+
+At 10^12 rows the brute-force plan is a full scan per query batch
+(still linear, embarrassingly parallel); the LSH plan prunes the scan
+to matching buckets via a shuffle-free broadcast semi join on bucket id.
+An IVF (k-means coarse quantizer) variant slots into the same probe
+plan; LSH is used here because it is deterministic without training.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from mwmbl_spark.operators.dedup import hash60
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Sequential-order dot product in float64 (matches the oracle's
+    list_dot_product summation order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine_sim(a: Column, b: Column) -> Column:
+    a64 = F.transform(a, lambda x: x.cast("double"))
+    b64 = F.transform(b, lambda x: x.cast("double"))
+    return _dot(a64, b64) / (F.sqrt(_dot(a64, a64)) * F.sqrt(_dot(b64, b64)))
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query id (excluding self).
+    -> (query_id, vec_id, sim, rank); ties broken by vec_id."""
+    q = embeddings.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_emb")
+    )
+    pairs = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("emb")).join(
+        F.broadcast(q), F.col("vec_id") != F.col("query_id")
+    )
+    scored = pairs.select(
+        "query_id", "vec_id", cosine_sim(F.col("emb"), F.col("q_emb")).alias("sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", F.round("sim", 6).alias("sim"), "rank")
+    )
+
+
+N_HYPERPLANE_BITS = 8
+
+
+def _sign_bucket(vec: Column, n_bits: int = N_HYPERPLANE_BITS) -> Column:
+    """Deterministic sign-bit bucket: bit j = sign of <v, h_j> where
+    hyperplane h_j has components (+1|-1) derived from md5(j || ':' || dim).
+
+    Implemented as a JVM expression: for each bit, a zip-with over the
+    vector and a per-(bit, dim) pseudo-random sign. The hyperplanes are
+    code-derived constants — no training data, same buckets everywhere.
+    """
+    def bit(j: int) -> Column:
+        # sign of dim i for plane j: parity of hash60(f"{j}:{i}") — folded
+        # into an expression over posexplode-free transform using the
+        # element index.
+        signed = F.zip_with(
+            vec,
+            F.sequence(F.lit(0), F.size(vec) - 1),
+            lambda x, i: x.cast("double")
+            * F.when(
+                F.pmod(hash60(F.concat(F.lit(f"{j}:"), i.cast("string"))), F.lit(2)) == 1,
+                F.lit(1.0),
+            ).otherwise(F.lit(-1.0)),
+        )
+        proj = F.aggregate(signed, F.lit(0.0), lambda acc, x: acc + x)
+        return F.when(proj > 0, F.lit(1 << j)).otherwise(F.lit(0))
+
+    out = F.lit(0)
+    for j in range(n_bits):
+        out = out + bit(j)
+    return out.cast("int")
+
+
+def lsh_bucket_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bits: int = N_HYPERPLANE_BITS,
+) -> DataFrame:
+    """Approximate top-k: score only corpus vectors in the query's
+    sign-bit bucket (single-probe). Same output shape as cosine_topk."""
+    bucketed = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("emb"),
+        _sign_bucket(F.col(vec_col), n_bits).alias("bucket"),
+    )
+    q = bucketed.where(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    pairs = bucketed.join(
+        F.broadcast(q),
+        (F.col("bucket") == F.col("q_bucket")) & (F.col("vec_id") != F.col("query_id")),
+    )
+    scored = pairs.select(
+        "query_id", "vec_id", cosine_sim(F.col("emb"), F.col("q_emb")).alias("sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", F.round("sim", 6).alias("sim"), "rank")
+    )

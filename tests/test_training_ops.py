@@ -1,0 +1,184 @@
+"""Training-data operators: dedup families, similarity search, text
+analysis, multimodal plumbing."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from mwmbl_spark.functions.text_quality import (
+    fingerprint_expr,
+    lang_id_expr,
+    quality_score_expr,
+    token_counts,
+)
+from mwmbl_spark.multimodal import (
+    attach_fake_payload,
+    decode_image_meta,
+    decode_image_real,
+    frame_sample_stub,
+    resize_stub,
+)
+from mwmbl_spark.operators.dedup import (
+    exact_duplicates,
+    minhash_near_duplicates,
+    simhash,
+    simhash_near_duplicates,
+)
+from mwmbl_spark.operators.similarity import cosine_topk, lsh_bucket_topk
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+        (2, "the quick brown fox jumps over the lazy cat"),  # near dup
+        (3, "completely different text about spark engines"),
+        (4, "der schnelle braune fuchs und die katze"),
+        (5, "el rapido zorro marron y la gata que corre"),
+        (6, "the quick brown fox jumps over the lazy dog today"),  # near dup
+        (7, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_duplicates(docs):
+    out = {(r["doc_id"], r["keep_id"]) for r in exact_duplicates(docs).collect()}
+    assert out == {(0, 0), (1, 0)}
+
+
+def test_minhash_finds_near_dups(docs):
+    out = minhash_near_duplicates(docs, threshold=0.5).collect()
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in out}
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1.0
+    # 2 and 6 are one-token edits of 0: high but < 1.0 jaccard
+    assert any(p in pairs for p in [(0, 2), (0, 6), (1, 2), (1, 6)])
+    assert all(a < b for a, b in pairs)
+    assert (3, 4) not in pairs
+
+
+def test_simhash_identical_docs_equal_sig(docs):
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    assert sigs[0] == sigs[1]
+    assert 0 <= sigs[0] < (1 << 60)
+
+
+def test_simhash_near_duplicates(docs):
+    out = simhash_near_duplicates(docs, max_hamming=10).collect()
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in out}
+    assert pairs.get((0, 1)) == 0
+    assert (3, 4) not in pairs
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(8, 16)).astype(np.float32)
+    rows = []
+    for i in range(8):
+        rows.append((i, [float(x) for x in base[i]]))
+    # 8..11: small perturbations of 0..3 (guaranteed near neighbors)
+    for i in range(4):
+        v = base[i] + rng.normal(scale=0.01, size=16).astype(np.float32)
+        rows.append((8 + i, [float(x) for x in v]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_cosine_topk_exact(embeddings):
+    out = cosine_topk(embeddings, query_ids=[0, 1], k=3)
+    res = {}
+    for r in out.collect():
+        res.setdefault(r["query_id"], []).append((r["rank"], r["vec_id"], r["sim"]))
+    top0 = sorted(res[0])[0]
+    assert top0[1] == 8 and top0[2] > 0.999  # perturbed twin wins
+    top1 = sorted(res[1])[0]
+    assert top1[1] == 9
+
+
+def test_cosine_topk_matches_numpy(embeddings):
+    rows = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in embeddings.collect()}
+    out = cosine_topk(embeddings, query_ids=[2], k=5).orderBy("rank").collect()
+    sims = {}
+    q = rows[2]
+    for vid, v in rows.items():
+        if vid == 2:
+            continue
+        sims[vid] = float(np.dot(q, v) / (np.linalg.norm(q) * np.linalg.norm(v)))
+    want = sorted(sims.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert [r["vec_id"] for r in out] == [v for v, _ in want]
+    for r, (_, s) in zip(out, want):
+        assert abs(r["sim"] - s) < 1e-5
+
+
+def test_lsh_bucket_recall(embeddings):
+    """Single-probe LSH must find the perturbed twin (same bucket with
+    overwhelming probability at 0.01 noise)."""
+    out = lsh_bucket_topk(embeddings, query_ids=[0], k=3).orderBy("rank").collect()
+    assert out and out[0]["vec_id"] == 8
+
+
+def test_lang_id_and_quality(spark, docs):
+    out = {
+        r["doc_id"]: (r["lang"], r["quality"])
+        for r in docs.select(
+            "doc_id",
+            lang_id_expr(F.col("text")).alias("lang"),
+            quality_score_expr(F.col("text")).alias("quality"),
+        ).collect()
+    }
+    assert out[0][0] == "en"
+    assert out[4][0] == "de"
+    assert out[5][0] == "es"
+    assert out[7][0] == "unknown"
+    assert all(0.0 <= q <= 1.0 for _, q in out.values())
+
+
+def test_token_counts_and_fingerprint(spark):
+    df = spark.createDataFrame(
+        [(0, "Hello, world! 42 times"), (1, "world Hello, ! 42 times"), (2, "")],
+        "doc_id long, text string",
+    )
+    tc = token_counts(F.col("text"))
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id", tc["n_ws_tokens"].alias("ws"), tc["n_bpe_tokens"].alias("bpe"),
+            fingerprint_expr(F.col("text")).alias("fp"),
+        ).collect()
+    }
+    assert out[0]["ws"] == 4
+    assert out[0]["bpe"] == 6  # hello , world ! 42 times
+    assert out[2]["ws"] == 0 and out[2]["fp"] == 0
+    # order sensitivity: same bag of tokens, different order -> different fp
+    assert out[0]["fp"] != out[1]["fp"]
+
+
+def test_multimodal_plumbing(spark, docs):
+    media = attach_fake_payload(docs.where("doc_id < 4"))
+    meta = {r["doc_id"]: r for r in decode_image_meta(media).collect()}
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for d, r in meta.items():
+        n = len(texts[d].encode())
+        assert r["n_bytes"] == n
+        assert r["width"] == n % 64 + 1
+        assert r["height"] == n // 64 % 64 + 1
+        assert r["channels"] == 3
+    thumbs = resize_stub(media, max_side=8).collect()
+    assert all(len(r["thumb"]) <= r["width"] * r["height"] for r in thumbs)
+    frames = frame_sample_stub(media, every_n_bytes=10).collect()
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r["doc_id"], []).append(r["frame_idx"])
+    for d, idxs in by_doc.items():
+        assert idxs == list(range(len(idxs)))
+        assert len(idxs) == math.ceil(len(texts[d].encode()) / 10)
+
+
+def test_real_decoder_is_explicit_stub(spark, docs):
+    media = attach_fake_payload(docs.limit(1))
+    with pytest.raises(NotImplementedError):
+        decode_image_real(media)
