@@ -292,6 +292,91 @@ def q_mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# URL dataflow queries (frontier / link graph / seen-set / errors)
+# Synthetic URL column derived deterministically from documents so both
+# engines state the same derivation.
+# ---------------------------------------------------------------------------
+
+_NOW_LIT = "2026-08-16 00:00:00"
+
+
+def _docs_with_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.org/"),
+        F.col("lang"), F.lit("/doc_"), F.col("doc_id").cast("string"),
+    )
+    last_crawled = (
+        F.when(F.col("doc_id") % 3 == 1, F.to_timestamp(F.lit("2025-12-01 00:00:00")))
+        .when(F.col("doc_id") % 3 == 2, F.to_timestamp(F.lit("2026-08-10 00:00:00")))
+        .otherwise(F.lit(None).cast("timestamp"))
+    )
+    return docs.select("doc_id", url.alias("url"), last_crawled.alias("last_crawled"))
+
+
+_URL_SQL = """
+urls AS (
+  SELECT doc_id,
+         'https://' || source || '.example.org/' || lang || '/doc_' || doc_id::VARCHAR AS url,
+         CASE WHEN doc_id % 3 = 1 THEN TIMESTAMP '2025-12-01 00:00:00'
+              WHEN doc_id % 3 = 2 THEN TIMESTAMP '2026-08-10 00:00:00'
+              ELSE NULL END AS last_crawled
+  FROM documents
+)"""
+
+
+def q_url_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mwmbl_spark.operators.urls import url_tokens
+
+    return url_tokens(_docs_with_urls(spark, sf_dir))
+
+
+def q_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mwmbl_spark.operators.urls import frontier_scores, frontier_topk
+
+    scored = frontier_scores(
+        _docs_with_urls(spark, sf_dir), now_ts=F.to_timestamp(F.lit(_NOW_LIT))
+    )
+    return frontier_topk(scored, max_per_domain=3)
+
+
+def q_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mwmbl_spark.operators.urls import domain_link_graph
+
+    urls = _docs_with_urls(spark, sf_dir)
+    n = urls.count()
+    a = urls.select(F.col("doc_id").alias("src_id"), F.col("url").alias("src_url"))
+    b = urls.select(F.col("doc_id").alias("dst_id"), F.col("url").alias("dst_url"))
+    links = a.withColumn("dst_id", (F.col("src_id") * 7 + 1) % n).join(b, "dst_id")
+    return domain_link_graph(links.select("src_url", "dst_url"))
+
+
+def q_new_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mwmbl_spark.operators.urls import new_urls_only
+
+    urls = _docs_with_urls(spark, sf_dir).select("doc_id", "url")
+    seen = urls.where(F.col("doc_id") % 4 == 0).select("url")
+    return new_urls_only(urls, seen)
+
+
+def q_url_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mwmbl_spark.operators.urls import classify_errors
+
+    items = _docs_with_urls(spark, sf_dir).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 5 == 1, F.lit(404)).otherwise(F.lit(0)).alias("status"),
+        F.when(F.col("doc_id") % 5 == 2, F.lit("AbortError"))
+        .when(F.col("doc_id") % 5 == 3, F.lit("RobotsDenied"))
+        .when(F.col("doc_id") % 5 == 4, F.lit("SomeError"))
+        .otherwise(F.lit(None).cast("string"))
+        .alias("error_name"),
+    )
+    return items.where(F.col("doc_id") % 5 != 0).select(
+        "doc_id", classify_errors(items).alias("url_status")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Oracle SQL (DuckDB)
 # ---------------------------------------------------------------------------
 
@@ -585,6 +670,69 @@ SELECT doc_id,
             ELSE 0 END::BIGINT AS fingerprint
 FROM contrib"""
 
+ORACLE["url_tokens"] = f"""
+WITH {_URL_SQL},
+canon AS (
+  SELECT doc_id,
+         replace(replace(replace(
+           regexp_replace(url, '^https?://', ''),
+           '/', ' '), '.', ' '), '_', ' ') AS prepared
+  FROM urls
+)
+SELECT doc_id, t.term
+FROM canon,
+     unnest(list_filter(string_split_regex(lower(trim(prepared)), '\\s+'),
+                        x -> x <> '')) AS t(term)"""
+
+ORACLE["frontier"] = f"""
+WITH {_URL_SQL},
+scored AS (
+  SELECT url,
+         regexp_extract(url, '^https?://([^/]+)', 1) AS domain,
+         (1.0 / length(url))
+           * (CASE WHEN last_crawled IS NULL THEN 1.0
+                   ELSE 1.0 - exp(-(epoch(TIMESTAMP '{_NOW_LIT}') - epoch(last_crawled))
+                                   / {60 * 60 * 24 * 30 * 10}.0) END) AS url_score
+  FROM urls
+  WHERE last_crawled IS NULL
+     OR epoch(TIMESTAMP '{_NOW_LIT}') - epoch(last_crawled) >= {30 * 86400}
+),
+ranked AS (
+  SELECT domain, url, url_score,
+         row_number() OVER (PARTITION BY domain
+                            ORDER BY url_score DESC, url) AS rnk
+  FROM scored
+)
+SELECT domain, url, round(url_score, 9) AS url_score, rnk
+FROM ranked WHERE rnk <= 3"""
+
+ORACLE["link_graph"] = f"""
+WITH {_URL_SQL},
+n AS (SELECT count(*) AS n FROM urls),
+links AS (
+  SELECT a.url AS src_url, b.url AS dst_url
+  FROM urls a
+  JOIN n ON true
+  JOIN urls b ON b.doc_id = (a.doc_id * 7 + 1) % n.n
+)
+SELECT regexp_extract(src_url, '^https?://([^/]+)', 1) AS src_domain,
+       regexp_extract(dst_url, '^https?://([^/]+)', 1) AS dst_domain,
+       count(*) AS n_links
+FROM links GROUP BY 1, 2"""
+
+ORACLE["new_urls"] = f"""
+WITH {_URL_SQL}
+SELECT doc_id, url FROM urls
+WHERE url NOT IN (SELECT url FROM urls WHERE doc_id % 4 = 0)"""
+
+ORACLE["url_errors"] = """
+SELECT doc_id,
+       CASE WHEN doc_id % 5 = 1 THEN 30
+            WHEN doc_id % 5 = 2 THEN 20
+            WHEN doc_id % 5 = 3 THEN 50
+            ELSE 40 END AS url_status
+FROM documents WHERE doc_id % 5 != 0"""
+
 ORACLE["mm_decode"] = """
 SELECT doc_id,
        octet_length(encode(text)) AS n_bytes,
@@ -625,6 +773,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": q_token_stats,
         "fingerprint": q_fingerprint,
         "mm_decode": q_mm_decode,
+        "url_tokens": q_url_tokens,
+        "frontier": q_frontier,
+        "link_graph": q_link_graph,
+        "new_urls": q_new_urls,
+        "url_errors": q_url_errors,
     }
 
 
