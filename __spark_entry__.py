@@ -325,6 +325,31 @@ urls AS (
 )"""
 
 
+def q_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rankeval: NDCG@10 + proportion matched of BM25 top-10 against a
+    gold ranking built from the reference tf-idf scorer."""
+    from pyspark.sql import Window
+
+    from mwmbl_spark.operators.rankeval import ndcg_at_10
+
+    t = _docs_as_transcripts(spark, sf_dir)
+    p = post_ops.build_postings(t)
+    dl = post_ops.doc_lengths(t)
+    stats = post_ops.term_stats(p)
+    cs = post_ops.corpus_stats(dl)
+    pred = bm25_ops.bm25_topk(
+        p, dl, stats, _queries_df(spark), cs.n_docs, cs.avg_doc_len, k=10
+    )
+    tfidf = bm25_ops.tfidf_reference_scores(p, stats, _queries_df(spark), mode="majority")
+    w = Window.partitionBy("query_id").orderBy(F.desc("tfidf_score"), F.asc("doc_id"))
+    gold = (
+        tfidf.withColumn("gold_rank", F.row_number().over(w))
+        .where(F.col("gold_rank") <= 10)
+        .select("query_id", "doc_id", "gold_rank")
+    )
+    return ndcg_at_10(pred, gold)
+
+
 def q_url_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mwmbl_spark.operators.urls import url_tokens
 
@@ -670,6 +695,71 @@ SELECT doc_id,
             ELSE 0 END::BIGINT AS fingerprint
 FROM contrib"""
 
+_CP_LIST = "[" + ", ".join(str(p) for p in [0.285, 0.157, 0.110, 0.080, 0.072, 0.051, 0.040, 0.032, 0.028, 0.025]) + "]"
+
+ORACLE["ndcg"] = f"""
+WITH {_POST_SQL},
+{_QTERM_SQL},
+cand AS (
+  SELECT q.query_id, p.doc_id, q.n_terms,
+         ln((c.n_docs - s.df + 0.5) / (s.df + 0.5) + 1.0)
+           * p.tf * (1.2 + 1.0)
+           / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.doc_len / c.avg_len)) AS partial
+  FROM qterm q
+  JOIN post p USING (term)
+  JOIN stats s ON p.term = s.term
+  JOIN dl ON p.doc_id = dl.doc_id
+  CROSS JOIN corpus c
+),
+scored AS (
+  SELECT query_id, doc_id, sum(partial) AS score
+  FROM cand GROUP BY query_id, doc_id
+),
+pred AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+  FROM scored
+),
+nquirk AS (SELECT max(df)::DOUBLE AS n FROM stats),
+tcand AS (
+  SELECT q.query_id, p.doc_id, q.n_terms, p.tf * ln(nq.n / s.df) AS partial
+  FROM qterm q
+  JOIN post p USING (term)
+  JOIN stats s ON p.term = s.term
+  CROSS JOIN nquirk nq
+),
+tscored AS (
+  SELECT query_id, doc_id, sum(partial) AS tfidf_score,
+         count(*) AS matched, max(n_terms) AS n_terms
+  FROM tcand GROUP BY query_id, doc_id
+),
+gold AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY tfidf_score DESC, doc_id) AS gold_rank
+  FROM tscored WHERE matched * 2 > n_terms
+),
+rels AS (
+  SELECT query_id, doc_id, {_CP_LIST}[gold_rank] AS rel
+  FROM gold WHERE gold_rank <= 10
+),
+joined AS (
+  SELECT p.query_id, p.rank, coalesce(r.rel, 0.0) AS rel
+  FROM (SELECT * FROM pred WHERE rank <= 10) p
+  LEFT JOIN rels r ON p.query_id = r.query_id AND p.doc_id = r.doc_id
+),
+ideal AS (
+  SELECT query_id, rank, rel,
+         row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, rank) AS ideal_pos
+  FROM joined
+)
+SELECT query_id,
+       round(CASE WHEN sum(rel / log2(ideal_pos + 1)) > 0
+                  THEN sum(rel / log2(rank + 1)) / sum(rel / log2(ideal_pos + 1))
+                  ELSE 0.0 END, 6) AS ndcg,
+       round(sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) / 10.0, 6) AS proportion_matched
+FROM ideal GROUP BY query_id"""
+
 ORACLE["url_tokens"] = f"""
 WITH {_URL_SQL},
 canon AS (
@@ -778,6 +868,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_graph": q_link_graph,
         "new_urls": q_new_urls,
         "url_errors": q_url_errors,
+        "ndcg": q_ndcg,
     }
 
 
