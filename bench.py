@@ -4,10 +4,17 @@ Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
 /root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
 JSON line: {"metric", "value", "unit", "queries", "sf", ...}.
 
-q_index_build is the end-to-end index construction (tokenize ->
-postings -> stats -> segment write to a temp dir); the rest are the
-query-side operators over a cached posting build. Timings are
-wall-clock per query with actions forced by a write/count.
+Headliners:
+  q1_index_build      — full segment index build: tokenize -> postings ->
+                        doc/term stats -> salted block-max segments
+                        (delta+varbyte) -> manifest commit
+  q2_wand_topk        — BM25 top-10 via the compressed segment path
+                        (bucket pruning + MaxScore kernel)
+  q3_bm25_exhaustive  — the exhaustive broadcast-join BM25 plan
+  q4_dedup_minhash    — shingle -> minhash -> band join -> jaccard verify
+  q5_embedding_topk   — brute-force cosine ANN top-10
+  q6_text_features    — lang-ID + quality + token stats in one pass
+  q7_events_daily     — windowed counters
 """
 
 from __future__ import annotations
@@ -21,11 +28,9 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from pyspark.sql import functions as F  # noqa: E402
-
 import __spark_entry__ as entrymod  # noqa: E402
 from mwmbl_spark import get_spark  # noqa: E402
-from mwmbl_spark.operators import postings as post_ops  # noqa: E402
+from mwmbl_spark.plans.build_index import IndexBuilder, IndexConfig  # noqa: E402
 from mwmbl_spark.sources.transcripts import transcripts_from_documents  # noqa: E402
 
 
@@ -43,69 +48,52 @@ def main() -> None:
         fn()
         timings[name] = round(time.perf_counter() - t0, 4)
 
-    # q1: end-to-end index build (postings + stats persisted)
-    def build():
-        t = transcripts_from_documents(spark, sf_dir)
-        p = post_ops.build_postings(t)
-        p.write.mode("overwrite").parquet(f"{tmp}/postings")
-        post_ops.term_stats(spark.read.parquet(f"{tmp}/postings")).write.mode(
-            "overwrite"
-        ).parquet(f"{tmp}/term_stats")
-        post_ops.doc_lengths(t).write.mode("overwrite").parquet(f"{tmp}/doc_lengths")
+    # one source partition at this data size: the per-partition commit
+    # loop is for resume granularity over big Iceberg partitions, not for
+    # slicing a 5k-doc fixture (resume semantics are pytest-covered)
+    cfg = IndexConfig(
+        path=f"{tmp}/index", num_buckets=16, nsalt=8,
+        n_src_partitions=1,
+    )
+    builder = IndexBuilder(spark, cfg)
+    transcripts = transcripts_from_documents(spark, sf_dir)
+    n_docs = transcripts.count()
 
-    timed("q1_index_build", build)
-
-    # reuse the persisted build for query-side benchmarks
-    p = spark.read.parquet(f"{tmp}/postings").cache()
-    dl = spark.read.parquet(f"{tmp}/doc_lengths").cache()
-    stats = spark.read.parquet(f"{tmp}/term_stats").cache()
-    p.count(), dl.count(), stats.count()
-    cs = post_ops.corpus_stats(dl)
-
-    from mwmbl_spark.operators import bm25 as bm25_ops
+    timed("q1_index_build", lambda: builder.build(transcripts))
 
     qdf = spark.createDataFrame(entrymod.QUERY_SET, "query_id long, query string")
+    timed("q2_wand_topk", lambda: builder.query_topk(qdf, k=10).count())
 
+    from mwmbl_spark.operators import bm25 as bm25_ops
+    from mwmbl_spark.operators import postings as post_ops
+
+    p = post_ops.build_postings(transcripts).cache()
+    dl = post_ops.doc_lengths(transcripts).cache()
+    stats = post_ops.term_stats(p).cache()
+    p.count(), dl.count(), stats.count()
+    cs = post_ops.corpus_stats(dl)
     timed(
-        "q2_bm25_topk",
+        "q3_bm25_exhaustive",
         lambda: bm25_ops.bm25_topk(
             p, dl, stats, qdf, cs.n_docs, cs.avg_doc_len, k=10
         ).count(),
     )
-    timed(
-        "q3_bm25_conjunctive",
-        lambda: bm25_ops.bm25_topk(
-            p, dl, stats, qdf, cs.n_docs, cs.avg_doc_len, k=10, mode="conjunctive"
-        ).count(),
-    )
-    timed(
-        "q4_tfidf_reference",
-        lambda: bm25_ops.tfidf_reference_scores(p, stats, qdf).count(),
-    )
-    timed(
-        "q5_index_terms",
-        lambda: entrymod.q_index_terms(spark, sf_dir).count(),
-    )
-    timed(
-        "q6_events_daily",
-        lambda: entrymod.q_events_daily(spark, sf_dir).count(),
-    )
-
-    # throughput: turns (docs) per second through the full build
-    n_docs = cs.n_docs
-    build_throughput = round(n_docs / timings["q1_index_build"], 2)
+    timed("q4_dedup_minhash", lambda: entrymod.q_dedup_minhash(spark, sf_dir).count())
+    timed("q5_embedding_topk", lambda: entrymod.q_embedding_topk(spark, sf_dir).count())
+    timed("q6_text_features", lambda: entrymod.q_text_features(spark, sf_dir).count())
+    timed("q7_events_daily", lambda: entrymod.q_events_daily(spark, sf_dir).count())
 
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(
             {
-                "metric": "index-build + BM25 query suite wall-clock",
+                "metric": "segment index build + BM25/WAND + curation-op suite wall-clock",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
                 "n_docs": n_docs,
-                "build_turns_per_sec": build_throughput,
+                "build_turns_per_sec": round(n_docs / timings["q1_index_build"], 2),
                 "cpus": cpus,
             }
         )

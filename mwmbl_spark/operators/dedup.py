@@ -74,18 +74,33 @@ def doc_shingles(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     ).where(F.size("shingles") > 0)
 
 
-def minhash_signature(shingles: Column, n_hashes: int = N_MINHASHES) -> Column:
-    """Array of n 16-hex-char minhashes: min over shingles of
-    md5(i || ':' || shingle) prefix. String min == numeric min for
-    fixed-width hex, and is engine-portable."""
-    return F.array(
+def shingle_rows(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, shingle) exploded rows — the scale-native form.
+
+    Explode (Generate) evaluates the tokenize/shingle expression ONCE
+    per doc; downstream references see plain rows. The array form
+    (doc_shingles) suffers Catalyst projection-collapse re-inlining
+    inside higher-order-function lambdas (no CSE there), which at bench
+    scale showed up as ~8x recompute of the tokenizer.
+    """
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingles_expr(tokenize_expr(F.col(text_col)))).alias("shingle"),
+    )
+
+
+def minhash_signatures(
+    sh_rows: DataFrame, n_hashes: int = N_MINHASHES
+) -> DataFrame:
+    """(doc_id, mh0..mh{n-1}): per-doc minhash signature as one
+    aggregation over exploded shingle rows. Minhash i = min over
+    shingles of the md5(i || ':' || shingle) hex prefix; string min ==
+    numeric min for fixed-width hex, and is engine-portable."""
+    return sh_rows.groupBy("doc_id").agg(
         *[
-            F.array_min(
-                F.transform(
-                    shingles,
-                    lambda s, i=i: F.substring(F.md5(F.concat(F.lit(f"{i}:"), s)), 1, 16),
-                )
-            )
+            F.min(
+                F.substring(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle"))), 1, 16)
+            ).alias(f"mh{i}")
             for i in range(n_hashes)
         ]
     )
@@ -97,9 +112,7 @@ def minhash_candidates(
 ) -> DataFrame:
     """LSH candidate pairs (doc_a < doc_b) sharing at least one band."""
     rows_per_band = n_hashes // n_bands
-    sigs = doc_shingles(docs, text_col, id_col).select(
-        "doc_id", minhash_signature(F.col("shingles"), n_hashes).alias("sig")
-    )
+    sigs = minhash_signatures(shingle_rows(docs, text_col, id_col), n_hashes)
     bands = sigs.select(
         "doc_id",
         F.explode(
@@ -108,7 +121,7 @@ def minhash_candidates(
                     F.concat_ws(
                         "|",
                         F.lit(str(b)),
-                        *[F.element_at("sig", b * rows_per_band + r + 1) for r in range(rows_per_band)],
+                        *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)],
                     )
                     for b in range(n_bands)
                 ]
@@ -126,17 +139,42 @@ def minhash_candidates(
 
 
 def jaccard_pairs(
-    pairs: DataFrame, shingle_df: DataFrame
+    pairs: DataFrame, sh_rows: DataFrame, min_jaccard: float | None = None
 ) -> DataFrame:
-    """Exact Jaccard for candidate pairs: |A ∩ B| / |A ∪ B| on distinct
-    shingle sets (verification step of the LSH pipeline)."""
-    sa = shingle_df.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
-    sb = shingle_df.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
-    joined = pairs.join(sa, "doc_a").join(sb, "doc_b")
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
-    return joined.select(
-        "doc_a", "doc_b", (inter / union).alias("jaccard")
+    """Exact Jaccard for candidate pairs from exploded shingle rows:
+    intersection by (shingle, pair) join counts, |A ∩ B| / |A ∪ B|.
+    Pairs with zero intersection drop out (jaccard 0).
+
+    ``min_jaccard`` enables size filtering (Arasu et al. family):
+    J(A,B) <= min(|A|,|B|)/max(|A|,|B|), so pairs whose set sizes differ
+    beyond the threshold never reach the intersection join. Output is
+    unchanged — pruned pairs could never pass — so the oracle needs no
+    extra filter."""
+    sizes = sh_rows.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    with_sizes = (
+        pairs.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b")), "doc_b")
+    )
+    if min_jaccard is not None:
+        with_sizes = with_sizes.where(
+            F.least("n_a", "n_b").cast("double")
+            >= F.lit(min_jaccard) * F.greatest("n_a", "n_b")
+        )
+    sa = sh_rows.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh_rows.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        with_sizes.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return inter.select(
+        "doc_a",
+        "doc_b",
+        (
+            F.col("inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("inter")).cast("double")
+        ).alias("jaccard"),
     )
 
 
@@ -144,10 +182,40 @@ def minhash_near_duplicates(
     docs: DataFrame, threshold: float = 0.5,
     text_col: str = "text", id_col: str = "doc_id",
 ) -> DataFrame:
-    """Full pipeline: LSH candidates -> exact Jaccard >= threshold."""
-    cands = minhash_candidates(docs, text_col, id_col)
-    sh = doc_shingles(docs, text_col, id_col)
-    jc = jaccard_pairs(cands, sh)
+    """Full pipeline: LSH candidates -> size filter -> exact Jaccard >=
+    threshold.
+
+    ``shingle_rows`` feeds four plan branches (signatures, sizes, both
+    sides of the intersection join); ``localCheckpoint(eager=False)``
+    materializes it once and reuses the blocks across branches — on a
+    real cluster this is a checkpoint/staging table write.
+    """
+    sr = shingle_rows(docs, text_col, id_col).localCheckpoint(eager=False)
+    rows_per_band = N_MINHASHES // N_BANDS
+    sigs = minhash_signatures(sr)
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "|",
+                        F.lit(str(b)),
+                        *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)],
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("band_key"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cands = (
+        a.join(b, "band_key")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    jc = jaccard_pairs(cands, sr, min_jaccard=threshold)
     return jc.where(F.col("jaccard") >= threshold).select(
         "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
     )

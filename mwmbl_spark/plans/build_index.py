@@ -80,26 +80,34 @@ class IndexBuilder:
         return done
 
     def _build_partition(self, sub: DataFrame, part: str) -> tuple[int, int]:
-        p = build_postings(sub)
-        dl = doc_lengths(sub)
-        stats = term_stats(p)
-        row = dl.agg(
-            F.count(F.lit(1)).alias("n"), F.sum("doc_len").alias("s")
-        ).collect()[0]
-        n_docs, sum_len = int(row["n"]), int(row["s"] or 0)
-        avg = sum_len / max(1, n_docs)
-        segs = build_segments(
-            p, dl, stats, n_docs, avg, self.cfg.num_buckets, self.cfg.nsalt
-        )
-        base = self.cfg.path
-        segs.write.mode("overwrite").partitionBy("bucket").parquet(
-            f"{base}/segments/src_part={part}"
-        )
-        stats.write.mode("overwrite").parquet(f"{base}/stats/src_part={part}")
-        self.spark.createDataFrame(
-            [(n_docs, sum_len)], "n_docs long, sum_len long"
-        ).coalesce(1).write.mode("overwrite").parquet(f"{base}/doc_stats/src_part={part}")
-        n_postings = p.count()
+        # postings/doc_lengths feed several downstream plans (stats, doc
+        # stats, segment encode) — persist so tokenize+shuffle run once
+        p = build_postings(sub).persist()
+        dl = doc_lengths(sub).persist()
+        try:
+            n_postings = p.count()
+            stats = term_stats(p)
+            row = dl.agg(
+                F.count(F.lit(1)).alias("n"), F.sum("doc_len").alias("s")
+            ).collect()[0]
+            n_docs, sum_len = int(row["n"]), int(row["s"] or 0)
+            avg = sum_len / max(1, n_docs)
+            segs = build_segments(
+                p, dl, stats, n_docs, avg, self.cfg.num_buckets, self.cfg.nsalt
+            )
+            base = self.cfg.path
+            segs.write.mode("overwrite").partitionBy("bucket").parquet(
+                f"{base}/segments/src_part={part}"
+            )
+            stats.write.mode("overwrite").parquet(f"{base}/stats/src_part={part}")
+            self.spark.createDataFrame(
+                [(n_docs, sum_len)], "n_docs long, sum_len long"
+            ).coalesce(1).write.mode("overwrite").parquet(
+                f"{base}/doc_stats/src_part={part}"
+            )
+        finally:
+            p.unpersist()
+            dl.unpersist()
         return n_docs, n_postings
 
     # -- read side ------------------------------------------------------------
