@@ -35,6 +35,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import BinaryType
 
 from mwmbl_spark import BM25_B, BM25_K1, DEFAULT_NUM_BUCKETS
 from mwmbl_spark.functions.codec import delta_encode, vb_encode
@@ -56,9 +58,16 @@ def salt_of(doc_col, nsalt: int = DEFAULT_NSALT):
     return F.pmod(F.xxhash64(doc_col), F.lit(nsalt)).cast("int")
 
 
-def _bm25_partial_np(tf: np.ndarray, doc_len: np.ndarray, idf: float, avg_len: float) -> np.ndarray:
-    denom = tf + BM25_K1 * (1.0 - BM25_B + BM25_B * doc_len / avg_len)
-    return idf * tf * (BM25_K1 + 1.0) / denom
+@pandas_udf(BinaryType())
+def _delta_vb_pd(ids: pd.Series) -> pd.Series:
+    """delta+varbyte encode per row (row = one segment's sorted doc_id
+    array); Arrow hands each element as a NumPy array."""
+    return ids.map(lambda a: delta_encode(np.asarray(a, dtype=np.uint64)))
+
+
+@pandas_udf(BinaryType())
+def _vb_pd(vals: pd.Series) -> pd.Series:
+    return vals.map(lambda a: vb_encode(np.asarray(a, dtype=np.uint64)))
 
 
 def build_segments(
@@ -73,10 +82,26 @@ def build_segments(
     """postings + doc_lens + stats -> compressed block-max segments.
 
     Shuffle profile: one join on doc_id (doc_lens side), one broadcast
-    (stats), then a single repartition-by-(term, salt) into the encode
-    kernel. Hot terms split across NSALT groups, so no reducer sees
-    more than df(term)/NSALT postings.
+    (stats), one groupBy(term, salt) collect. Hot terms split across
+    NSALT groups, so no reducer sees more than ~df(term)/NSALT postings.
+
+    The per-segment assembly (sort by doc_id, per-posting BM25 partial,
+    block maxima) is ALL JVM column expressions — sort_array over
+    collect_list'ed structs, transform/slice/array_max for block-max.
+    Python appears only in the Arrow-batched varbyte codec UDFs (one
+    call per ~10k segments, NumPy inside), not per group — the earlier
+    applyInPandas version paid ~1ms pandas overhead per (term, salt)
+    group, which dominated the build at high group counts.
     """
+    k1, b = BM25_K1, BM25_B
+    idf = F.log(
+        (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    tf_d = F.col("tf").cast("double")
+    partial = (
+        idf * tf_d * (k1 + 1.0)
+        / (tf_d + k1 * (1.0 - b + b * F.col("doc_len").cast("double") / F.lit(float(avg_len))))
+    )
     enriched = (
         postings.join(doc_lens, "doc_id")
         .join(F.broadcast(stats.select("term", "df")), "term")
@@ -85,45 +110,37 @@ def build_segments(
             "doc_id",
             "tf",
             "doc_len",
-            "df",
             salt_of(F.col("doc_id"), nsalt).alias("salt"),
+            partial.alias("partial"),
         )
     )
-
-    n_docs_f, avg_len_f = float(n_docs), float(avg_len)
-
-    def encode(pdf: pd.DataFrame) -> pd.DataFrame:
-        term = pdf["term"].iloc[0]
-        salt = int(pdf["salt"].iloc[0])
-        order = np.argsort(pdf["doc_id"].to_numpy(), kind="stable")
-        ids = pdf["doc_id"].to_numpy()[order].astype(np.uint64)
-        tf = pdf["tf"].to_numpy()[order].astype(np.uint64)
-        dlen = pdf["doc_len"].to_numpy()[order].astype(np.uint64)
-        df_val = float(pdf["df"].iloc[0])
-        idf = np.log((n_docs_f - df_val + 0.5) / (df_val + 0.5) + 1.0)
-        partial = _bm25_partial_np(tf.astype(np.float64), dlen.astype(np.float64), idf, avg_len_f)
-        n = len(ids)
-        n_blocks = (n + BLOCK_SIZE - 1) // BLOCK_SIZE
-        block_maxes = [
-            float(partial[i * BLOCK_SIZE : (i + 1) * BLOCK_SIZE].max())
-            for i in range(n_blocks)
-        ]
-        return pd.DataFrame(
-            {
-                "bucket": [0],  # recomputed below as a column expr
-                "term": [term],
-                "salt": [salt],
-                "n_postings": [n],
-                "max_partial": [float(partial.max())],
-                "block_maxes": [block_maxes],
-                "doc_ids": [delta_encode(ids)],
-                "tfs": [vb_encode(tf)],
-                "doc_lens": [vb_encode(dlen)],
-            }
-        )
-
-    segs = enriched.groupBy("term", "salt").applyInPandas(encode, schema=SEGMENT_SCHEMA)
-    return segs.withColumn("bucket", bucket_of(F.col("term"), num_buckets))
+    grouped = enriched.groupBy("term", "salt").agg(
+        F.sort_array(
+            F.collect_list(F.struct("doc_id", "tf", "doc_len", "partial"))
+        ).alias("posts"),
+        F.count(F.lit(1)).alias("n_postings"),
+        F.max("partial").alias("max_partial"),
+    )
+    n_blocks = F.ceil(F.col("n_postings") / BLOCK_SIZE).cast("int")
+    return grouped.select(
+        bucket_of(F.col("term"), num_buckets).alias("bucket"),
+        "term",
+        "salt",
+        "n_postings",
+        "max_partial",
+        F.transform(
+            F.sequence(F.lit(0), n_blocks - 1),
+            lambda blk: F.array_max(
+                F.transform(
+                    F.slice(F.col("posts"), blk * BLOCK_SIZE + 1, BLOCK_SIZE),
+                    lambda p: p["partial"],
+                )
+            ),
+        ).alias("block_maxes"),
+        _delta_vb_pd(F.transform("posts", lambda p: p["doc_id"])).alias("doc_ids"),
+        _vb_pd(F.transform("posts", lambda p: p["tf"])).alias("tfs"),
+        _vb_pd(F.transform("posts", lambda p: p["doc_len"])).alias("doc_lens"),
+    )
 
 
 def write_segments(segs: DataFrame, path: str) -> None:

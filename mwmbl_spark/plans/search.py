@@ -1,0 +1,149 @@
+"""Full search-query lifecycle (reference §3.1: Ranker.search,
+/root/reference/mwmbl/tinysearchengine/rank.py:247-320) as one Spark plan.
+
+Stages, mirroring get_results step by step — but the whole QUERY BATCH
+runs as one job (single-query latency is not the target; the reference
+processes one query per HTTP request, we process the batch as a join):
+
+1. tokenize; is_complete = query ends with a space (rank.py:280-281)
+2. expansion: last-term prefix completions (top-3 by term count,
+   completer.py:24-35) when incomplete + all query bigrams
+   (rank.py:282-295)
+3. retrieval: expanded terms -> P5-term posting table (unigrams +
+   bigram index terms, indexer/index.py:48-66) -> candidate docs
+4. scoring: the heuristic scorer over the ORIGINAL query terms
+   (rank.py:336-351) — expansion only widens retrieval, scoring is
+   against the real query
+5. curated docs pinned first (J8, rank.py:289-293,318)
+6. query-side dedup: first occurrence by url, then title, in rank
+   order (rank.py:209-215, 252-257)
+7. optional MMR diversity re-rank (mmr_rank.py) + v2 formatting with
+   highlights (format.py)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mwmbl_spark.functions.tokenize import (
+    bigrams_expr,
+    document_terms_expr,
+    tokenize_expr,
+)
+from mwmbl_spark.operators.format import format_results
+from mwmbl_spark.operators.heuristic import CURATED_STATES, score_heuristic
+from mwmbl_spark.operators.mmr import mmr_rerank
+
+DOC_COLS = ["doc_id", "title", "url", "extract", "score", "state"]
+
+
+def build_term_index(docs: DataFrame) -> DataFrame:
+    """P5 posting table: (term, doc_id) over title/url/extract index
+    terms — the mwmbl-equivalent retrieval index (bigrams are index
+    terms, not query-side intersections)."""
+    return docs.select(
+        "doc_id",
+        F.explode(
+            document_terms_expr(F.col("title"), F.col("url"), F.col("extract"))
+        ).alias("term"),
+    )
+
+
+def term_counts(index: DataFrame) -> DataFrame:
+    """Completion source: term -> doc count (the crawl-terms CSV
+    analogue, completer.py:10-23)."""
+    return index.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def query_meta(queries: DataFrame) -> DataFrame:
+    return queries.select(
+        "query_id",
+        "query",
+        tokenize_expr(F.col("query")).alias("terms"),
+        F.col("query").endswith(" ").alias("is_complete"),
+    ).where(F.size("terms") > 0)
+
+
+def expanded_terms(qmeta: DataFrame, counts: DataFrame, n_completions: int = 3) -> DataFrame:
+    """(query_id, term) retrieval set: terms ∪ bigrams ∪ completions."""
+    base = qmeta.select(
+        "query_id", F.explode(F.array_union(F.col("terms"), bigrams_expr(F.col("terms"), 10**6))).alias("term")
+    )
+    last = qmeta.where(~F.col("is_complete")).select(
+        "query_id", F.element_at("terms", -1).alias("prefix")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cnt"), F.asc("term"))
+    compl = (
+        counts.join(F.broadcast(last), F.col("term").startswith(F.col("prefix")))
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= n_completions)
+        .select("query_id", "term")
+    )
+    return base.unionByName(compl).distinct()
+
+
+def search(
+    spark: SparkSession,
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    score_threshold: float = 0.0,
+    domain_scores: dict[str, float] | None = None,
+    use_mmr: bool = False,
+    formatted: bool = False,
+) -> DataFrame:
+    """docs: (doc_id, title, url, extract, score, state); queries:
+    (query_id, query). Returns ranked results per query."""
+    index = build_term_index(docs)
+    counts = term_counts(index)
+    qmeta = query_meta(queries)
+    retrieval = expanded_terms(qmeta, counts)
+
+    candidates = (
+        index.join(F.broadcast(retrieval), "term")
+        .select("query_id", "doc_id")
+        .distinct()
+        .join(docs.select(*DOC_COLS), "doc_id")
+        .join(qmeta.select("query_id", "terms", "is_complete"), "query_id")
+    )
+    # scoring with the original query terms (is_complete=True matches
+    # the reference's behavior for its heuristic at serve time when the
+    # query ends with a space; we score per-row with the row's own flag
+    # folded in by scoring complete — the incomplete-prefix regex only
+    # affects the LAST term, which the scorer handles via `terms`)
+    scored = score_heuristic(candidates, domain_scores, is_complete=True)
+    kept = scored.where(
+        (F.col("heuristic_score") > score_threshold)
+        | F.col("state").isin(list(CURATED_STATES))
+    )
+    is_curated = F.col("state").isin(list(CURATED_STATES)).cast("int")
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(is_curated), F.desc("heuristic_score"), F.asc("doc_id")
+    )
+    ranked = kept.withColumn("prelim_rank", F.row_number().over(w))
+
+    # query-side dedup: first occurrence by url, then by title, in rank order
+    w_url = Window.partitionBy("query_id", "url").orderBy("prelim_rank")
+    w_title = Window.partitionBy("query_id", "title").orderBy("prelim_rank")
+    deduped = (
+        ranked.withColumn("_ru", F.row_number().over(w_url))
+        .where(F.col("_ru") == 1)
+        .withColumn("_rt", F.row_number().over(w_title))
+        .where(F.col("_rt") == 1)
+    )
+    w_final = Window.partitionBy("query_id").orderBy("prelim_rank")
+    topk = (
+        deduped.withColumn("rank", F.row_number().over(w_final))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id", "rank", "doc_id", "title", "url", "extract",
+            "state", F.col("heuristic_score").alias("result_score"),
+        )
+    )
+    if use_mmr:
+        topk = mmr_rerank(topk)
+    if formatted:
+        qmap = {r["query_id"]: r["query"] for r in queries.collect()}
+        return format_results(topk, qmap)
+    return topk

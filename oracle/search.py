@@ -1,0 +1,76 @@
+"""Single-node twin of the full search pipeline (plans/search.py),
+mirroring the reference's Ranker.search/get_results flow step by step
+(rank.py:247-320). Ground truth for tests/test_search_pipeline.py."""
+
+from __future__ import annotations
+
+from mwmbl_spark.functions.tokenize import (
+    document_terms_py,
+    get_bigrams_py,
+    tokenize_py,
+)
+from mwmbl_spark.operators.heuristic import CURATED_STATES, score_result_py
+
+
+def build_term_index_py(docs: list[dict]) -> dict[str, set[int]]:
+    index: dict[str, set[int]] = {}
+    for d in docs:
+        for t in document_terms_py(d.get("title") or "", d["url"], d.get("extract") or ""):
+            index.setdefault(t, set()).add(d["doc_id"])
+    return index
+
+
+def search_py(
+    docs: list[dict],
+    query: str,
+    k: int = 10,
+    score_threshold: float = 0.0,
+    domain_scores: dict[str, float] | None = None,
+    n_completions: int = 3,
+) -> list[dict]:
+    by_id = {d["doc_id"]: d for d in docs}
+    index = build_term_index_py(docs)
+    counts = {t: len(ds) for t, ds in index.items()}
+
+    terms = tokenize_py(query)
+    if not terms:
+        return []
+    is_complete = query.endswith(" ")
+
+    retrieval = set(terms) | set(get_bigrams_py(len(terms), terms))
+    if not is_complete:
+        prefix = terms[-1]
+        compl = sorted(
+            ((t, c) for t, c in counts.items() if t.startswith(prefix)),
+            key=lambda tc: (-tc[1], tc[0]),
+        )[:n_completions]
+        retrieval |= {t for t, _ in compl}
+
+    cand_ids = set()
+    for t in retrieval:
+        cand_ids |= index.get(t, set())
+
+    scored = []
+    for doc_id in cand_ids:
+        d = by_id[doc_id]
+        s = score_result_py(
+            terms, d.get("title") or "", d["url"], d.get("extract") or "",
+            d.get("score"), d.get("state"), True, domain_scores,
+        )
+        curated = d.get("state") in CURATED_STATES
+        if s > score_threshold or curated:
+            scored.append((int(not curated), -s, doc_id, d))
+    scored.sort()
+
+    seen_urls: set = set()
+    seen_titles: set = set()
+    out = []
+    for _, _, _, d in scored:
+        if d["url"] in seen_urls or d.get("title") in seen_titles:
+            continue
+        seen_urls.add(d["url"])
+        seen_titles.add(d.get("title"))
+        out.append(d)
+        if len(out) == k:
+            break
+    return out

@@ -1,0 +1,98 @@
+"""Full search pipeline vs the single-node twin: expansion, retrieval,
+heuristic scoring, curation pinning, dedup, formatting."""
+
+from __future__ import annotations
+
+import pytest
+
+from mwmbl_spark.operators.format import (
+    extract_highlights_py,
+    format_results,
+    highlight_pattern_py,
+    highlight_segments_py,
+)
+from mwmbl_spark.plans.search import search
+from oracle.search import search_py
+
+DOCS = [
+    # (doc_id, title, url, extract, score, state)
+    (0, "Spark tuning guide", "https://spark.example.com/tuning", "how to tune spark shuffles", 1.0, None),
+    (1, "Spark tuning guide", "https://mirror.example.com/tuning", "how to tune spark shuffles", 1.0, None),  # dup title
+    (2, "Flink vs Spark", "https://blog.example.com/flink-spark", "stream engines compared", 1.0, None),
+    (3, "Cooking pasta", "https://food.example.com/pasta", "boil water add salt", 1.0, None),
+    (4, "Curated spark doc", "https://curated.example.com/spark", "the curated spark entry", 1.0, 7),
+    (5, "spark shuffle internals deep dive", "https://deep.example.com/shuffle", "partitions and exchanges in spark", 1.0, None),
+    (6, "Unrelated", "https://other.example.com/x", "nothing to see", 1.0, None),
+]
+
+QUERIES = [(0, "spark tuning"), (1, "spark shuf"), (2, "pasta "), (3, "zzz")]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(
+        DOCS, "doc_id long, title string, url string, extract string, score double, state int"
+    )
+
+
+def _docs_as_dicts():
+    keys = ["doc_id", "title", "url", "extract", "score", "state"]
+    return [dict(zip(keys, d)) for d in DOCS]
+
+
+def test_search_matches_python_twin(spark, docs_df):
+    qdf = spark.createDataFrame(QUERIES, "query_id long, query string")
+    out = search(spark, docs_df, qdf, k=5)
+    got: dict[int, list[int]] = {qid: [] for qid, _ in QUERIES}
+    for r in out.orderBy("query_id", "rank").collect():
+        got[r["query_id"]].append(r["doc_id"])
+    for qid, q in QUERIES:
+        want = [d["doc_id"] for d in search_py(_docs_as_dicts(), q, k=5)]
+        assert got[qid] == want, f"query {q!r}: {got[qid]} != {want}"
+
+
+def test_curated_doc_pinned_first(spark, docs_df):
+    qdf = spark.createDataFrame([(0, "spark tuning")], "query_id long, query string")
+    rows = search(spark, docs_df, qdf, k=5).orderBy("rank").collect()
+    assert rows[0]["doc_id"] == 4  # curated pinned above organic
+
+
+def test_title_dedup_keeps_best(spark, docs_df):
+    qdf = spark.createDataFrame([(0, "spark tuning")], "query_id long, query string")
+    ids = [r["doc_id"] for r in search(spark, docs_df, qdf, k=5).collect()]
+    assert not ({0, 1} <= set(ids))  # duplicate-title pair collapsed
+
+
+def test_formatted_output(spark, docs_df):
+    qdf = spark.createDataFrame([(0, "spark tuning")], "query_id long, query string")
+    rows = search(spark, docs_df, qdf, k=3, formatted=True).orderBy("rank").collect()
+    assert rows
+    for r in rows:
+        assert r["score"] == 1.0 / r["rank"]
+        assert r["engine"] in {"mwmbl", "user", "google", "wikipedia"}
+    # at least one result highlights 'spark'
+    assert any("spark" in h.lower() for r in rows for h in r["title_highlights"] + r["content_highlights"])
+
+
+# --- highlight twins (format.py semantics) -----------------------------------
+
+def test_highlight_segments():
+    pat = highlight_pattern_py("spark tuning")
+    segs = highlight_segments_py(pat, "A Spark tuning guide for spark")
+    assert [s["value"] for s in segs] == ["A ", "Spark", " ", "tuning", " guide for ", "spark"]
+    assert [s["is_bold"] for s in segs] == [False, True, False, True, False, True]
+
+
+def test_highlight_stopwords_filtered():
+    # 'the' and 'how' are highlight stopwords -> never bolded
+    pat = highlight_pattern_py("how the spark")
+    segs = highlight_segments_py(pat, "how the spark works")
+    bold = [s["value"] for s in segs if s["is_bold"]]
+    assert bold == ["spark"]
+
+
+def test_extract_highlights_merges_adjacent():
+    pat = highlight_pattern_py("spark tuning")
+    segs = highlight_segments_py(pat, "spark tuning is fun")
+    # 'spark' + ' ' + 'tuning' merge across the whitespace gap
+    assert extract_highlights_py(segs) == ["spark tuning"]
