@@ -78,6 +78,18 @@ def worker(cores: int) -> None:
     transcripts = spark.read.parquet(path)
     n_turns = transcripts.count()
 
+    # Warm the Python workers (fork + pandas/numpy import, once per JVM)
+    # before timing: on a real cluster executors are long-lived and warm;
+    # in a fresh local JVM the concurrent cold imports of N workers would
+    # otherwise be billed to the first pandas-UDF stage of the build.
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _warm(s):  # pragma: no cover
+        return s
+
+    spark.range(cores * 4, numPartitions=cores).select(_warm("id")).count()
+
     idx = tempfile.mkdtemp(prefix=f"mwmbl_scaling_idx_{cores}_")
     # nsalt is part of the INDEX layout, not the execution config — it
     # must be identical across parallelism levels or the runs do

@@ -43,6 +43,10 @@ def get_spark(
     """
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     shuffle_partitions = shuffle_partitions or max(8, cores)
+    # local mode runs every task thread inside the driver JVM: size the
+    # heap with the parallelism or 4N threads starve in an N-sized heap
+    # (GC thrash shows up as anti-scaling)
+    default_mem = f"{max(8, cores)}g"
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cores}]")
@@ -53,7 +57,7 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.parquet.compression.codec", "zstd")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", default_mem))
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

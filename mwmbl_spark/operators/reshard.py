@@ -1,0 +1,113 @@
+"""Index copy / re-shard (reference S8: copy_index.copy_pages,
+/root/reference/mwmbl/tinysearchengine/copy_index.py:14-45 +
+background.py:50-71 cursor resume).
+
+The reference copies an old index into a new one 1024 pages per pass,
+re-deriving terms and re-hashing into the new page layout, with a
+persisted ``last_page_copied`` cursor. Spark-natively this is:
+
+    decode old segments -> posting rows -> rebuild segments under the
+    new (num_buckets, nsalt) layout -> new index dir + manifest
+
+The "cursor" is the target manifest: each source partition of the old
+index re-commits independently, so a killed reshard resumes exactly
+like a killed build (same machinery, plans/build_index.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mwmbl_spark.functions.codec import delta_decode, vb_decode
+
+
+DECODED_SCHEMA = "term string, doc_id long, tf long, doc_len long"
+
+
+def decode_segments(segs: DataFrame) -> DataFrame:
+    """Inverse of build_segments: segments -> (term, doc_id, tf,
+    doc_len) posting rows. Arrow-batched; NumPy decode per segment."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            terms, ids, tfs, lens = [], [], [], []
+            for r in pdf.itertuples():
+                d_ids = delta_decode(r.doc_ids).astype(np.int64)
+                terms.append(np.repeat(r.term, len(d_ids)))
+                ids.append(d_ids)
+                tfs.append(vb_decode(r.tfs).astype(np.int64))
+                lens.append(vb_decode(r.doc_lens).astype(np.int64))
+            if not terms:
+                yield pd.DataFrame(
+                    {"term": pd.Series([], dtype=object),
+                     "doc_id": pd.Series([], dtype="int64"),
+                     "tf": pd.Series([], dtype="int64"),
+                     "doc_len": pd.Series([], dtype="int64")}
+                )
+                continue
+            yield pd.DataFrame(
+                {
+                    "term": np.concatenate(terms),
+                    "doc_id": np.concatenate(ids),
+                    "tf": np.concatenate(tfs),
+                    "doc_len": np.concatenate(lens),
+                }
+            )
+
+    return segs.select("term", "doc_ids", "tfs", "doc_lens").mapInPandas(
+        batches, schema=DECODED_SCHEMA
+    )
+
+
+def reshard(spark, old_builder, new_cfg) -> "IndexBuilder":  # noqa: F821
+    """Rebuild an index under a new layout. Stats carry over by
+    re-aggregation from the decoded postings (df/cf/doc lengths are
+    layout-independent), so no re-tokenization of the source corpus."""
+    from mwmbl_spark.manifest import commit_partition, committed_partitions
+    from mwmbl_spark.operators.segments import build_segments
+    from mwmbl_spark.plans.build_index import IndexBuilder
+
+    new_builder = IndexBuilder(spark, new_cfg)
+    part = "reshard-0"
+    if part in committed_partitions(spark, new_cfg.path):
+        return new_builder
+
+    import time
+
+    t0 = time.perf_counter()
+    decoded = decode_segments(old_builder.segments()).persist()
+    try:
+        postings = decoded.select("term", "doc_id", "tf")
+        doc_lens = decoded.select("doc_id", "doc_len").distinct()
+        stats = postings.groupBy("term").agg(
+            F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf")
+        )
+        row = doc_lens.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("doc_len").alias("s")
+        ).collect()[0]
+        n_docs, sum_len = int(row["n"]), int(row["s"] or 0)
+        avg = sum_len / max(1, n_docs)
+        segs = build_segments(
+            postings, doc_lens, stats, n_docs, avg, new_cfg.num_buckets, new_cfg.nsalt
+        )
+        base = new_cfg.path
+        segs.write.mode("overwrite").partitionBy("bucket").parquet(
+            f"{base}/segments/src_part={part}"
+        )
+        stats.write.mode("overwrite").parquet(f"{base}/stats/src_part={part}")
+        spark.createDataFrame(
+            [(n_docs, sum_len)], "n_docs long, sum_len long"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{base}/doc_stats/src_part={part}")
+        n_postings = postings.count()
+    finally:
+        decoded.unpersist()
+    commit_partition(
+        spark, new_cfg.path, part, n_docs, n_postings,
+        int((time.perf_counter() - t0) * 1000),
+    )
+    return new_builder
