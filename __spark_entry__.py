@@ -130,6 +130,59 @@ def q_bm25_conjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 through the COMPRESSED path: salted block-max
+    segments (delta+varbyte) + MaxScore-pruned kernel. Gated by the
+    same SQL oracle as the exhaustive plan — rank identity of the
+    segment path is exactly what the north rule demands."""
+    from mwmbl_spark.operators.segments import build_segments
+    from mwmbl_spark.operators.wand import wand_topk
+
+    t = _docs_as_transcripts(spark, sf_dir)
+    p = post_ops.build_postings(t)
+    dl = post_ops.doc_lengths(t)
+    stats = post_ops.term_stats(p)
+    cs = post_ops.corpus_stats(dl)
+    segs = build_segments(p, dl, stats, cs.n_docs, cs.avg_doc_len, num_buckets=32, nsalt=8)
+    out = wand_topk(
+        segs, stats, _queries_df(spark), cs.n_docs, cs.avg_doc_len, k=10, num_buckets=32
+    )
+    return out.select(
+        "query_id", "doc_id", F.round("score", 6).alias("score"), "rank"
+    )
+
+
+def q_search_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full mwmbl-style search lifecycle (expansion -> P5-term retrieval
+    -> heuristic scoring -> curation/dedup) over documents dressed as
+    web docs. Heuristic regex scoring is not SQL-expressible -> rows-only
+    driver check; rank identity is pytest-gated vs the single-node twin
+    (tests/test_search_pipeline.py)."""
+    from mwmbl_spark.plans.search import search
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        F.concat(F.lit("Doc "), F.col("doc_id").cast("string")).alias("title"),
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.org/"),
+            F.col("lang"), F.lit("/doc_"), F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.col("text").alias("extract"),
+        F.lit(1.0).alias("score"),
+        F.lit(None).cast("int").alias("state"),
+    )
+    return search(spark, docs, _queries_df(spark), k=10)
+
+
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5: MMR diversity re-rank of the search top-k (sequential greedy
+    within a query, parallel across queries) — rows-only check."""
+    from mwmbl_spark.operators.mmr import mmr_rerank
+
+    topk = q_search_pipeline(spark, sf_dir)
+    return mmr_rerank(topk)
+
+
 def q_tfidf_reference(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference-parity tf-idf scorer (idf = ln(N/df), N = max(df) quirk,
     majority term filter — rank.py:36-48 semantics)."""
@@ -465,6 +518,7 @@ ORACLE: dict[str, str] = {
 SELECT term, count(*) AS df, sum(tf)::BIGINT AS cf FROM post GROUP BY term""",
     "bm25_topk": _bm25_sql(""),
     "bm25_conjunctive": _bm25_sql("WHERE matched = n_terms"),
+    "wand_topk": _bm25_sql(""),
     "tfidf_reference": f"""
 WITH {_POST_SQL},
 {_QTERM_SQL},
@@ -848,6 +902,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_stats": q_term_stats,
         "bm25_topk": q_bm25_topk,
         "bm25_conjunctive": q_bm25_conjunctive,
+        "wand_topk": q_wand_topk,
+        "search_pipeline": q_search_pipeline,
+        "mmr_rerank": q_mmr_rerank,
         "tfidf_reference": q_tfidf_reference,
         "index_terms": q_index_terms,
         "bigrams": q_bigrams,
