@@ -43,10 +43,13 @@ def get_spark(
     """
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     shuffle_partitions = shuffle_partitions or max(8, cores)
-    # local mode runs every task thread inside the driver JVM: size the
-    # heap with the parallelism or 4N threads starve in an N-sized heap
-    # (GC thrash shows up as anti-scaling)
-    default_mem = f"{max(8, cores)}g"
+    # local mode runs every task thread inside the driver JVM. 12g is
+    # the measured sweet spot on this box: an 8g heap starves 32 task
+    # threads (GC thrash), while a 32g heap spends 1.6x more time in the
+    # KERNEL than in user code (page-fault/THP churn) — both showed up
+    # as anti-scaling. Fixed per-JVM heap also keeps N-vs-4N scaling
+    # runs comparable.
+    default_mem = "12g"
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cores}]")

@@ -126,6 +126,7 @@ def merge_pages(
     existing_docs: DataFrame,
     mark_synced: bool = False,
     domain_scores: dict[str, float] | None = None,
+    page_cap: int | None = None,
 ) -> DataFrame:
     """Distributed page merge: union new+existing postings keyed by
     ``page``, apply the exact combine semantics per page group.
@@ -175,4 +176,12 @@ def merge_pages(
             columns=["page", "position", *DOC_COLS],
         )
 
-    return both.groupBy("page").applyInPandas(kernel, schema=PAGE_DOC_SCHEMA)
+    merged = both.groupBy("page").applyInPandas(kernel, schema=PAGE_DOC_SCHEMA)
+    if page_cap is not None:
+        # A7 analogue: the reference binary-searches the largest prefix
+        # that zstd-compresses into the 4096-byte page and silently
+        # drops the rest (indexer.py:128-158) — because pages are stored
+        # best-first, that trim IS a top-K per page. Here the cap is an
+        # explicit row limit on the already best-first `position`.
+        merged = merged.where(F.col("position") < page_cap)
+    return merged

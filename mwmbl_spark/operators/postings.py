@@ -57,6 +57,24 @@ def build_postings(transcripts: DataFrame, text_col: str = "text", id_col: str =
     )
 
 
+def build_postings_with_len(
+    transcripts: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """postings carrying doc_len: (term, doc_id, tf, doc_len) in ONE
+    tokenize pass. The build path uses this shape — it removes both the
+    second tokenize traversal (doc_lengths) and the postings⋈doc_lengths
+    shuffle join from the segment build. Zero-token docs are absent (they
+    can match nothing); corpus stats must count them separately
+    (n_docs from a plain row count, sum_len = sum(tf) here).
+    """
+    toks = tokenized(transcripts, text_col, id_col)
+    return (
+        toks.select("doc_id", "doc_len", F.explode("tokens").alias("term"))
+        .groupBy("term", "doc_id", "doc_len")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
 def doc_lengths(transcripts: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     return tokenized(transcripts, text_col, id_col).select("doc_id", "doc_len")
 

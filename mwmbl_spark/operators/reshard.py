@@ -96,8 +96,12 @@ def reshard(spark, old_builder, new_cfg) -> "IndexBuilder":  # noqa: F821
             postings, doc_lens, stats, n_docs, avg, new_cfg.num_buckets, new_cfg.nsalt
         )
         base = new_cfg.path
-        segs.write.mode("overwrite").partitionBy("bucket").parquet(
-            f"{base}/segments/src_part={part}"
+        (
+            segs.repartition(new_cfg.num_buckets, F.col("bucket"))
+            .sortWithinPartitions("bucket", "term", "salt")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(f"{base}/segments/src_part={part}")
         )
         stats.write.mode("overwrite").parquet(f"{base}/stats/src_part={part}")
         spark.createDataFrame(

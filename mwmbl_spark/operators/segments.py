@@ -72,16 +72,18 @@ def _vb_pd(vals: pd.Series) -> pd.Series:
 
 def build_segments(
     postings: DataFrame,
-    doc_lens: DataFrame,
+    doc_lens: DataFrame | None,
     stats: DataFrame,
     n_docs: int,
     avg_len: float,
     num_buckets: int = DEFAULT_NUM_BUCKETS,
     nsalt: int = DEFAULT_NSALT,
 ) -> DataFrame:
-    """postings + doc_lens + stats -> compressed block-max segments.
+    """postings (+ doc_lens) + stats -> compressed block-max segments.
 
-    Shuffle profile: one join on doc_id (doc_lens side), one broadcast
+    When postings already carry ``doc_len``
+    (postings.build_postings_with_len) pass ``doc_lens=None`` and the
+    doc_id join is skipped entirely. Shuffle profile then: one broadcast
     (stats), one groupBy(term, salt) collect. Hot terms split across
     NSALT groups, so no reducer sees more than ~df(term)/NSALT postings.
 
@@ -102,8 +104,9 @@ def build_segments(
         idf * tf_d * (k1 + 1.0)
         / (tf_d + k1 * (1.0 - b + b * F.col("doc_len").cast("double") / F.lit(float(avg_len))))
     )
+    with_len = postings if doc_lens is None else postings.join(doc_lens, "doc_id")
     enriched = (
-        postings.join(doc_lens, "doc_id")
+        with_len
         .join(F.broadcast(stats.select("term", "df")), "term")
         .select(
             "term",

@@ -31,7 +31,10 @@ from pyspark.sql import functions as F
 
 from mwmbl_spark import DEFAULT_NUM_BUCKETS
 from mwmbl_spark.manifest import commit_partition, pending_partitions
-from mwmbl_spark.operators.postings import build_postings, doc_lengths, term_stats
+from mwmbl_spark.operators.postings import (
+    build_postings_with_len,
+    term_stats,
+)
 from mwmbl_spark.operators.segments import DEFAULT_NSALT, build_segments
 from mwmbl_spark.operators.wand import wand_topk
 
@@ -69,35 +72,47 @@ class IndexBuilder:
         done = []
         for part in todo:
             t0 = time.perf_counter()
-            sub = df.where(F.col("src_part") == part).cache()
-            try:
-                n_docs, n_postings = self._build_partition(sub, part)
-            finally:
-                sub.unpersist()
+            # no cache of raw text: re-scanning columnar parquet is
+            # cheaper than materializing deserialized rows, and the
+            # build touches the source exactly twice (postings pass +
+            # row count)
+            sub = df.where(F.col("src_part") == part)
+            n_docs, n_postings = self._build_partition(sub, part)
             wall_ms = int((time.perf_counter() - t0) * 1000)
             commit_partition(self.spark, self.cfg.path, part, n_docs, n_postings, wall_ms)
             done.append(part)
         return done
 
     def _build_partition(self, sub: DataFrame, part: str) -> tuple[int, int]:
-        # postings/doc_lengths feed several downstream plans (stats, doc
-        # stats, segment encode) — persist so tokenize+shuffle run once
-        p = build_postings(sub).persist()
-        dl = doc_lengths(sub).persist()
+        # single tokenize pass: postings carry doc_len, so the segment
+        # build needs no doc_id join and no second traversal; persist
+        # because stats/doc-stats/segments all read the posting relation
+        p = build_postings_with_len(sub).persist()
         try:
-            n_postings = p.count()
-            stats = term_stats(p)
-            row = dl.agg(
-                F.count(F.lit(1)).alias("n"), F.sum("doc_len").alias("s")
+            agg = p.agg(
+                F.count(F.lit(1)).alias("np"), F.sum("tf").alias("s")
             ).collect()[0]
-            n_docs, sum_len = int(row["n"]), int(row["s"] or 0)
+            n_postings, sum_len = int(agg["np"]), int(agg["s"] or 0)
+            # n_docs counts EVERY source row (incl. zero-token docs the
+            # posting relation can't see) — a plain row count, no tokenize
+            n_docs = sub.count()
             avg = sum_len / max(1, n_docs)
+            stats = term_stats(p)
             segs = build_segments(
-                p, dl, stats, n_docs, avg, self.cfg.num_buckets, self.cfg.nsalt
+                p, None, stats, n_docs, avg, self.cfg.num_buckets, self.cfg.nsalt
             )
             base = self.cfg.path
-            segs.write.mode("overwrite").partitionBy("bucket").parquet(
-                f"{base}/segments/src_part={part}"
+            # cluster rows by bucket BEFORE the dynamic-partition write:
+            # otherwise every task holds a writer per bucket directory
+            # (tasks x buckets small files + writer memory), which
+            # measured 10x slower at high parallelism; clustered, each
+            # task streams a few whole buckets
+            (
+                segs.repartition(self.cfg.num_buckets, F.col("bucket"))
+                .sortWithinPartitions("bucket", "term", "salt")
+                .write.mode("overwrite")
+                .partitionBy("bucket")
+                .parquet(f"{base}/segments/src_part={part}")
             )
             stats.write.mode("overwrite").parquet(f"{base}/stats/src_part={part}")
             self.spark.createDataFrame(
@@ -107,7 +122,6 @@ class IndexBuilder:
             )
         finally:
             p.unpersist()
-            dl.unpersist()
         return n_docs, n_postings
 
     # -- read side ------------------------------------------------------------
