@@ -403,6 +403,14 @@ def q_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ndcg_at_10(pred, gold)
 
 
+def q_tfidf_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12: per-(query, doc) tf/idf/tf-idf statistical features."""
+    t = _docs_as_transcripts(spark, sf_dir)
+    p = post_ops.build_postings(t)
+    stats = post_ops.term_stats(p)
+    return bm25_ops.tfidf_feature_stats(p, stats, _queries_df(spark))
+
+
 def q_url_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mwmbl_spark.operators.urls import url_tokens
 
@@ -814,6 +822,32 @@ SELECT query_id,
        round(sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) / 10.0, 6) AS proportion_matched
 FROM ideal GROUP BY query_id"""
 
+ORACLE["tfidf_features"] = f"""
+WITH {_POST_SQL},
+{_QTERM_SQL},
+nquirk AS (SELECT max(df)::DOUBLE AS n FROM stats),
+cand AS (
+  SELECT q.query_id, p.doc_id,
+         p.tf::DOUBLE AS tf_d,
+         ln(nq.n / s.df) AS idf,
+         p.tf::DOUBLE * ln(nq.n / s.df) AS tfidf
+  FROM qterm q
+  JOIN post p USING (term)
+  JOIN stats s ON p.term = s.term
+  CROSS JOIN nquirk nq
+)
+SELECT query_id, doc_id,
+       round(max(tf_d), 6) AS max_tf, round(min(tf_d), 6) AS min_tf,
+       round(avg(tf_d), 6) AS mean_tf, round(stddev_pop(tf_d), 6) AS std_tf,
+       round(sum(tf_d), 6) AS sum_tf,
+       round(max(idf), 6) AS max_idf, round(min(idf), 6) AS min_idf,
+       round(avg(idf), 6) AS mean_idf, round(stddev_pop(idf), 6) AS std_idf,
+       round(sum(idf), 6) AS sum_idf,
+       round(max(tfidf), 6) AS max_tf_idf, round(min(tfidf), 6) AS min_tf_idf,
+       round(avg(tfidf), 6) AS mean_tf_idf, round(stddev_pop(tfidf), 6) AS std_tf_idf,
+       round(sum(tfidf), 6) AS sum_tf_idf
+FROM cand GROUP BY query_id, doc_id"""
+
 ORACLE["url_tokens"] = f"""
 WITH {_URL_SQL},
 canon AS (
@@ -906,6 +940,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_pipeline": q_search_pipeline,
         "mmr_rerank": q_mmr_rerank,
         "tfidf_reference": q_tfidf_reference,
+        "tfidf_features": q_tfidf_features,
         "index_terms": q_index_terms,
         "bigrams": q_bigrams,
         "completions": q_completions,

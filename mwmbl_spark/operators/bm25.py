@@ -99,6 +99,39 @@ def bm25_topk(
     )
 
 
+def tfidf_feature_stats(
+    postings: DataFrame,
+    stats: DataFrame,
+    queries: DataFrame,
+) -> DataFrame:
+    """A12: per-(query, doc) statistical features over the matched
+    terms' tf, idf, tf·idf — max/min/mean/std(population)/sum of each
+    (reference get_tf_idf_features, rank.py:81-122; Rust twin
+    mwmbl_rank/src/idf.rs:77-112). idf = ln(N/df) with the reference's
+    N = max(df) quirk. These feed the LTR feature vector at scale as a
+    posting-side alternative to regex match counts.
+    """
+    n_docs_quirk = stats.agg(F.max("df")).collect()[0][0]
+    qt = query_terms(queries)
+    cand = (
+        postings.join(F.broadcast(qt), "term")
+        .join(F.broadcast(stats.select("term", "df")), "term")
+        .withColumn("idf", F.log(F.lit(float(n_docs_quirk)) / F.col("df").cast("double")))
+        .withColumn("tf_d", F.col("tf").cast("double"))
+        .withColumn("tfidf", F.col("tf_d") * F.col("idf"))
+    )
+    aggs = []
+    for name, col in [("tf", "tf_d"), ("idf", "idf"), ("tf_idf", "tfidf")]:
+        aggs += [
+            F.round(F.max(col), 6).alias(f"max_{name}"),
+            F.round(F.min(col), 6).alias(f"min_{name}"),
+            F.round(F.avg(col), 6).alias(f"mean_{name}"),
+            F.round(F.stddev_pop(col), 6).alias(f"std_{name}"),
+            F.round(F.sum(col), 6).alias(f"sum_{name}"),
+        ]
+    return cand.groupBy("query_id", "doc_id").agg(*aggs)
+
+
 def tfidf_reference_scores(
     postings: DataFrame,
     stats: DataFrame,

@@ -214,3 +214,17 @@ def test_score_heuristic_spark_matches_python(spark):
             r["state"], True, dscores,
         )
         assert abs(r["heuristic_score"] - want) < 1e-12, r
+
+
+def test_merge_pages_page_cap(spark, page_dfs):
+    existing, new = page_dfs
+    capped = merge_pages(new, existing, page_cap=2).collect()
+    by_page = {}
+    for r in capped:
+        by_page.setdefault(r["page"], []).append(r["position"])
+    for page, positions in by_page.items():
+        assert len(positions) <= 2
+        assert sorted(positions) == list(range(len(positions)))
+    # the cap keeps the best-first prefix: curated doc survives on page 0
+    page0 = [r for r in capped if r["page"] == 0]
+    assert any(r["title"] == "curated" for r in page0)
