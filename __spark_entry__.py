@@ -79,6 +79,9 @@ def _queries_df(spark: SparkSession) -> DataFrame:
 def _docs_as_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents.parquet reshaped to the input_hint transcript schema
     (text and doc_id preserved — the oracle tokenizes documents.text)."""
+    from mwmbl_spark.shipping import ensure_shipped
+
+    ensure_shipped(spark)  # driver-created sessions: ship the package
     return transcripts_from_documents(spark, sf_dir)
 
 
@@ -929,38 +932,50 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_bm25_topk(spark, "/root/testdata/sf0.001")
 
 
+def _shipped(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
+    """Ship mwmbl_spark to workers before running (cwd-independent)."""
+
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from mwmbl_spark.shipping import ensure_shipped
+
+        ensure_shipped(spark)
+        return fn(spark, sf_dir)
+
+    return wrapped
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        "postings": q_postings,
-        "doc_lengths": q_doc_lengths,
-        "term_stats": q_term_stats,
-        "bm25_topk": q_bm25_topk,
-        "bm25_conjunctive": q_bm25_conjunctive,
-        "wand_topk": q_wand_topk,
-        "search_pipeline": q_search_pipeline,
-        "mmr_rerank": q_mmr_rerank,
-        "tfidf_reference": q_tfidf_reference,
-        "tfidf_features": q_tfidf_features,
-        "index_terms": q_index_terms,
-        "bigrams": q_bigrams,
-        "completions": q_completions,
-        "events_daily": q_events_daily,
-        "distinct_users_daily": q_distinct_users_daily,
-        "dedup_exact": q_dedup_exact,
-        "dedup_minhash": q_dedup_minhash,
-        "simhash": q_simhash,
-        "embedding_topk": q_embedding_topk,
-        "lang_id": q_lang_id,
-        "text_features": q_text_features,
-        "token_stats": q_token_stats,
-        "fingerprint": q_fingerprint,
-        "mm_decode": q_mm_decode,
-        "url_tokens": q_url_tokens,
-        "frontier": q_frontier,
-        "link_graph": q_link_graph,
-        "new_urls": q_new_urls,
-        "url_errors": q_url_errors,
-        "ndcg": q_ndcg,
+        "postings": _shipped(q_postings),
+        "doc_lengths": _shipped(q_doc_lengths),
+        "term_stats": _shipped(q_term_stats),
+        "bm25_topk": _shipped(q_bm25_topk),
+        "bm25_conjunctive": _shipped(q_bm25_conjunctive),
+        "wand_topk": _shipped(q_wand_topk),
+        "search_pipeline": _shipped(q_search_pipeline),
+        "mmr_rerank": _shipped(q_mmr_rerank),
+        "tfidf_reference": _shipped(q_tfidf_reference),
+        "tfidf_features": _shipped(q_tfidf_features),
+        "index_terms": _shipped(q_index_terms),
+        "bigrams": _shipped(q_bigrams),
+        "completions": _shipped(q_completions),
+        "events_daily": _shipped(q_events_daily),
+        "distinct_users_daily": _shipped(q_distinct_users_daily),
+        "dedup_exact": _shipped(q_dedup_exact),
+        "dedup_minhash": _shipped(q_dedup_minhash),
+        "simhash": _shipped(q_simhash),
+        "embedding_topk": _shipped(q_embedding_topk),
+        "lang_id": _shipped(q_lang_id),
+        "text_features": _shipped(q_text_features),
+        "token_stats": _shipped(q_token_stats),
+        "fingerprint": _shipped(q_fingerprint),
+        "mm_decode": _shipped(q_mm_decode),
+        "url_tokens": _shipped(q_url_tokens),
+        "frontier": _shipped(q_frontier),
+        "link_graph": _shipped(q_link_graph),
+        "new_urls": _shipped(q_new_urls),
+        "url_errors": _shipped(q_url_errors),
+        "ndcg": _shipped(q_ndcg),
     }
 
 

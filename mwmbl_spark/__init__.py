@@ -65,4 +65,8 @@ def get_spark(
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    from mwmbl_spark.shipping import ensure_shipped
+
+    ensure_shipped(spark)  # --py-files equivalent for any-cwd workers
+    return spark

@@ -1,0 +1,81 @@
+"""Physical-plan assertions — guard the scale properties, not just the
+results: bucket partition pruning must reach the segment scan, query
+terms must broadcast, per-query top-k must use the map-side window
+limit. A plan regression here is a 100TB performance bug even when
+row-level results stay correct."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from mwmbl_spark.operators.bm25 import bm25_topk
+from mwmbl_spark.operators.postings import (
+    build_postings,
+    corpus_stats,
+    doc_lengths,
+    term_stats,
+)
+from mwmbl_spark.plans.build_index import IndexBuilder, IndexConfig
+from mwmbl_spark.synth import synth_transcripts, with_doc_id
+
+
+def _explain(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    df = with_doc_id(synth_transcripts(spark, n_conv=20, turns_per_conv=4, seed=3))
+    cfg = IndexConfig(
+        path=str(tmp_path_factory.mktemp("idx")), num_buckets=32, nsalt=4,
+        n_src_partitions=1,
+    )
+    b = IndexBuilder(spark, cfg)
+    b.build(df)
+    return df, b
+
+
+def test_segment_scan_prunes_buckets(spark, built):
+    df, b = built
+    q = spark.createDataFrame([(0, "w0001 w0002")], "query_id long, query string")
+    plan = _explain(b.query_topk(q, k=10))
+    # the terms' buckets must appear as a PARTITION filter on the scan
+    assert "PartitionFilters" in plan
+    seg_scan = [blk for blk in plan.split("\n\n") if "segments" in blk and "PartitionFilters" in blk]
+    assert seg_scan, plan
+    assert any("bucket" in blk and " IN " in blk for blk in seg_scan), seg_scan[0]
+    # committed-partition (manifest) pruning also at partition level
+    assert any("src_part" in blk for blk in seg_scan)
+
+
+def test_bm25_broadcasts_query_side(spark, built):
+    df, b = built
+    p = build_postings(df)
+    dl = doc_lengths(df)
+    stats = term_stats(p)
+    cs = corpus_stats(dl)
+    q = spark.createDataFrame([(0, "w0001 w0002")], "query_id long, query string")
+    plan = _explain(bm25_topk(p, dl, stats, q, cs.n_docs, cs.avg_doc_len, k=10))
+    assert "BroadcastHashJoin" in plan
+    # per-query top-k pushes a group limit below the final window sort
+    assert "WindowGroupLimit" in plan
+
+
+def test_postings_scan_prunes_columns(spark, built):
+    df, b = built
+    df.write.mode("overwrite").parquet(f"{b.cfg.path}/_plan_probe")
+    scan = spark.read.parquet(f"{b.cfg.path}/_plan_probe")
+    plan = _explain(build_postings(scan))
+    probe = [blk for blk in plan.split("\n\n") if "_plan_probe" in blk]
+    assert probe
+    # only doc_id + text read, not role/tool/ts/conv_id
+    assert "ReadSchema: struct<text:string,doc_id:bigint>" in probe[0] or (
+        "text" in probe[0] and "role" not in probe[0].split("ReadSchema")[1]
+    ), probe[0]
