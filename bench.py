@@ -45,8 +45,13 @@ def main() -> None:
 
     def timed(name, fn):
         t0 = time.perf_counter()
-        fn()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        try:
+            fn()
+            timings[name] = round(time.perf_counter() - t0, 4)
+        except Exception as e:  # noqa: BLE001 — one bad query must not
+            # kill the whole benchmark record
+            print(f"BENCH ERROR {name}: {e}", file=sys.stderr)
+            timings[name] = -1.0
 
     # one source partition at this data size: the per-partition commit
     # loop is for resume granularity over big Iceberg partitions, not for
@@ -83,7 +88,8 @@ def main() -> None:
     timed("q6_text_features", lambda: entrymod.q_text_features(spark, sf_dir).count())
     timed("q7_events_daily", lambda: entrymod.q_events_daily(spark, sf_dir).count())
 
-    total = round(sum(timings.values()), 4)
+    build_s = timings.get("q1_index_build", -1.0)
+    total = round(sum(v for v in timings.values() if v > 0), 4)
     print(
         json.dumps(
             {
@@ -93,7 +99,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "n_docs": n_docs,
-                "build_turns_per_sec": round(n_docs / timings["q1_index_build"], 2),
+                "build_turns_per_sec": round(n_docs / build_s, 2) if build_s > 0 else -1.0,
                 "cpus": cpus,
             }
         )
