@@ -25,6 +25,7 @@ Commit protocol (idempotent, crash-safe):
 
 from __future__ import annotations
 
+import os
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -68,18 +69,36 @@ def commit_partition(
     n_postings: int,
     wall_ms: int,
 ) -> None:
-    row = [(src_partition, STATUS_INDEXED, n_docs, n_postings, wall_ms)]
-    (
-        spark.createDataFrame(
-            row,
-            "src_partition string, status string, n_docs long, "
-            "n_postings long, wall_ms long",
-        )
-        .withColumn("committed_at", F.current_timestamp())
-        .coalesce(1)
-        .write.mode("append")
-        .parquet(manifest_path(index_path))
+    """Append one manifest row as a uniquely-named parquet file written
+    driver-side (pyarrow): a single metadata row does not warrant a
+    Spark job (measured ~4 s of pure job overhead), and a unique-file
+    append is atomic on a filesystem and maps to an Iceberg append on a
+    real cluster."""
+    import uuid
+    from datetime import datetime, timezone
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = manifest_path(index_path)
+    os.makedirs(path, exist_ok=True)
+    table = pa.table(
+        {
+            "src_partition": pa.array([src_partition], pa.string()),
+            "status": pa.array([STATUS_INDEXED], pa.string()),
+            "n_docs": pa.array([n_docs], pa.int64()),
+            "n_postings": pa.array([n_postings], pa.int64()),
+            "wall_ms": pa.array([wall_ms], pa.int64()),
+            "committed_at": pa.array(
+                [datetime.now(timezone.utc).replace(tzinfo=None)],
+                pa.timestamp("us"),
+            ),
+        }
     )
+    tmp = os.path.join(path, f".tmp-{uuid.uuid4().hex}.parquet")
+    final = os.path.join(path, f"commit-{uuid.uuid4().hex}.parquet")
+    pq.write_table(table, tmp)
+    os.rename(tmp, final)  # atomic publish
 
 
 def pending_partitions(

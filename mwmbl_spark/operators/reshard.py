@@ -104,9 +104,9 @@ def reshard(spark, old_builder, new_cfg) -> "IndexBuilder":  # noqa: F821
             .parquet(f"{base}/segments/src_part={part}")
         )
         stats.write.mode("overwrite").parquet(f"{base}/stats/src_part={part}")
-        spark.createDataFrame(
-            [(n_docs, sum_len)], "n_docs long, sum_len long"
-        ).coalesce(1).write.mode("overwrite").parquet(f"{base}/doc_stats/src_part={part}")
+        from mwmbl_spark.plans.build_index import _write_doc_stats
+
+        _write_doc_stats(f"{base}/doc_stats/src_part={part}", n_docs, sum_len)
         n_postings = postings.count()
     finally:
         decoded.unpersist()

@@ -39,6 +39,28 @@ from mwmbl_spark.operators.segments import DEFAULT_NSALT, build_segments
 from mwmbl_spark.operators.wand import wand_topk
 
 
+def _write_doc_stats(path: str, n_docs: int, sum_len: int) -> None:
+    """Driver-side single-row parquet write (a Spark job for one row of
+    driver-known values costs ~4 s of pure overhead)."""
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "n_docs": pa.array([n_docs], pa.int64()),
+                "sum_len": pa.array([sum_len], pa.int64()),
+            }
+        ),
+        os.path.join(path, "part-0.parquet"),
+    )
+
+
 @dataclass
 class IndexConfig:
     path: str
@@ -115,11 +137,7 @@ class IndexBuilder:
                 .parquet(f"{base}/segments/src_part={part}")
             )
             stats.write.mode("overwrite").parquet(f"{base}/stats/src_part={part}")
-            self.spark.createDataFrame(
-                [(n_docs, sum_len)], "n_docs long, sum_len long"
-            ).coalesce(1).write.mode("overwrite").parquet(
-                f"{base}/doc_stats/src_part={part}"
-            )
+            _write_doc_stats(f"{base}/doc_stats/src_part={part}", n_docs, sum_len)
         finally:
             p.unpersist()
         return n_docs, n_postings
