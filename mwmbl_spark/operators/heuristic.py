@@ -105,6 +105,7 @@ def get_features_py(
     score,
     is_complete: bool,
     domain_scores: dict[str, float] | None = None,
+    wiki_scores: dict[str, float] | None = None,
 ) -> dict[str, float]:
     assert terms and url is not None and title is not None and extract is not None
     parsed = urlparse(url)
@@ -132,12 +133,27 @@ def get_features_py(
     feats["domain_score"] = _domain_score(domain, domain_scores)
     feats["path_length"] = len(path)
     feats["domain_length"] = len(domain)
+    feats["wiki_score"] = get_wiki_score_py(url, wiki_scores)
     feats["item_score"] = score
     feats["match_terms"] = max(
         feats[f"match_terms_{n}"]
         for n in ["title", "extract", "domain", "domain_tokenized", "path"]
     )
     return feats
+
+
+def get_wiki_score_py(url: str, wiki_scores: dict[str, float] | None = None) -> float:
+    """Wikipedia popularity prior [rank.py:204-206]: last path segment is
+    the article title, looked up in a (title -> score) table normalized
+    by the max score. Like the domain prior, the table is injected data
+    (reference ships resources/wiki_stats.json); absent table -> 0.0."""
+    if not wiki_scores:
+        return 0.0
+    title = url.split("/")[-1]
+    max_score = max(wiki_scores.values())
+    if max_score <= 0:
+        return 0.0
+    return wiki_scores.get(title, 0.0) / max_score
 
 
 def _domain_score(domain: str, domain_scores: dict[str, float] | None) -> float:
@@ -217,11 +233,16 @@ def order_results_py(
 def score_heuristic(
     candidates: DataFrame,
     domain_scores: dict[str, float] | None = None,
-    is_complete: bool = True,
+    is_complete: bool | None = True,
     score_col: str = "heuristic_score",
 ) -> DataFrame:
     """Add the heuristic score to a candidate DataFrame with columns
     (terms array<string>, title, url, extract, score, state).
+
+    ``is_complete``: a scalar applies one flag to every row; ``None``
+    reads the row's own ``is_complete`` column — the reference passes
+    each query's flag (q.endswith(' ')) into order_results, so an
+    incomplete query's last term is prefix-matched (rank.py:280-283).
 
     Arrow-batched mapInPandas; ``domain_scores`` (small dim) rides the
     closure — the broadcast-join analogue of rank.py's DOMAINS dict.
@@ -236,6 +257,10 @@ def score_heuristic(
     def score_batches(batches):
         for pdf in batches:
             pdf = pdf.copy()
+            flags = (
+                pdf["is_complete"] if is_complete is None
+                else [is_complete] * len(pdf)
+            )
             pdf[score_col] = [
                 score_result_py(
                     list(terms),
@@ -244,12 +269,12 @@ def score_heuristic(
                     extract or "",
                     score,
                     int(state) if state is not None and not pd.isna(state) else None,
-                    is_complete,
+                    bool(flag),
                     domain_scores,
                 )
-                for terms, title, url, extract, score, state in zip(
+                for terms, title, url, extract, score, state, flag in zip(
                     pdf["terms"], pdf["title"], pdf["url"], pdf["extract"],
-                    pdf["score"], pdf["state"],
+                    pdf["score"], pdf["state"], flags,
                 )
             ]
             yield pdf[cols + [score_col]]

@@ -135,13 +135,30 @@ def merge_pages(
     user_ids, last_crawled) with an ``is_existing`` flag added here.
     Output adds ``position`` — the final storage order within the page
     (the reference's implicit rank-truncation order).
+
+    Order determinism: the reference's combine semantics are
+    order-sensitive (stable tie-order in sort_documents, round-robin of
+    "already ordered" existing docs, first-wins dedup), but group rows
+    arrive in arbitrary post-shuffle order. Existing docs are therefore
+    consumed in ``position`` order (the output of a previous merge —
+    the reference reads pages back in stored order), and new docs in
+    ``position`` order when the caller provides one, else a
+    deterministic (url, title, term) order. Re-merging a merged page is
+    reproducible and matches the sequential twin.
     """
-    tagged_new = new_docs.selectExpr("page", *DOC_COLS).withColumn(
-        "is_existing", F.lit(False)
-    )
-    tagged_old = existing_docs.selectExpr("page", *DOC_COLS).withColumn(
-        "is_existing", F.lit(True)
-    )
+
+    def _with_pos(df: DataFrame, is_existing: bool) -> DataFrame:
+        pos = (
+            F.col("position").cast("int")
+            if "position" in df.columns
+            else F.lit(None).cast("int")
+        )
+        return df.select("page", *DOC_COLS, pos.alias("position")).withColumn(
+            "is_existing", F.lit(is_existing)
+        )
+
+    tagged_new = _with_pos(new_docs, False)
+    tagged_old = _with_pos(existing_docs, True)
     both = tagged_new.unionByName(tagged_old)
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -159,8 +176,24 @@ def merge_pages(
                 "last_crawled": int(r.last_crawled) if r.last_crawled is not None and not pd.isna(r.last_crawled) else None,
             }
 
-        new = [row_to_doc(r) for r in pdf[~pdf["is_existing"]].itertuples()]
-        old = [row_to_doc(r) for r in pdf[pdf["is_existing"]].itertuples()]
+        def sort_key(r):
+            pos_missing = r.position is None or pd.isna(r.position)
+            return (
+                0 if not pos_missing else 1,
+                int(r.position) if not pos_missing else 0,
+                r.url or "",
+                r.title or "",
+                r.term or "",
+            )
+
+        new = [
+            row_to_doc(r)
+            for r in sorted(pdf[~pdf["is_existing"]].itertuples(), key=sort_key)
+        ]
+        old = [
+            row_to_doc(r)
+            for r in sorted(pdf[pdf["is_existing"]].itertuples(), key=sort_key)
+        ]
         combined = combine_documents_py(
             old, new, mark_synced, default_ranker(domain_scores)
         )

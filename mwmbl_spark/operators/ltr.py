@@ -39,13 +39,15 @@ PER_FIELD = [
 ]
 GLOBALS = [
     "num_terms", "num_chars", "domain_score", "path_length",
-    "domain_length", "item_score", "match_terms",
+    "domain_length", "wiki_score", "item_score", "match_terms",
 ]
 FEATURE_NAMES = [p.format(f) for f in FIELDS for p in PER_FIELD] + GLOBALS
+NUM_FEATURES = len(FEATURE_NAMES)  # 50, asserted against features.rs:80
+assert NUM_FEATURES == 50
 
 
-def featurize_py(terms, title, url, extract, score, is_complete, domain_scores=None) -> list[float]:
-    feats = get_features_py(terms, title or "", url, extract or "", score or 0.0, is_complete, domain_scores)
+def featurize_py(terms, title, url, extract, score, is_complete, domain_scores=None, wiki_scores=None) -> list[float]:
+    feats = get_features_py(terms, title or "", url, extract or "", score or 0.0, is_complete, domain_scores, wiki_scores)
     return [float(feats[name]) for name in FEATURE_NAMES]
 
 
@@ -77,6 +79,7 @@ def ltr_rank(
     candidates: DataFrame,
     model: Callable[[np.ndarray], np.ndarray] = logistic_baseline,
     domain_scores: dict[str, float] | None = None,
+    wiki_scores: dict[str, float] | None = None,
     is_complete: bool = True,
     k: int | None = None,
 ) -> DataFrame:
@@ -93,7 +96,7 @@ def ltr_rank(
             if len(pdf):
                 x = np.array(
                     [
-                        featurize_py(list(t), ti, u, e, s, is_complete, domain_scores)
+                        featurize_py(list(t), ti, u, e, s, is_complete, domain_scores, wiki_scores)
                         for t, ti, u, e, s in zip(
                             pdf["terms"], pdf["title"], pdf["url"], pdf["extract"], pdf["score"]
                         )

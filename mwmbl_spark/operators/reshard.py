@@ -87,10 +87,12 @@ def reshard(spark, old_builder, new_cfg) -> "IndexBuilder":  # noqa: F821
         stats = postings.groupBy("term").agg(
             F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf")
         )
-        row = doc_lens.agg(
-            F.count(F.lit(1)).alias("n"), F.sum("doc_len").alias("s")
-        ).collect()[0]
-        n_docs, sum_len = int(row["n"]), int(row["s"] or 0)
+        # n_docs/sum_len carry over from the OLD index's doc_stats, not
+        # re-derived from decoded postings: the posting relation can't
+        # see zero-token docs, and the original build counted every
+        # source row — re-deriving would shift BM25's N/avgdl after a
+        # reshard of a corpus containing empty docs.
+        n_docs, sum_len = old_builder.doc_totals()
         avg = sum_len / max(1, n_docs)
         segs = build_segments(
             postings, doc_lens, stats, n_docs, avg, new_cfg.num_buckets, new_cfg.nsalt

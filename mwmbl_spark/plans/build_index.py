@@ -153,6 +153,21 @@ class IndexBuilder:
         # only committed partitions are visible (crash-orphans filtered)
         return segs.where(F.col("src_part").cast("string").isin([str(d) for d in done]))
 
+    def doc_totals(self) -> tuple[int, int]:
+        """(n_docs, sum_len) over committed partitions — includes
+        zero-token docs the posting relation can't see."""
+        from mwmbl_spark.manifest import committed_partitions
+
+        done = [str(d) for d in committed_partitions(self.spark, self.cfg.path)]
+        ds = (
+            self.spark.read.option("basePath", f"{self.cfg.path}/doc_stats")
+            .parquet(f"{self.cfg.path}/doc_stats")
+            .where(F.col("src_part").cast("string").isin(done))
+            .agg(F.sum("n_docs").alias("n"), F.sum("sum_len").alias("s"))
+            .collect()[0]
+        )
+        return int(ds["n"] or 0), int(ds["s"] or 0)
+
     def global_stats(self) -> tuple[DataFrame, int, float]:
         from mwmbl_spark.manifest import committed_partitions
 
@@ -164,15 +179,8 @@ class IndexBuilder:
             .groupBy("term")
             .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
         )
-        ds = (
-            self.spark.read.option("basePath", f"{self.cfg.path}/doc_stats")
-            .parquet(f"{self.cfg.path}/doc_stats")
-            .where(F.col("src_part").cast("string").isin(done))
-            .agg(F.sum("n_docs").alias("n"), F.sum("sum_len").alias("s"))
-            .collect()[0]
-        )
-        n_docs = int(ds["n"] or 0)
-        avg_len = (int(ds["s"] or 0)) / max(1, n_docs)
+        n_docs, sum_len = self.doc_totals()
+        avg_len = sum_len / max(1, n_docs)
         return stats, n_docs, avg_len
 
     def query_topk(

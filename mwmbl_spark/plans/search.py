@@ -107,12 +107,11 @@ def search(
         .join(docs.select(*DOC_COLS), "doc_id")
         .join(qmeta.select("query_id", "terms", "is_complete"), "query_id")
     )
-    # scoring with the original query terms (is_complete=True matches
-    # the reference's behavior for its heuristic at serve time when the
-    # query ends with a space; we score per-row with the row's own flag
-    # folded in by scoring complete — the incomplete-prefix regex only
-    # affects the LAST term, which the scorer handles via `terms`)
-    scored = score_heuristic(candidates, domain_scores, is_complete=True)
+    # scoring with the original query terms and the QUERY'S OWN
+    # is_complete flag (rank.py:280-283 passes q.endswith(' ') into
+    # order_results): an incomplete query's last term is prefix-matched
+    # (no trailing \b), so a partially typed term still earns match credit
+    scored = score_heuristic(candidates, domain_scores, is_complete=None)
     kept = scored.where(
         (F.col("heuristic_score") > score_threshold)
         | F.col("state").isin(list(CURATED_STATES))
@@ -123,14 +122,17 @@ def search(
     )
     ranked = kept.withColumn("prelim_rank", F.row_number().over(w))
 
-    # query-side dedup: first occurrence by url, then by title, in rank order
-    w_url = Window.partitionBy("query_id", "url").orderBy("prelim_rank")
+    # query-side dedup, SEQUENTIAL like the reference: title dedup first
+    # (deduplicate() inside get_results, rank.py:209-215) over ALL ranked
+    # rows, THEN url dedup (search(), rank.py:252-257) over the title
+    # survivors — a row dropped by title dedup must not consume a URL slot
     w_title = Window.partitionBy("query_id", "title").orderBy("prelim_rank")
+    w_url = Window.partitionBy("query_id", "url").orderBy("prelim_rank")
     deduped = (
-        ranked.withColumn("_ru", F.row_number().over(w_url))
-        .where(F.col("_ru") == 1)
-        .withColumn("_rt", F.row_number().over(w_title))
+        ranked.withColumn("_rt", F.row_number().over(w_title))
         .where(F.col("_rt") == 1)
+        .withColumn("_ru", F.row_number().over(w_url))
+        .where(F.col("_ru") == 1)
     )
     w_final = Window.partitionBy("query_id").orderBy("prelim_rank")
     topk = (

@@ -53,23 +53,34 @@ def search_py(
     scored = []
     for doc_id in cand_ids:
         d = by_id[doc_id]
+        # the query's OWN is_complete flag (rank.py:280-283): an
+        # incomplete query's last term is prefix-matched by the scorer
         s = score_result_py(
             terms, d.get("title") or "", d["url"], d.get("extract") or "",
-            d.get("score"), d.get("state"), True, domain_scores,
+            d.get("score"), d.get("state"), is_complete, domain_scores,
         )
         curated = d.get("state") in CURATED_STATES
         if s > score_threshold or curated:
             scored.append((int(not curated), -s, doc_id, d))
     scored.sort()
 
-    seen_urls: set = set()
+    # SEQUENTIAL dedup like the reference: title pass over the full
+    # ranked list (get_results -> deduplicate, rank.py:209-215), THEN
+    # url pass over the title survivors (search, rank.py:252-257).
     seen_titles: set = set()
-    out = []
+    title_deduped = []
     for _, _, _, d in scored:
-        if d["url"] in seen_urls or d.get("title") in seen_titles:
+        if d.get("title") in seen_titles:
+            continue
+        seen_titles.add(d.get("title"))
+        title_deduped.append(d)
+
+    seen_urls: set = set()
+    out = []
+    for d in title_deduped:
+        if d["url"] in seen_urls:
             continue
         seen_urls.add(d["url"])
-        seen_titles.add(d.get("title"))
         out.append(d)
         if len(out) == k:
             break

@@ -5,6 +5,7 @@ Spark-vs-Python-twin parity."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from mwmbl_spark.operators.heuristic import (
     get_match_features_py,
@@ -214,6 +215,41 @@ def test_score_heuristic_spark_matches_python(spark):
             r["state"], True, dscores,
         )
         assert abs(r["heuristic_score"] - want) < 1e-12, r
+
+
+def test_merge_pages_remerge_is_order_deterministic(spark, page_dfs):
+    """Re-merging a previously merged page consumes existing docs in
+    stored ``position`` order (reference pages are read back in stored
+    order), so merge -> re-merge is reproducible under any shuffle."""
+    existing, new = page_dfs
+    first = merge_pages(new, existing)
+    empty_new = spark.createDataFrame(
+        [],
+        "page long, title string, url string, extract string, score double, "
+        "term string, state int, user_ids array<int>, last_crawled long",
+    )
+    # shuffle the merged rows' order; position must drive consumption
+    shuffled = first.orderBy(F.rand(42))
+    got = sorted(
+        (r["page"], r["position"], r["url"])
+        for r in merge_pages(empty_new, shuffled).collect()
+    )
+    # re-merge keeps exactly the same docs per page (re-rank may reorder)
+    def by_page(rows):
+        out: dict[int, set[str]] = {}
+        for page, _, url in rows:
+            out.setdefault(page, set()).add(url)
+        return out
+
+    want = sorted((r["page"], r["position"], r["url"]) for r in first.collect())
+    assert by_page(got) == by_page(want)
+    # and the re-merge is exactly reproducible under a different shuffle
+    reshuffled = first.orderBy(F.rand(7))
+    got2 = sorted(
+        (r["page"], r["position"], r["url"])
+        for r in merge_pages(empty_new, reshuffled).collect()
+    )
+    assert got2 == got
 
 
 def test_merge_pages_page_cap(spark, page_dfs):

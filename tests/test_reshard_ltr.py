@@ -44,7 +44,7 @@ def test_reshard_preserves_query_results(spark, tmp_path):
 
 
 def test_feature_vector_is_50_wide():
-    assert len(FEATURE_NAMES) == 49  # 7 fields x 6 + 7 globals
+    assert len(FEATURE_NAMES) == 50  # 7 fields x 6 + 8 globals (features.rs:80)
     v = featurize_py(["spark"], "Spark guide", "https://x.com/spark", "about spark", 1.0, True)
     assert len(v) == len(FEATURE_NAMES)
     assert all(isinstance(x, float) for x in v)
