@@ -23,7 +23,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from mwmbl_spark.functions.codec import delta_decode, vb_decode
+from mwmbl_spark.functions.codec import delta_decode_blocked, vb_decode
+from mwmbl_spark.operators.segments import BLOCK_SIZE
 
 
 DECODED_SCHEMA = "term string, doc_id long, tf long, doc_len long"
@@ -37,7 +38,7 @@ def decode_segments(segs: DataFrame) -> DataFrame:
         for pdf in it:
             terms, ids, tfs, lens = [], [], [], []
             for r in pdf.itertuples():
-                d_ids = delta_decode(r.doc_ids).astype(np.int64)
+                d_ids = delta_decode_blocked(r.doc_ids, BLOCK_SIZE).astype(np.int64)
                 terms.append(np.repeat(r.term, len(d_ids)))
                 ids.append(d_ids)
                 tfs.append(vb_decode(r.tfs).astype(np.int64))

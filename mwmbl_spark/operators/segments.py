@@ -5,9 +5,10 @@ one page per ``hash(term) % N``, docs stored best-first and truncated
 to fit (/root/reference/mwmbl/tinysearchengine/indexer.py:128-176,
 219-221). The Spark-native analogue is a bucketed segment table:
 
-    segments(bucket, term, salt, n_postings, max_partial,
-             block_maxes array<double>, doc_ids binary, tfs binary,
-             doc_lens binary)
+    segments(bucket, term, salt, n_postings, avg_len_build,
+             max_tfn, block_maxes array<double>, block_last array<long>,
+             boffs_ids/boffs_tfs/boffs_lens array<int>,
+             doc_ids binary, tfs binary, doc_lens binary)
 
 - ``bucket  = pmod(xxhash64(term), NUM_BUCKETS)`` — partition column;
   query-time scans prune to the buckets of the query's terms (the
@@ -18,15 +19,22 @@ to fit (/root/reference/mwmbl/tinysearchengine/indexer.py:128-176,
   reference's per-domain caps redis_url_queue.py:31-34), and because
   the doc->salt mapping is term-independent, per-salt top-k is exact:
   each doc's full score lives in exactly one salt partition.
-- postings are sorted by doc_id and delta+varbyte compressed
-  (functions/codec.py); tf and doc_len ride along varbyte-encoded.
-- ``max_partial`` / ``block_maxes`` (blocks of 128 postings) store the
-  segment/block upper bound of the BM25 term contribution at build
-  time — the block-max metadata driving dynamic pruning at query time
-  (operators/wand.py).
+- postings are sorted by doc_id and compressed with BLOCKED
+  delta+varbyte (functions/codec.py): the delta chain restarts every
+  BLOCK_SIZE postings and ``boffs_*`` store each block's byte offset,
+  so the query kernel decodes ONLY the blocks it touches. ``block_last``
+  (last doc_id per block) locates a candidate's block by binary search
+  without any decode.
+- ``max_tfn`` / ``block_maxes`` store the segment/block maximum of the
+  idf-FREE BM25 tf-normalization component
+  tfn = tf·(k1+1)/(tf + k1·(1-b+b·dl/avgdl_build)); the query-time
+  upper bound is idf_query · tfn_max · max(1, avgdl_query/avgdl_build)
+  — exact idf from current stats, and provably conservative under
+  corpus growth (see operators/wand.py for the proof), so stored
+  bounds never go stale. ``avg_len_build`` rides along per segment.
 
-Everything heavy is a DataFrame op; the encode kernel is an
-Arrow-batched ``applyInPandas`` with vectorized NumPy inside.
+Everything heavy is a DataFrame op; the encode kernel is a single
+Arrow-batched struct-returning pandas UDF with vectorized NumPy inside.
 """
 
 from __future__ import annotations
@@ -36,17 +44,38 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import BinaryType
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
 
 from mwmbl_spark import BM25_B, BM25_K1, DEFAULT_NUM_BUCKETS
-from mwmbl_spark.functions.codec import delta_encode, vb_encode
+from mwmbl_spark.functions.codec import delta_encode_blocked, vb_encode_blocked
 
 DEFAULT_NSALT = 8
 BLOCK_SIZE = 128
 
 SEGMENT_SCHEMA = (
-    "bucket int, term string, salt int, n_postings long, max_partial double, "
-    "block_maxes array<double>, doc_ids binary, tfs binary, doc_lens binary"
+    "bucket int, term string, salt int, n_postings long, avg_len_build double, "
+    "max_tfn double, block_maxes array<double>, block_last array<long>, "
+    "boffs_ids array<int>, boffs_tfs array<int>, boffs_lens array<int>, "
+    "doc_ids binary, tfs binary, doc_lens binary"
+)
+
+_ENC_SCHEMA = StructType(
+    [
+        StructField("doc_ids", BinaryType()),
+        StructField("tfs", BinaryType()),
+        StructField("doc_lens", BinaryType()),
+        StructField("block_last", ArrayType(LongType())),
+        StructField("boffs_ids", ArrayType(IntegerType())),
+        StructField("boffs_tfs", ArrayType(IntegerType())),
+        StructField("boffs_lens", ArrayType(IntegerType())),
+    ]
 )
 
 
@@ -58,16 +87,29 @@ def salt_of(doc_col, nsalt: int = DEFAULT_NSALT):
     return F.pmod(F.xxhash64(doc_col), F.lit(nsalt)).cast("int")
 
 
-@pandas_udf(BinaryType())
-def _delta_vb_pd(ids: pd.Series) -> pd.Series:
-    """delta+varbyte encode per row (row = one segment's sorted doc_id
-    array); Arrow hands each element as a NumPy array."""
-    return ids.map(lambda a: delta_encode(np.asarray(a, dtype=np.uint64)))
-
-
-@pandas_udf(BinaryType())
-def _vb_pd(vals: pd.Series) -> pd.Series:
-    return vals.map(lambda a: vb_encode(np.asarray(a, dtype=np.uint64)))
+@pandas_udf(_ENC_SCHEMA)
+def _encode_pd(ids: pd.Series, tfs: pd.Series, lens: pd.Series) -> pd.DataFrame:
+    """Blocked delta+varbyte encode per row (row = one segment's sorted
+    posting arrays); Arrow hands each element as a NumPy array. One UDF
+    call per ~10k segments, NumPy inside — never per-row Python."""
+    out = {k.name: [] for k in _ENC_SCHEMA.fields}
+    for a_ids, a_tfs, a_lens in zip(ids, tfs, lens):
+        v_ids = np.asarray(a_ids, dtype=np.uint64)
+        d_ids, o_ids = delta_encode_blocked(v_ids, BLOCK_SIZE)
+        d_tfs, o_tfs = vb_encode_blocked(np.asarray(a_tfs, dtype=np.uint64), BLOCK_SIZE)
+        d_lens, o_lens = vb_encode_blocked(np.asarray(a_lens, dtype=np.uint64), BLOCK_SIZE)
+        n = v_ids.size
+        last_idx = np.minimum(
+            np.arange(BLOCK_SIZE - 1, n + BLOCK_SIZE - 1, BLOCK_SIZE), n - 1
+        )
+        out["doc_ids"].append(d_ids)
+        out["tfs"].append(d_tfs)
+        out["doc_lens"].append(d_lens)
+        out["block_last"].append(v_ids[last_idx].astype(np.int64))
+        out["boffs_ids"].append(o_ids.astype(np.int32))
+        out["boffs_tfs"].append(o_tfs.astype(np.int32))
+        out["boffs_lens"].append(o_lens.astype(np.int32))
+    return pd.DataFrame(out)
 
 
 def build_segments(
@@ -84,65 +126,75 @@ def build_segments(
     When postings already carry ``doc_len``
     (postings.build_postings_with_len) pass ``doc_lens=None`` and the
     doc_id join is skipped entirely. Shuffle profile then: one broadcast
-    (stats), one groupBy(term, salt) collect. Hot terms split across
-    NSALT groups, so no reducer sees more than ~df(term)/NSALT postings.
+    (stats... unused beyond pass-through), one groupBy(term, salt)
+    collect. Hot terms split across NSALT groups, so no reducer sees
+    more than ~df(term)/NSALT postings.
 
-    The per-segment assembly (sort by doc_id, per-posting BM25 partial,
-    block maxima) is ALL JVM column expressions — sort_array over
+    The per-segment assembly (sort by doc_id, per-posting tfn, block
+    maxima) is ALL JVM column expressions — sort_array over
     collect_list'ed structs, transform/slice/array_max for block-max.
-    Python appears only in the Arrow-batched varbyte codec UDFs (one
-    call per ~10k segments, NumPy inside), not per group — the earlier
-    applyInPandas version paid ~1ms pandas overhead per (term, salt)
-    group, which dominated the build at high group counts.
+    Python appears only in the Arrow-batched blocked-varbyte codec UDF.
+
+    tfn is stored idf-free: idf changes as the corpus grows, tfn's only
+    corpus dependency is avgdl — captured by ``avg_len_build``, so the
+    query-time bound correction is a single multiply (wand.py).
     """
     k1, b = BM25_K1, BM25_B
-    idf = F.log(
-        (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
-    )
     tf_d = F.col("tf").cast("double")
-    partial = (
-        idf * tf_d * (k1 + 1.0)
-        / (tf_d + k1 * (1.0 - b + b * F.col("doc_len").cast("double") / F.lit(float(avg_len))))
+    # EXACT float-expression twin of the kernel's NumPy computation
+    # (same association order -> bitwise-identical doubles)
+    tfn = (tf_d * (k1 + 1.0)) / (
+        tf_d + k1 * (1.0 - b + b * F.col("doc_len").cast("double") / F.lit(float(avg_len)))
     )
     with_len = postings if doc_lens is None else postings.join(doc_lens, "doc_id")
-    enriched = (
-        with_len
-        .join(F.broadcast(stats.select("term", "df")), "term")
-        .select(
-            "term",
-            "doc_id",
-            "tf",
-            "doc_len",
-            salt_of(F.col("doc_id"), nsalt).alias("salt"),
-            partial.alias("partial"),
-        )
+    enriched = with_len.select(
+        "term",
+        "doc_id",
+        "tf",
+        "doc_len",
+        salt_of(F.col("doc_id"), nsalt).alias("salt"),
+        tfn.alias("tfn"),
     )
     grouped = enriched.groupBy("term", "salt").agg(
         F.sort_array(
-            F.collect_list(F.struct("doc_id", "tf", "doc_len", "partial"))
+            F.collect_list(F.struct("doc_id", "tf", "doc_len", "tfn"))
         ).alias("posts"),
         F.count(F.lit(1)).alias("n_postings"),
-        F.max("partial").alias("max_partial"),
+        F.max("tfn").alias("max_tfn"),
     )
     n_blocks = F.ceil(F.col("n_postings") / BLOCK_SIZE).cast("int")
+    enc = _encode_pd(
+        F.transform("posts", lambda p: p["doc_id"]),
+        F.transform("posts", lambda p: p["tf"]),
+        F.transform("posts", lambda p: p["doc_len"]),
+    )
     return grouped.select(
         bucket_of(F.col("term"), num_buckets).alias("bucket"),
         "term",
         "salt",
         "n_postings",
-        "max_partial",
+        F.lit(float(avg_len)).alias("avg_len_build"),
+        "max_tfn",
         F.transform(
             F.sequence(F.lit(0), n_blocks - 1),
             lambda blk: F.array_max(
                 F.transform(
                     F.slice(F.col("posts"), blk * BLOCK_SIZE + 1, BLOCK_SIZE),
-                    lambda p: p["partial"],
+                    lambda p: p["tfn"],
                 )
             ),
         ).alias("block_maxes"),
-        _delta_vb_pd(F.transform("posts", lambda p: p["doc_id"])).alias("doc_ids"),
-        _vb_pd(F.transform("posts", lambda p: p["tf"])).alias("tfs"),
-        _vb_pd(F.transform("posts", lambda p: p["doc_len"])).alias("doc_lens"),
+        enc.alias("enc"),
+    ).select(
+        "bucket", "term", "salt", "n_postings", "avg_len_build", "max_tfn",
+        "block_maxes",
+        F.col("enc.block_last").alias("block_last"),
+        F.col("enc.boffs_ids").alias("boffs_ids"),
+        F.col("enc.boffs_tfs").alias("boffs_tfs"),
+        F.col("enc.boffs_lens").alias("boffs_lens"),
+        F.col("enc.doc_ids").alias("doc_ids"),
+        F.col("enc.tfs").alias("tfs"),
+        F.col("enc.doc_lens").alias("doc_lens"),
     )
 
 

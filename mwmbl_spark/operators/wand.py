@@ -1,4 +1,4 @@
-"""Segment-reading top-k with dynamic pruning (block-max / MaxScore).
+"""Segment-reading top-k with dynamic pruning (block-max MaxScore).
 
 Query plan over the segment table (operators/segments.py):
 
@@ -12,22 +12,40 @@ Exactness: ``salt`` is a term-independent partition of the doc space,
 so each doc's complete score is computed in exactly one (query, salt)
 group; the global top-k of the union of local top-ks is the true top-k.
 
-The kernel is vectorized MaxScore (Turtle & Flood '95 family) with the
-segments' max_partial/block_maxes as the upper bounds:
+The kernel is vectorized MaxScore (Turtle & Flood '95) driving the
+STORED block-max metadata — no decode happens for a posting list until
+the bounds say it must:
 
-  1. Sort the query's term lists by max_partial descending.
-  2. Seed candidates from the highest-impact list(s); compute their FULL
-     scores by vectorized gather (np.searchsorted) against every list.
-  3. theta = k-th best full score. Lists whose ascending cumulative
-     max_partial <= theta are non-essential: a doc appearing ONLY in
-     them cannot enter the top-k, so their doc unions are never
-     expanded (their postings are still gathered for candidate docs —
-     scores stay exact).
-  4. Expand candidates to the union of essential lists; final gather;
-     top-k with doc_id tiebreak.
+  1. Per segment row, a decode-free upper bound:
+         ub = idf_query · max_tfn_stored · max(1, avgdl_q / avgdl_build)
+     PROOF the bound survives corpus growth: with r = avgdl_b/avgdl_q,
+     tfn_q = tf(k1+1)/(tf + k1(1-b) + r·k1·b·dl/avgdl_b). If r >= 1
+     (avgdl shrank) the denominator only grows -> tfn_q <= tfn_b. If
+     r < 1, denominator >= r·(tf + k1(1-b) + k1·b·dl/avgdl_b) since
+     r·(tf+k1(1-b)) <= tf+k1(1-b), so tfn_q <= tfn_b/r =
+     tfn_b·avgdl_q/avgdl_b. Hence tfn_q <= tfn_b·max(1, avgdl_q/avgdl_b)
+     for every posting, and idf_query is exact (current df/N from the
+     stats table). A 1e-9 relative inflation absorbs float rounding.
+  2. Seed exact top-k from the SHORTEST list: decode it fully, score
+     its docs against every list via BLOCK-level gather (binary-search
+     block_last, decode only touched blocks). theta = k-th best score.
+  3. Essential lists = those whose descending-ub suffix sum reaches
+     theta; ONLY those are fully decoded. A doc appearing solely in
+     non-essential lists scores at most the suffix bound < theta.
+  4. Candidates = union of essential docs. Pre-filter: essential
+     partial score + per-candidate BLOCK bound of each non-essential
+     list (idf·block_max·growth for the block the doc would land in);
+     candidates whose optimistic total < theta are dropped before any
+     further decode. Survivors get exact non-essential contributions
+     by block gather. Ties at theta are kept (doc_id tiebreak safety).
 
-Per-row Python never touches postings: decode, gather, and scoring are
-NumPy over the Arrow batch.
+Scores in the output are always EXACT (query-time idf/avgdl over
+decoded tf/doc_len); bounds only ever skip work. Per-row Python never
+touches postings: decode, gather, scoring are NumPy over Arrow batches.
+
+``make_kernel(..., stats_sink=dict)`` records decode counters
+(blocks_decoded / blocks_total / rows_full / rows_total / rows_untouched)
+when the kernel is driven directly in tests.
 """
 
 from __future__ import annotations
@@ -38,46 +56,74 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from mwmbl_spark import BM25_B, BM25_K1
-from mwmbl_spark.functions.codec import delta_decode, vb_decode
+from mwmbl_spark.functions.codec import slice_block, vb_decode
 from mwmbl_spark.operators.bm25 import query_terms
 from mwmbl_spark.operators.segments import prune_segments
 
 KERNEL_OUT_SCHEMA = "query_id long, doc_id long, score double, matched int"
 
-
-def _gather(cand: np.ndarray, ids: np.ndarray, partial: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """For candidate doc ids, return (score contribution, matched flag)."""
-    idx = np.searchsorted(ids, cand)
-    idx_c = np.minimum(idx, len(ids) - 1)
-    hit = ids[idx_c] == cand
-    contrib = np.where(hit, partial[idx_c], 0.0)
-    return contrib, hit
+_UB_SLACK = 1.0 + 1e-9  # absorbs float-rounding between stored and live tfn
 
 
-def make_kernel(n_docs: int, avg_len: float, k: int, mode: str = "disjunctive"):
+class _List:
+    """One segment row: decode-free bounds + lazily decoded blocks."""
+
+    __slots__ = (
+        "term", "idf", "ub", "growth", "n_postings", "n_blocks",
+        "block_last", "block_maxes", "o_ids", "o_tfs", "o_lens",
+        "d_ids", "d_tfs", "d_lens", "blocks", "full_ids", "full_partial",
+    )
+
+    def __init__(self, row, idf: float, avg_len_q: float):
+        self.term = row.term
+        self.idf = idf
+        self.growth = max(1.0, avg_len_q / float(row.avg_len_build))
+        self.ub = idf * float(row.max_tfn) * self.growth * _UB_SLACK
+        self.n_postings = int(row.n_postings)
+        self.block_last = np.asarray(row.block_last, dtype=np.uint64)
+        self.block_maxes = np.asarray(row.block_maxes, dtype=np.float64)
+        self.n_blocks = len(self.block_last)
+        self.o_ids = np.asarray(row.boffs_ids, dtype=np.int64)
+        self.o_tfs = np.asarray(row.boffs_tfs, dtype=np.int64)
+        self.o_lens = np.asarray(row.boffs_lens, dtype=np.int64)
+        self.d_ids, self.d_tfs, self.d_lens = row.doc_ids, row.tfs, row.doc_lens
+        self.blocks: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        self.full_ids: np.ndarray | None = None
+        self.full_partial: np.ndarray | None = None
+
+
+def _partial(idf: float, tf: np.ndarray, dl: np.ndarray, avg_len: float) -> np.ndarray:
+    """Exact per-posting BM25 contribution; tfn association order matches
+    the build expression (segments.py) bit for bit."""
+    tfn = (tf * (BM25_K1 + 1.0)) / (
+        tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avg_len)
+    )
+    return idf * tfn
+
+
+def make_kernel(
+    n_docs: int,
+    avg_len: float,
+    k: int,
+    mode: str = "disjunctive",
+    stats_sink: dict | None = None,
+):
     n_docs_f, avg_len_f = float(n_docs), float(avg_len)
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         query_id = int(pdf["query_id"].iloc[0])
         n_terms = int(pdf["n_terms"].iloc[0])
-        # decode every list of this (query, salt) group
-        lists = []
-        for _, row in pdf.iterrows():
-            ids = delta_decode(row["doc_ids"])
-            if ids.size == 0:
-                continue
-            tf = vb_decode(row["tfs"]).astype(np.float64)
-            dlen = vb_decode(row["doc_lens"]).astype(np.float64)
-            df_val = float(row["df"])
+        ctr = {"blocks_decoded": 0, "blocks_total": 0, "rows_full": 0,
+               "rows_total": 0, "rows_untouched": 0}
+
+        lists: list[_List] = []
+        for row in pdf.itertuples():
+            df_val = float(row.df)
             idf = np.log((n_docs_f - df_val + 0.5) / (df_val + 0.5) + 1.0)
-            denom = tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dlen / avg_len_f)
-            partial = idf * tf * (BM25_K1 + 1.0) / denom
-            # Upper bound recomputed from the decoded postings with the
-            # QUERY-TIME idf: the stored max_partial/block_maxes were
-            # computed with build-time df and go stale as the corpus
-            # grows incrementally; exact bounds keep pruning safe.
-            lists.append((float(partial.max()), ids, partial))
-        if not lists:
+            if row.n_postings and len(row.block_last):
+                lists.append(_List(row, float(idf), avg_len_f))
+
+        def empty() -> pd.DataFrame:
             return pd.DataFrame(
                 {
                     "query_id": pd.Series([], dtype="int64"),
@@ -86,59 +132,184 @@ def make_kernel(n_docs: int, avg_len: float, k: int, mode: str = "disjunctive"):
                     "matched": pd.Series([], dtype="int64"),
                 }
             )
-        lists.sort(key=lambda t: -t[0])
-        maxes = np.array([t[0] for t in lists])
 
-        def full_scores(cand: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        def _finish(result: pd.DataFrame) -> pd.DataFrame:
+            if stats_sink is not None:
+                ctr["blocks_total"] = sum(lst.n_blocks for lst in lists)
+                ctr["rows_total"] = len(lists)
+                ctr["rows_untouched"] = sum(
+                    1 for lst in lists if lst.full_ids is None and not lst.blocks
+                )
+                for key, val in ctr.items():
+                    stats_sink[key] = stats_sink.get(key, 0) + val
+            return result
+
+        if not lists:
+            return _finish(empty())
+
+        # --- decode machinery -------------------------------------------------
+        def decode_blk(lst: _List, blk: int) -> tuple[np.ndarray, np.ndarray]:
+            got = lst.blocks.get(blk)
+            if got is not None:
+                return got
+            gaps = vb_decode(slice_block(lst.d_ids, lst.o_ids, blk))
+            ids = np.cumsum(gaps, dtype=np.uint64)
+            tf = vb_decode(slice_block(lst.d_tfs, lst.o_tfs, blk)).astype(np.float64)
+            dl = vb_decode(slice_block(lst.d_lens, lst.o_lens, blk)).astype(np.float64)
+            got = (ids, _partial(lst.idf, tf, dl, avg_len_f))
+            lst.blocks[blk] = got
+            ctr["blocks_decoded"] += 1
+            return got
+
+        def full_decode(lst: _List) -> None:
+            if lst.full_ids is not None:
+                return
+            parts = [decode_blk(lst, blk) for blk in range(lst.n_blocks)]
+            lst.full_ids = np.concatenate([p[0] for p in parts])
+            lst.full_partial = np.concatenate([p[1] for p in parts])
+            ctr["rows_full"] += 1
+
+        def gather(lst: _List, cand: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+            """Exact (contribution, hit) of this list for candidate docs,
+            decoding only the blocks that could contain them."""
+            contrib = np.zeros(len(cand))
+            hit = np.zeros(len(cand), dtype=bool)
+            if lst.full_ids is not None:
+                ids, partial = lst.full_ids, lst.full_partial
+                idx = np.minimum(np.searchsorted(ids, cand), len(ids) - 1)
+                h = ids[idx] == cand
+                contrib[h] = partial[idx[h]]
+                return contrib, h
+            blk = np.searchsorted(lst.block_last, cand)
+            valid = blk < lst.n_blocks
+            for b_ix in np.unique(blk[valid]):
+                ids, partial = decode_blk(lst, int(b_ix))
+                sel = valid & (blk == b_ix)
+                idx = np.minimum(np.searchsorted(ids, cand[sel]), len(ids) - 1)
+                h = ids[idx] == cand[sel]
+                c = np.zeros(int(sel.sum()))
+                c[h] = partial[idx[h]]
+                contrib[sel] = c
+                hit[sel] = h
+            return contrib, hit
+
+        def score_all(cand: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
             scores = np.zeros(len(cand))
             matched = np.zeros(len(cand), dtype=np.int64)
-            for _, ids, partial in lists:
-                contrib, hit = _gather(cand, ids, partial)
+            for lst in lists:
+                contrib, h = gather(lst, cand)
                 scores += contrib
-                matched += hit
+                matched += h
             return scores, matched
 
-        # Phase 1: seed candidates from the top list, establish theta.
-        seed = lists[0][1]
-        s_scores, _ = full_scores(seed)
-        if len(s_scores) >= k:
-            theta = np.partition(s_scores, -k)[-k]
-        else:
-            theta = -np.inf
-        # Phase 2: essential lists = those that could lift a doc past theta.
-        # ascending cumulative bound: docs only in lists[j..] score at most
-        # suffix_sum(maxes[j:]). Prune list j as a candidate SOURCE if that
-        # bound <= theta (disjunctive exact). For conjunctive/majority,
-        # pruning by score bound is unsafe for the filter, so expand all.
-        if mode == "disjunctive" and np.isfinite(theta):
-            # >= not >: a pruned doc could tie theta exactly and win the
-            # doc_id tiebreak — keep lists whose bound reaches theta.
-            suffix = np.cumsum(maxes[::-1])[::-1]
-            essential = [lst for j, lst in enumerate(lists) if suffix[j] >= theta]
-            if not essential:
-                essential = lists[:1]
-        else:
-            essential = lists
-        cand = np.unique(np.concatenate([ids for _, ids, _ in essential]))
-        scores, matched = full_scores(cand)
-        if mode == "conjunctive":
-            keep = matched == n_terms
-            cand, scores, matched = cand[keep], scores[keep], matched[keep]
-        elif mode == "majority":
-            keep = matched * 2 > n_terms
-            cand, scores, matched = cand[keep], scores[keep], matched[keep]
-        if len(cand) > k:
-            # top-k with (score desc, doc_id asc) tiebreak
-            order = np.lexsort((cand, -scores))[:k]
-        else:
+        def block_bound(lst: _List, cand: np.ndarray) -> np.ndarray:
+            """Optimistic per-candidate contribution without decode: the
+            block-max of the block each candidate would land in."""
+            blk = np.searchsorted(lst.block_last, cand)
+            valid = blk < lst.n_blocks
+            out = np.zeros(len(cand))
+            out[valid] = (
+                lst.idf * lst.block_maxes[blk[valid]] * lst.growth * _UB_SLACK
+            )
+            return out
+
+        def topk_frame(cand, scores, matched) -> pd.DataFrame:
             order = np.lexsort((cand, -scores))
-        return pd.DataFrame(
-            {
-                "query_id": query_id,
-                "doc_id": cand[order].astype(np.int64),
-                "score": scores[order],
-                "matched": matched[order],
-            }
+            if len(order) > k:
+                order = order[:k]
+            return pd.DataFrame(
+                {
+                    "query_id": query_id,
+                    "doc_id": cand[order].astype(np.int64),
+                    "score": scores[order],
+                    "matched": matched[order],
+                }
+            )
+
+        # --- conjunctive: candidates ⊆ docs of the smallest term --------------
+        if mode in ("conjunctive", "majority"):
+            if mode == "conjunctive" and n_terms > 1:
+                by_term: dict[str, list[_List]] = {}
+                for lst in lists:
+                    by_term.setdefault(lst.term, []).append(lst)
+                # salt partitions DOC space: a doc of this salt matches
+                # term t iff (t, doc) is in THIS group. A query term with
+                # no list here -> no doc of this salt matches all terms.
+                if len(by_term) < n_terms:
+                    return _finish(empty())
+                smallest = min(
+                    by_term.values(), key=lambda ls: sum(x.n_postings for x in ls)
+                )
+                for lst in smallest:
+                    full_decode(lst)
+                cand = np.unique(np.concatenate([x.full_ids for x in smallest]))
+            else:
+                for lst in lists:
+                    full_decode(lst)
+                cand = np.unique(np.concatenate([x.full_ids for x in lists]))
+            scores, matched = score_all(cand)
+            keep = (
+                matched == n_terms if mode == "conjunctive" else matched * 2 > n_terms
+            )
+            return _finish(topk_frame(cand[keep], scores[keep], matched[keep]))
+
+        # --- disjunctive MaxScore ---------------------------------------------
+        lists.sort(key=lambda lst: -lst.ub)
+        ubs = np.array([lst.ub for lst in lists])
+        suffix = np.cumsum(ubs[::-1])[::-1]
+
+        # Phase 1: seed theta from the SHORTEST list (cheapest exact top-k)
+        seed_list = min(lists, key=lambda lst: lst.n_postings)
+        full_decode(seed_list)
+        seed = seed_list.full_ids
+        seed_scores, seed_matched = score_all(seed)
+        theta = (
+            float(np.partition(seed_scores, -k)[-k])
+            if len(seed_scores) >= k
+            else -np.inf
+        )
+
+        # Phase 2: essential lists (ubs desc; suffix >= theta keeps ties —
+        # a pruned doc tying theta could win the doc_id tiebreak)
+        if np.isfinite(theta):
+            ess = [lst for j, lst in enumerate(lists) if suffix[j] >= theta]
+            if not ess:
+                ess = lists[:1]
+        else:
+            ess = lists
+        noness = [lst for lst in lists if lst not in ess]
+        for lst in ess:
+            full_decode(lst)
+        cand = np.unique(np.concatenate([lst.full_ids for lst in ess]))
+
+        # Phase 3: essential partials + block-bound prefilter
+        ess_scores = np.zeros(len(cand))
+        ess_matched = np.zeros(len(cand), dtype=np.int64)
+        for lst in ess:
+            contrib, h = gather(lst, cand)
+            ess_scores += contrib
+            ess_matched += h
+        if noness and np.isfinite(theta):
+            opt = ess_scores.copy()
+            for lst in noness:
+                opt += block_bound(lst, cand)
+            keep = opt >= theta
+            cand, ess_scores, ess_matched = cand[keep], ess_scores[keep], ess_matched[keep]
+
+        # Phase 4: exact non-essential contributions for survivors
+        scores, matched = ess_scores, ess_matched
+        for lst in noness:
+            contrib, h = gather(lst, cand)
+            scores = scores + contrib
+            matched = matched + h
+
+        # merge with seed (duplicates carry identical exact scores)
+        all_ids = np.concatenate([seed, cand])
+        all_scores = np.concatenate([seed_scores, scores])
+        all_matched = np.concatenate([seed_matched, matched])
+        uniq_ids, first = np.unique(all_ids, return_index=True)
+        return _finish(
+            topk_frame(uniq_ids, all_scores[first], all_matched[first])
         )
 
     return kernel

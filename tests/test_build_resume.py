@@ -6,7 +6,8 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from mwmbl_spark.functions.codec import delta_decode
+from mwmbl_spark.functions.codec import delta_decode_blocked
+from mwmbl_spark.operators.segments import BLOCK_SIZE
 from mwmbl_spark.manifest import committed_partitions, read_manifest
 from mwmbl_spark.plans.build_index import IndexBuilder, IndexConfig
 from mwmbl_spark.synth import synth_transcripts, with_doc_id
@@ -65,7 +66,7 @@ def test_no_duplicate_postings_after_resume(spark, corpus, tmp_path):
     bld.build(df)
     seen = set()
     for row in bld.segments().collect():
-        for d in delta_decode(row["doc_ids"]):
+        for d in delta_decode_blocked(row["doc_ids"], BLOCK_SIZE):
             key = (row["term"], int(d))
             assert key not in seen, f"duplicate posting {key}"
             seen.add(key)

@@ -7,6 +7,11 @@ from hypothesis import given, settings
 from hypothesis import strategies as st
 
 from mwmbl_spark.functions.codec import (
+    decode_block,
+    delta_decode_blocked,
+    delta_encode_blocked,
+    slice_block,
+    vb_encode_blocked,
     delta_decode,
     delta_encode,
     vb_decode,
@@ -57,3 +62,36 @@ def test_vb_roundtrip_property(vals):
 def test_delta_roundtrip_property(vals):
     arr = np.sort(np.array(vals, dtype=np.uint64))
     assert np.array_equal(delta_decode(delta_encode(arr)), arr)
+
+
+# --- blocked codec (block-addressable streams for WAND skip decode) ----------
+
+def test_delta_encode_blocked_roundtrip_and_block_independence():
+    rng = np.random.default_rng(3)
+    ids = np.unique(rng.integers(0, 10**9, size=1000).astype(np.uint64))
+    for bs in (4, 128, 7):
+        data, offs = delta_encode_blocked(ids, bs)
+        assert np.array_equal(delta_decode_blocked(data, bs), ids)
+        n_blocks = (len(ids) + bs - 1) // bs
+        assert len(offs) == n_blocks
+        # every block decodes standalone from its byte slice
+        for b in range(n_blocks):
+            want = ids[b * bs:(b + 1) * bs]
+            assert np.array_equal(decode_block(data, offs, b), want), (bs, b)
+
+
+def test_vb_encode_blocked_offsets_slice_blocks():
+    rng = np.random.default_rng(4)
+    vals = rng.integers(0, 2**40, size=300).astype(np.uint64)
+    bs = 64
+    data, offs = vb_encode_blocked(vals, bs)
+    assert np.array_equal(vb_decode(data), vals)
+    for b in range((len(vals) + bs - 1) // bs):
+        got = vb_decode(slice_block(data, offs, b))
+        assert np.array_equal(got, vals[b * bs:(b + 1) * bs])
+
+
+def test_blocked_empty():
+    data, offs = delta_encode_blocked(np.empty(0, dtype=np.uint64), 128)
+    assert data == b"" and len(offs) == 0
+    assert delta_decode_blocked(b"", 128).size == 0

@@ -6,7 +6,8 @@ from __future__ import annotations
 import numpy as np
 import pytest
 
-from mwmbl_spark.functions.codec import delta_decode, vb_decode
+from mwmbl_spark.functions.codec import delta_decode_blocked, vb_decode
+from mwmbl_spark.operators.segments import BLOCK_SIZE
 from mwmbl_spark.operators.bm25 import bm25_topk
 from mwmbl_spark.operators.postings import (
     build_postings,
@@ -48,12 +49,17 @@ def test_segment_roundtrip_postings(built):
     want = {(r["term"], r["doc_id"]): r["tf"] for r in p.collect()}
     got = {}
     for row in segs.collect():
-        ids = delta_decode(row["doc_ids"])
+        ids = delta_decode_blocked(row["doc_ids"], BLOCK_SIZE)
         tfs = vb_decode(row["tfs"])
         lens = vb_decode(row["doc_lens"])
         assert len(ids) == len(tfs) == len(lens) == row["n_postings"]
         assert np.all(np.diff(ids.astype(np.int64)) > 0)  # strictly sorted
-        assert len(row["block_maxes"]) == (len(ids) + 127) // 128
+        n_blocks = (len(ids) + BLOCK_SIZE - 1) // BLOCK_SIZE
+        assert len(row["block_maxes"]) == n_blocks
+        assert len(row["block_last"]) == n_blocks
+        assert len(row["boffs_ids"]) == len(row["boffs_tfs"]) == n_blocks
+        # block_last mirrors the decoded block boundaries
+        assert row["block_last"][-1] == int(ids[-1])
         for d, t in zip(ids, tfs):
             got[(row["term"], int(d))] = int(t)
     assert got == want
@@ -64,7 +70,7 @@ def test_salt_partitions_doc_space(built):
     p, dl, stats, cs, segs, oracle, qdf = built
     seen: dict[int, int] = {}
     for row in segs.collect():
-        for d in delta_decode(row["doc_ids"]):
+        for d in delta_decode_blocked(row["doc_ids"], BLOCK_SIZE):
             d = int(d)
             assert seen.setdefault(d, row["salt"]) == row["salt"]
 
