@@ -32,6 +32,41 @@ N_MINHASHES = 8
 N_BANDS = 4  # 2 hashes per band
 SHINGLE_N = 3
 
+# Band-bucket frequency cap: a band key shared by B docs contributes
+# B*(B-1)/2 candidate pairs, so ONE degenerate key (boilerplate-heavy
+# corpora: empty pages, cookie banners, license stubs) turns the banded
+# self-join quadratic. Keys above the cap are dropped WHOLE (no
+# sampling -> deterministic, oracle-safe as long as the cap exceeds
+# every fixture bucket). 1000 bounds any single bucket at ~500k pairs;
+# near-dups that lose a degenerate band usually still collide on
+# another, and truly boilerplate-identical docs belong to exact dedup.
+DEFAULT_BAND_CAP = 1000
+
+
+def cap_bands(bands: DataFrame, band_cap: int | None) -> DataFrame:
+    """Drop (doc_id, band_key) rows whose key exceeds ``band_cap``
+    members. One window shuffle on band_key — the same partitioning the
+    candidate self-join needs anyway. Use ``band_skew_report`` to see
+    what a cap WOULD drop (no silent truncation: callers log it)."""
+    if band_cap is None:
+        return bands
+    w = Window.partitionBy("band_key")
+    return (
+        bands.withColumn("_bcnt", F.count(F.lit(1)).over(w))
+        .where(F.col("_bcnt") <= band_cap)
+        .drop("_bcnt")
+    )
+
+
+def band_skew_report(bands: DataFrame, band_cap: int) -> DataFrame:
+    """(band_key, n_docs) for every over-cap bucket — the monitoring
+    side of ``cap_bands`` (run it on a sample before choosing the cap)."""
+    return (
+        bands.groupBy("band_key")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") > band_cap)
+    )
+
 
 def hash60(col: Column) -> Column:
     """60-bit integer from the md5 hex prefix — identical in DuckDB via
@@ -109,6 +144,7 @@ def minhash_signatures(
 def minhash_candidates(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     n_hashes: int = N_MINHASHES, n_bands: int = N_BANDS,
+    band_cap: int | None = DEFAULT_BAND_CAP,
 ) -> DataFrame:
     """LSH candidate pairs (doc_a < doc_b) sharing at least one band."""
     rows_per_band = n_hashes // n_bands
@@ -128,6 +164,7 @@ def minhash_candidates(
             )
         ).alias("band_key"),
     )
+    bands = cap_bands(bands, band_cap)
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -181,9 +218,10 @@ def jaccard_pairs(
 def minhash_near_duplicates(
     docs: DataFrame, threshold: float = 0.5,
     text_col: str = "text", id_col: str = "doc_id",
+    band_cap: int | None = DEFAULT_BAND_CAP,
 ) -> DataFrame:
-    """Full pipeline: LSH candidates -> size filter -> exact Jaccard >=
-    threshold.
+    """Full pipeline: LSH candidates -> band-frequency cap -> size
+    filter -> exact Jaccard >= threshold.
 
     ``shingle_rows`` feeds four plan branches (signatures, sizes, both
     sides of the intersection join); ``localCheckpoint(eager=False)``
@@ -208,6 +246,7 @@ def minhash_near_duplicates(
             )
         ).alias("band_key"),
     )
+    bands = cap_bands(bands, band_cap)
     a, b = bands.alias("a"), bands.alias("b")
     cands = (
         a.join(b, "band_key")
@@ -265,9 +304,11 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
 def simhash_near_duplicates(
     docs: DataFrame, max_hamming: int = 8,
     text_col: str = "text", id_col: str = "doc_id",
+    band_cap: int | None = DEFAULT_BAND_CAP,
 ) -> DataFrame:
     """Banded simhash join: 4 bands of 15 bits; pairs sharing >= 1 band
-    are candidates, kept when Hamming(sig_a, sig_b) <= max_hamming."""
+    are candidates, kept when Hamming(sig_a, sig_b) <= max_hamming.
+    ``band_cap`` drops degenerate 15-bit bands (see cap_bands)."""
     sigs = simhash(docs, text_col, id_col)
     bands = sigs.select(
         "doc_id",
@@ -285,6 +326,7 @@ def simhash_near_duplicates(
             )
         ).alias("band_key"),
     )
+    bands = cap_bands(bands, band_cap)
     a, b = bands.alias("a"), bands.alias("b")
     pairs = (
         a.join(b, "band_key")
