@@ -381,6 +381,70 @@ urls AS (
 )"""
 
 
+_CURATION_TERMS = ["spark data", "fast query", "merge sort", "key value"]
+# (query, rank, doc_id, state): 7/8/9 curated, None un-approve, 3 demote
+_CURATION_EDITS = [
+    ("spark data", 0, 4, 7),
+    ("spark data", 1, 68, None),
+    ("spark data", 2, 12, 8),
+    ("fast query", 0, 1, 9),
+    ("fast query", 1, 5, 3),
+]
+_N_CUR_PAGES = 8
+
+
+def _curation_fixtures(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Deterministic page store + curation edits derived from documents
+    (both engines state the identical derivation)."""
+    from mwmbl_spark.operators.curation import default_page_expr
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.org/"),
+        F.col("lang"), F.lit("/doc_"), F.col("doc_id").cast("string"),
+    )
+    term = F.element_at(
+        F.array(*[F.lit(t) for t in _CURATION_TERMS]),
+        (F.col("doc_id") % 4 + 1).cast("int"),
+    )
+    base = docs.select(
+        "doc_id",
+        term.alias("term"),
+        F.concat(F.lit("Doc "), F.col("doc_id").cast("string")).alias("title"),
+        url.alias("url"),
+        F.col("text").alias("extract"),
+        F.lit(1.0).alias("score"),
+        F.when(F.col("doc_id") % 17 == 0, F.lit(2)).cast("int").alias("state"),
+    ).withColumn("page", default_page_expr(F.col("term"), _N_CUR_PAGES))
+    w = Window.partitionBy("page").orderBy("doc_id")
+    pages = base.select(
+        "page", (F.row_number().over(w) - 1).cast("int").alias("position"),
+        "title", "url", "extract", "score", "term", "state",
+    )
+    edits = spark.createDataFrame(
+        [(q, r, d, s) for q, r, d, s in _CURATION_EDITS],
+        "query string, rank long, doc_id long, state int",
+    )
+    curations = edits.join(base.select("doc_id", "url"), "doc_id").select(
+        "query", "rank",
+        F.concat(F.lit("Curated "), F.col("doc_id").cast("string")).alias("title"),
+        "url", F.lit("curated extract").alias("extract"), "state",
+    )
+    return pages, curations
+
+
+def q_curation_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation write path (views.py:385-418 _save_to_index analogue):
+    curated docs pinned onto their term page in edited order with
+    MAX_CURATED_SCORE - rank, survivors keep stored order and take
+    edited states (including null un-approves); untouched pages pass
+    through."""
+    from mwmbl_spark.operators.curation import apply_curation
+
+    pages, curations = _curation_fixtures(spark, sf_dir)
+    return apply_curation(pages, curations, _N_CUR_PAGES)
+
+
 def q_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rankeval: NDCG@10 + proportion matched of BM25 top-10 against a
     gold ranking built from the reference tf-idf scorer."""
@@ -914,6 +978,70 @@ SELECT doc_id,
             ELSE 40 END AS url_status
 FROM documents WHERE doc_id % 5 != 0"""
 
+_CUR_EDIT_VALUES = ", ".join(
+    f"('{q}', {r}, {d}, {'NULL' if s is None else s})" for q, r, d, s in _CURATION_EDITS
+)
+
+ORACLE["curation_apply"] = f"""
+WITH terms4(i, term) AS (VALUES (0, 'spark data'), (1, 'fast query'),
+                                (2, 'merge sort'), (3, 'key value')),
+base AS (
+  SELECT d.doc_id, t.term,
+         ('0x' || substr(md5(t.term), 1, 15))::BIGINT % {_N_CUR_PAGES} AS page,
+         'Doc ' || d.doc_id::VARCHAR AS title,
+         'https://' || d.source || '.example.org/' || d.lang || '/doc_' || d.doc_id::VARCHAR AS url,
+         d.text AS extract, 1.0 AS score,
+         CASE WHEN d.doc_id % 17 = 0 THEN 2 ELSE NULL END AS state
+  FROM documents d JOIN terms4 t ON t.i = d.doc_id % 4
+),
+pages AS (
+  SELECT page,
+         (row_number() OVER (PARTITION BY page ORDER BY doc_id) - 1)::INT AS position,
+         title, url, extract, score, term, state
+  FROM base
+),
+cur AS (
+  SELECT c.term, c.rank,
+         ('0x' || substr(md5(c.term), 1, 15))::BIGINT % {_N_CUR_PAGES} AS page,
+         'Curated ' || b.doc_id::VARCHAR AS title, b.url,
+         'curated extract' AS extract, c.state
+  FROM (VALUES {_CUR_EDIT_VALUES}) AS c(term, rank, doc_id, state)
+  JOIN base b USING (doc_id)
+),
+curated AS (
+  SELECT page, rank, title, url, extract, 1111111.0 - rank AS score, term, state
+  FROM cur WHERE state IS NOT NULL AND state >= 7
+),
+updates AS (SELECT page, url, max(state) AS new_state FROM cur GROUP BY page, url),
+touched AS (SELECT DISTINCT page FROM cur),
+survivors AS (
+  SELECT p.page, p.position, p.title, p.url, p.extract, p.score, p.term,
+         CASE WHEN up.url IS NOT NULL THEN up.new_state ELSE p.state END AS state
+  FROM pages p
+  JOIN touched tp ON p.page = tp.page
+  LEFT JOIN updates up ON p.page = up.page AND p.url = up.url
+  WHERE NOT EXISTS (SELECT 1 FROM curated c WHERE c.page = p.page AND c.url = p.url)
+),
+merged AS (
+  SELECT page, title, url, extract, score, term, state,
+         0 AS is_new, rank AS ord1, NULL::BIGINT AS ord2 FROM curated
+  UNION ALL
+  SELECT page, title, url, extract, score, term, state,
+         1, NULL, position FROM survivors
+),
+rewritten AS (
+  SELECT page,
+         (row_number() OVER (PARTITION BY page
+            ORDER BY is_new, ord1 ASC NULLS LAST, ord2 ASC NULLS LAST, term, url)
+          - 1)::INT AS position,
+         title, url, extract, score, term, state
+  FROM merged
+)
+SELECT page, position, title, url, extract, score, term, state
+FROM pages p WHERE NOT EXISTS (SELECT 1 FROM touched t WHERE t.page = p.page)
+UNION ALL
+SELECT page, position, title, url, extract, score, term, state FROM rewritten"""
+
 ORACLE["mm_decode"] = """
 SELECT doc_id,
        octet_length(encode(text)) AS n_bytes,
@@ -976,6 +1104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "new_urls": _shipped(q_new_urls),
         "url_errors": _shipped(q_url_errors),
         "ndcg": _shipped(q_ndcg),
+        "curation_apply": _shipped(q_curation_apply),
     }
 
 
