@@ -155,15 +155,9 @@ def q_wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_search_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full mwmbl-style search lifecycle (expansion -> P5-term retrieval
-    -> heuristic scoring -> curation/dedup) over documents dressed as
-    web docs. Heuristic regex scoring is not SQL-expressible -> rows-only
-    driver check; rank identity is pytest-gated vs the single-node twin
-    (tests/test_search_pipeline.py)."""
-    from mwmbl_spark.plans.search import search
-
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+def _web_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents dressed as web docs (title/url/extract/score/state)."""
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id",
         F.concat(F.lit("Doc "), F.col("doc_id").cast("string")).alias("title"),
         F.concat(
@@ -174,7 +168,41 @@ def q_search_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1.0).alias("score"),
         F.lit(None).cast("int").alias("state"),
     )
-    return search(spark, docs, _queries_df(spark), k=10)
+
+
+def q_search_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full mwmbl-style search lifecycle (expansion -> P5-term retrieval
+    -> heuristic scoring -> curation/dedup) over documents dressed as
+    web docs. The heuristic regex scorer is not SQL-expressible, so the
+    oracle is the deterministic single-node twin (oracle/search.py,
+    pure CPython — the same scoring function the Spark kernel runs)
+    embedded as literal rows; retrieval/dedup/pinning additionally get a
+    real SQL oracle via `search_candidates`."""
+    from mwmbl_spark.plans.search import search
+
+    return search(spark, _web_docs(spark, sf_dir), _queries_df(spark), k=10)
+
+
+def q_search_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval half of the search pipeline, fully SQL-expressible:
+    P5 document index terms over title/url/extract, query expansion
+    (terms ∪ bigrams ∪ top-3 last-term-prefix completions), distinct
+    (query_id, doc_id) candidate set [plans/search.py:98-108]."""
+    from mwmbl_spark.plans.search import (
+        build_term_index,
+        expanded_terms,
+        query_meta,
+        term_counts,
+    )
+
+    docs = _web_docs(spark, sf_dir)
+    index = build_term_index(docs)
+    retrieval = expanded_terms(query_meta(_queries_df(spark)), term_counts(index))
+    return (
+        index.join(F.broadcast(retrieval), "term")
+        .select("query_id", "doc_id")
+        .distinct()
+    )
 
 
 def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -978,6 +1006,158 @@ SELECT doc_id,
             ELSE 40 END AS url_status
 FROM documents WHERE doc_id % 5 != 0"""
 
+ORACLE["search_candidates"] = f"""
+WITH docs AS (
+  SELECT doc_id,
+         'Doc ' || doc_id::VARCHAR AS title,
+         'https://' || source || '.example.org/' || lang || '/doc_' || doc_id::VARCHAR AS url,
+         text AS extract
+  FROM documents
+),
+fields AS (
+  SELECT doc_id, title AS val FROM docs
+  UNION ALL
+  SELECT doc_id,
+         replace(replace(replace(regexp_replace(url, '^https?://', ''),
+                 '/', ' '), '.', ' '), '_', ' ')
+  FROM docs
+  UNION ALL
+  SELECT doc_id, extract FROM docs
+),
+ftoks AS (
+  SELECT doc_id,
+         CASE WHEN val LIKE '%…' THEN t0[1:greatest(0, len(t0)-2)] ELSE t0 END AS toks
+  FROM (SELECT doc_id, val,
+               list_filter(string_split_regex(lower(trim(val)), '\\s+'),
+                           x -> x <> '') AS t0
+        FROM fields)
+),
+dterms AS (
+  SELECT DISTINCT doc_id, t.term
+  FROM (
+    SELECT doc_id,
+           list_concat(toks[1:10],
+             list_transform(range(1, greatest(0, least(10, len(toks)-1)) + 1),
+                            i -> toks[i] || ' ' || toks[i+1])) AS terms
+    FROM ftoks
+  ), unnest(terms) AS t(term)
+  WHERE t.term <> ''
+),
+counts AS (SELECT term, count(*) AS cnt FROM dterms GROUP BY term),
+queries(query_id, query) AS (VALUES {_QUERY_VALUES}),
+qtok AS (
+  SELECT query_id, query,
+         list_filter(string_split_regex(lower(trim(query)), '\\s+'),
+                     x -> x <> '') AS toks
+  FROM queries
+),
+qbase AS (
+  SELECT DISTINCT query_id, t.term
+  FROM (SELECT query_id,
+               list_concat(toks,
+                 list_transform(range(1, len(toks)),
+                                i -> toks[i] || ' ' || toks[i+1])) AS terms
+        FROM qtok), unnest(terms) AS t(term)
+),
+lastp AS (
+  SELECT query_id, toks[len(toks)] AS prefix
+  FROM qtok WHERE query NOT LIKE '% ' AND len(toks) > 0
+),
+compl AS (
+  SELECT query_id, term FROM (
+    SELECT l.query_id, c.term,
+           row_number() OVER (PARTITION BY l.query_id
+                              ORDER BY c.cnt DESC, c.term) AS rnk
+    FROM counts c JOIN lastp l ON starts_with(c.term, l.prefix)
+  ) WHERE rnk <= 3
+),
+expanded AS (
+  SELECT DISTINCT query_id, term
+  FROM (SELECT query_id, term FROM qbase
+        UNION ALL SELECT query_id, term FROM compl)
+)
+SELECT DISTINCT e.query_id, d.doc_id
+FROM expanded e JOIN dterms d USING (term)"""
+
+
+_TWIN_CACHE: dict[str, str] | None = None
+
+
+def _twin_search_oracles() -> dict[str, str]:
+    """search_pipeline / mmr_rerank oracles: the heuristic regex scorer
+    is not SQL-expressible, so the ground truth is the deterministic
+    single-node twin (oracle/search.py + mmr_rerank_py — pure CPython,
+    the same functions the Spark kernels execute per Arrow batch),
+    embedded as literal rows at full float precision (repr round-trips,
+    so value hashes match bit for bit). Computed lazily from the
+    driver's correctness fixture (sf0.01)."""
+    global _TWIN_CACHE
+    if _TWIN_CACHE is not None:
+        return _TWIN_CACHE
+    import os
+
+    sf_dir = "/root/testdata/sf0.01"
+    if not os.path.exists(f"{sf_dir}/documents.parquet"):
+        _TWIN_CACHE = {}
+        return _TWIN_CACHE
+    import duckdb
+
+    from mwmbl_spark.operators.mmr import mmr_rerank_py
+    from oracle.search import search_py
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"""SELECT doc_id, 'Doc ' || doc_id::VARCHAR,
+                   'https://' || source || '.example.org/' || lang || '/doc_' || doc_id::VARCHAR,
+                   text
+            FROM '{sf_dir}/documents.parquet'"""
+    ).fetchall()
+    con.close()
+    docs = [
+        {"doc_id": r[0], "title": r[1], "url": r[2], "extract": r[3],
+         "score": 1.0, "state": None}
+        for r in rows
+    ]
+
+    def esc(s: str) -> str:
+        return s.replace("'", "''")
+
+    search_vals, mmr_vals = [], []
+    for qid, q in QUERY_SET:
+        res = search_py(docs, q, k=10)
+        ranked = [{**d, "rank": i} for i, d in enumerate(res, 1)]
+        for d in ranked:
+            search_vals.append(
+                f"({qid}, {d['rank']}, {d['doc_id']}, '{esc(d['title'])}', "
+                f"'{esc(d['url'])}', '{esc(d['extract'])}', NULL, {d['result_score']!r})"
+            )
+        for mrank, d in enumerate(mmr_rerank_py(ranked), 1):
+            mmr_vals.append(
+                f"({qid}, {d['rank']}, {d['doc_id']}, '{esc(d['title'])}', "
+                f"'{esc(d['url'])}', '{esc(d['extract'])}', NULL, "
+                f"{d['result_score']!r}, {mrank})"
+            )
+    if not search_vals:
+        _TWIN_CACHE = {}
+        return _TWIN_CACHE
+    base_cols = (
+        "query_id::BIGINT AS query_id, rank::INT AS rank, doc_id::BIGINT AS doc_id, "
+        "title, url, extract, state::INT AS state, result_score::DOUBLE AS result_score"
+    )
+    _TWIN_CACHE = {
+        "search_pipeline": (
+            f"SELECT {base_cols} FROM (VALUES {', '.join(search_vals)}) "
+            "t(query_id, rank, doc_id, title, url, extract, state, result_score)"
+        ),
+        "mmr_rerank": (
+            f"SELECT {base_cols}, mmr_rank::INT AS mmr_rank "
+            f"FROM (VALUES {', '.join(mmr_vals)}) "
+            "t(query_id, rank, doc_id, title, url, extract, state, result_score, mmr_rank)"
+        ),
+    }
+    return _TWIN_CACHE
+
+
 _CUR_EDIT_VALUES = ", ".join(
     f"('{q}', {r}, {d}, {'NULL' if s is None else s})" for q, r, d, s in _CURATION_EDITS
 )
@@ -1080,6 +1260,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": _shipped(q_bm25_topk),
         "bm25_conjunctive": _shipped(q_bm25_conjunctive),
         "wand_topk": _shipped(q_wand_topk),
+        "search_candidates": _shipped(q_search_candidates),
         "search_pipeline": _shipped(q_search_pipeline),
         "mmr_rerank": _shipped(q_mmr_rerank),
         "tfidf_reference": _shipped(q_tfidf_reference),
@@ -1109,4 +1290,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(ORACLE)
+    out = dict(ORACLE)
+    out.update(_twin_search_oracles())
+    return out

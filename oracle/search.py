@@ -61,8 +61,8 @@ def search_py(
         )
         curated = d.get("state") in CURATED_STATES
         if s > score_threshold or curated:
-            scored.append((int(not curated), -s, doc_id, d))
-    scored.sort()
+            scored.append((int(not curated), -s, doc_id, {**d, "result_score": s}))
+    scored.sort(key=lambda t: t[:3])
 
     # SEQUENTIAL dedup like the reference: title pass over the full
     # ranked list (get_results -> deduplicate, rank.py:209-215), THEN
