@@ -280,12 +280,50 @@ def q_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A10/A11: exact distinct users per day (estimation capability;
-    exact count used here so the oracle can gate it — the HLL++
-    `approx_count_distinct` variant is in bench only)."""
+    """A10/A11: exact distinct users per day; the HLL++ approximate
+    path is ``q_distinct_users_daily_approx`` (tolerance-gated)."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
         F.countDistinct("user_id").alias("n_users")
+    )
+
+
+APPROX_RSD = 0.05
+
+
+def q_distinct_users_daily_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 approximate path: HLL++ ``approx_count_distinct`` per day,
+    gated |approx - exact| <= 3*rsd*exact (the jackknife-style sampled
+    estimator of count_urls.py:45-71, Spark-native). The exact count
+    rides along so the oracle value-gates it; the tolerance flag is the
+    estimator's acceptance test (oracle asserts TRUE)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    agg = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.approx_count_distinct("user_id", rsd=APPROX_RSD).alias("n_approx"),
+        F.countDistinct("user_id").alias("n_exact"),
+    )
+    return agg.select(
+        "day",
+        "n_exact",
+        (
+            F.abs(F.col("n_approx") - F.col("n_exact"))
+            <= 3 * APPROX_RSD * F.col("n_exact")
+        ).alias("within_tolerance"),
+    )
+
+
+def q_top_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day top-3 users by event count (crawler/stats.py:144-216
+    top-k users/hosts analogue) — one windowed plan."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").alias("day"), "user_id"
+    ).agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 6).alias("sum_value"))
+    w = Window.partitionBy("day").orderBy(F.desc("n_events"), F.asc("user_id"))
+    return (
+        daily.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("day", "user_id", "n_events", "sum_value", "rnk")
     )
 
 
@@ -679,6 +717,24 @@ FROM events GROUP BY 1, 2""",
     "distinct_users_daily": """
 SELECT date_trunc('day', ts) AS day, count(DISTINCT user_id) AS n_users
 FROM events GROUP BY 1""",
+    "distinct_users_daily_approx": """
+SELECT date_trunc('day', ts) AS day,
+       count(DISTINCT user_id) AS n_exact,
+       true AS within_tolerance
+FROM events GROUP BY 1""",
+    "top_users_daily": """
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS day, user_id,
+         count(*) AS n_events, round(sum(value), 6) AS sum_value
+  FROM events GROUP BY 1, 2
+),
+ranked AS (
+  SELECT day, user_id, n_events, sum_value,
+         row_number() OVER (PARTITION BY day
+                            ORDER BY n_events DESC, user_id) AS rnk
+  FROM daily
+)
+SELECT day, user_id, n_events, sum_value, rnk FROM ranked WHERE rnk <= 3""",
 }
 
 # --- training-data pipeline oracles ------------------------------------------
@@ -1270,6 +1326,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "completions": _shipped(q_completions),
         "events_daily": _shipped(q_events_daily),
         "distinct_users_daily": _shipped(q_distinct_users_daily),
+        "distinct_users_daily_approx": _shipped(q_distinct_users_daily_approx),
+        "top_users_daily": _shipped(q_top_users_daily),
         "dedup_exact": _shipped(q_dedup_exact),
         "dedup_minhash": _shipped(q_dedup_minhash),
         "simhash": _shipped(q_simhash),

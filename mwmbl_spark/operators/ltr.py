@@ -75,6 +75,235 @@ def load_xgboost_model(path: str) -> Callable[[np.ndarray], np.ndarray]:
     return lambda x: booster.predict(xgb.DMatrix(x, feature_names=FEATURE_NAMES))
 
 
+class LtrPipeline:
+    """Fit/predict/save/load over the 50-feature extractor — the
+    RustXGBPipeline shape (mwmbl/tinysearchengine/ltr.py:83-230,
+    mwmbl_rank/src/pipeline.rs) with a logistic model standing in for
+    XGBoost (absent from this container; any booster with
+    ``predict(ndarray[n,50]) -> ndarray[n]`` drops into ``ltr_rank``
+    unchanged). Ported semantics:
+
+    - terms = query.lower().split(), is_complete=True
+      (FeatureExtractor, ltr.py:39-63)
+    - labels binarised y > threshold before training
+      (ThresholdPredictor, ltr.py:22-37); predict returns P(relevant)
+    - predictions zeroed when match_term_proportion_whole <= 0.5 AND
+      match_terms_whole <= 1.0 (RankingPredictor, ltr.py:75-80)
+
+    Training runs driver-side (curation-label training sets are
+    human-scale); ``fit_logistic_distributed`` is the Spark-native
+    gradient loop for feature tables that don't fit one machine.
+    """
+
+    _MTP_IDX = FEATURE_NAMES.index("match_term_proportion_whole")
+    _MT_IDX = FEATURE_NAMES.index("match_terms_whole")
+
+    def __init__(self, threshold: float = 0.0, num_rounds: int = 100,
+                 learning_rate: float = 0.5, reg_lambda: float = 2.0):
+        self.threshold = threshold
+        self.num_rounds = num_rounds
+        self.learning_rate = learning_rate
+        self.reg_lambda = reg_lambda
+        self.weights: np.ndarray | None = None
+        self.bias: float = 0.0
+        self.mean: np.ndarray | None = None
+        self.std: np.ndarray | None = None
+
+    def __repr__(self) -> str:
+        return (
+            f"LtrPipeline(threshold={self.threshold}, num_rounds={self.num_rounds}, "
+            f"learning_rate={self.learning_rate}, reg_lambda={self.reg_lambda})"
+        )
+
+    # -- feature boundary ---------------------------------------------------
+    def _featurize(self, X) -> np.ndarray:
+        records = X.to_dict("records") if hasattr(X, "to_dict") else list(X)
+        if not records:
+            return np.empty((0, NUM_FEATURES))
+        return np.array(
+            [
+                featurize_py(
+                    r["query"].lower().split(), r.get("title"), r["url"],
+                    r.get("extract"), r.get("score") or 0.0, True,
+                )
+                for r in records
+            ]
+        )
+
+    # -- fit / predict --------------------------------------------------------
+    def fit(self, X, y) -> "LtrPipeline":
+        feats = self._featurize(X)
+        y_bin = (np.asarray(y, dtype=np.float64) > self.threshold).astype(np.float64)
+        self.mean = feats.mean(axis=0)
+        self.std = np.where(feats.std(axis=0) > 0, feats.std(axis=0), 1.0)
+        z = (feats - self.mean) / self.std
+        n = len(z)
+        w = np.zeros(NUM_FEATURES)
+        b = 0.0
+        for _ in range(self.num_rounds):
+            p = 1.0 / (1.0 + np.exp(-(z @ w + b)))
+            err = p - y_bin
+            grad_w = z.T @ err / n + self.reg_lambda / n * w
+            grad_b = float(err.mean())
+            w -= self.learning_rate * grad_w
+            b -= self.learning_rate * grad_b
+        self.weights, self.bias = w, b
+        return self
+
+    def _proba(self, feats: np.ndarray) -> np.ndarray:
+        z = (feats - self.mean) / self.std
+        p = 1.0 / (1.0 + np.exp(-(z @ self.weights + self.bias)))
+        # RankingPredictor term-count zeroing (ltr.py:78-80)
+        too_few = (feats[:, self._MTP_IDX] <= 0.5) & (feats[:, self._MT_IDX] <= 1.0)
+        p[too_few] = 0.0
+        return p.astype(np.float32)
+
+    def predict(self, X) -> np.ndarray:
+        if self.weights is None:
+            raise RuntimeError("predict called before fit (or load_model)")
+        feats = self._featurize(X)
+        if not len(feats):
+            return np.empty(0, dtype=np.float32)
+        return self._proba(feats)
+
+    def as_model(self):
+        """Adapter for ``ltr_rank(model=...)``: raw 50-vector in,
+        masked probability out."""
+        if self.weights is None:
+            raise RuntimeError("as_model called before fit (or load_model)")
+        return lambda x: self._proba(np.asarray(x, dtype=np.float64))
+
+    # -- persistence ----------------------------------------------------------
+    def save_model(self, path: str) -> None:
+        import json
+
+        if self.weights is None:
+            raise RuntimeError("save_model called before fit")
+        with open(path, "w") as f:
+            json.dump(
+                {
+                    "feature_names": FEATURE_NAMES,
+                    "threshold": self.threshold,
+                    "weights": self.weights.tolist(),
+                    "bias": self.bias,
+                    "mean": self.mean.tolist(),
+                    "std": self.std.tolist(),
+                },
+                f,
+            )
+
+    @classmethod
+    def load_model(cls, path: str) -> "LtrPipeline":
+        import json
+
+        with open(path) as f:
+            blob = json.load(f)
+        assert blob["feature_names"] == FEATURE_NAMES, "feature-order mismatch"
+        out = cls(threshold=blob["threshold"])
+        out.weights = np.asarray(blob["weights"])
+        out.bias = float(blob["bias"])
+        out.mean = np.asarray(blob["mean"])
+        out.std = np.asarray(blob["std"])
+        return out
+
+
+def ltr_featurize(
+    candidates: DataFrame,
+    domain_scores: dict[str, float] | None = None,
+    wiki_scores: dict[str, float] | None = None,
+    is_complete: bool = True,
+) -> DataFrame:
+    """Add a ``features array<double>`` column (the 50-vector) to a
+    candidate DataFrame — the distributed feature-table builder that
+    ``fit_logistic_distributed`` trains over."""
+    from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
+
+    cols = candidates.columns
+    out_schema = StructType(
+        list(candidates.schema.fields)
+        + [StructField("features", ArrayType(DoubleType()))]
+    )
+
+    def batches(it):
+        for pdf in it:
+            pdf = pdf.copy()
+            pdf["features"] = [
+                featurize_py(list(t), ti, u, e, s, is_complete, domain_scores, wiki_scores)
+                for t, ti, u, e, s in zip(
+                    pdf["terms"], pdf["title"], pdf["url"], pdf["extract"], pdf["score"]
+                )
+            ]
+            yield pdf[cols + ["features"]]
+
+    return candidates.mapInPandas(batches, schema=out_schema)
+
+
+def fit_logistic_distributed(
+    feats: DataFrame,
+    label_col: str = "label",
+    num_rounds: int = 50,
+    learning_rate: float = 0.5,
+    reg_lambda: float = 0.0,
+) -> tuple[np.ndarray, float, np.ndarray, np.ndarray]:
+    """Spark-native batch gradient descent over (features array<double>,
+    label) — for feature tables too big to collect. Per round: one job
+    computing the 50-dim gradient as a posexplode + groupBy(pos) partial
+    aggregation (map-side combine; shuffle is 50 rows x partitions).
+    Returns (weights, bias, mean, std) — plug into LtrPipeline fields.
+
+    The standardized feature relation is localCheckpoint'ed once and
+    reused every round (on a cluster: a staging table)."""
+    n = feats.count()
+    stats = (
+        feats.select(F.posexplode("features").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.avg("x").alias("mu"), F.stddev_pop("x").alias("sd"))
+        .orderBy("pos")
+        .collect()
+    )
+    mean = np.array([r["mu"] for r in stats])
+    std = np.array([r["sd"] if r["sd"] and r["sd"] > 0 else 1.0 for r in stats])
+    z = feats.select(
+        F.col(label_col).cast("double").alias("y"),
+        F.zip_with(
+            "features",
+            F.array(*[F.lit(float(v)) for v in mean]),
+            lambda x, m: x - m,
+        ).alias("_c"),
+    ).select(
+        "y",
+        F.zip_with(
+            "_c",
+            F.array(*[F.lit(float(v)) for v in std]),
+            lambda x, s: x / s,
+        ).alias("z"),
+    ).localCheckpoint(eager=True)
+
+    w = np.zeros(len(mean))
+    b = 0.0
+    for _ in range(num_rounds):
+        w_lit = F.array(*[F.lit(float(v)) for v in w])
+        dot = F.aggregate(
+            F.zip_with("z", w_lit, lambda x, wv: x * wv),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        err = (F.lit(1.0) / (F.lit(1.0) + F.exp(-(dot + F.lit(b)))) - F.col("y")).alias("err")
+        g = (
+            z.select(err, "z")
+            .select("err", F.posexplode("z").alias("pos", "x"))
+            .groupBy("pos")
+            .agg(F.sum(F.col("x") * F.col("err")).alias("g"))
+            .orderBy("pos")
+            .collect()
+        )
+        eb = z.select(err).agg(F.avg("err")).collect()[0][0]
+        grad_w = np.array([r["g"] for r in g]) / n + reg_lambda / n * w
+        w -= learning_rate * grad_w
+        b -= learning_rate * float(eb)
+    return w, b, mean, std
+
+
 def ltr_rank(
     candidates: DataFrame,
     model: Callable[[np.ndarray], np.ndarray] = logistic_baseline,
