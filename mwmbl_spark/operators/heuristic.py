@@ -32,6 +32,7 @@ from __future__ import annotations
 import math
 import re
 from collections import defaultdict
+from functools import lru_cache
 from urllib.parse import urlparse
 
 import pandas as pd
@@ -73,11 +74,21 @@ def get_query_regex_py(terms: list[str], is_complete: bool, use_word_boundaries:
     return "|".join(pats)
 
 
+@lru_cache(maxsize=4096)
+def _compiled_query_regex(terms: tuple[str, ...], is_complete: bool, is_url: bool):
+    """One compiled pattern per (query, completeness, field-kind): the
+    scorer evaluates every candidate row against the same few patterns,
+    so build+escape+compile happens once per query, not per candidate
+    (re's own 512-entry cache still re-hashes the pattern string each
+    call; this also skips the string construction)."""
+    return re.compile(get_query_regex_py(list(terms), is_complete, is_url), flags=re.IGNORECASE)
+
+
 def get_match_features_py(
     terms: list[str], result_string: str, is_complete: bool, is_url: bool
 ):
-    pattern = get_query_regex_py(terms, is_complete, is_url)
-    matches = list(re.finditer(pattern, result_string, flags=re.IGNORECASE))
+    pattern = _compiled_query_regex(tuple(terms), is_complete, is_url)
+    matches = list(pattern.finditer(result_string))
     last_match_char = 1
     seen: set[str] = set()
     match_length = 0

@@ -112,7 +112,7 @@ def reshard(spark, old_builder, new_cfg) -> "IndexBuilder":  # noqa: F821
         _write_doc_stats(f"{base}/doc_stats/src_part={part}", n_docs, sum_len)
         n_postings = postings.count()
     finally:
-        decoded.unpersist()
+        decoded.unpersist(blocking=True)
     commit_partition(
         spark, new_cfg.path, part, n_docs, n_postings,
         int((time.perf_counter() - t0) * 1000),

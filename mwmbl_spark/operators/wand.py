@@ -93,12 +93,14 @@ class _List:
 
 
 def _partial(idf: float, tf: np.ndarray, dl: np.ndarray, avg_len: float) -> np.ndarray:
-    """Exact per-posting BM25 contribution; tfn association order matches
-    the build expression (segments.py) bit for bit."""
-    tfn = (tf * (BM25_K1 + 1.0)) / (
-        tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avg_len)
-    )
-    return idf * tfn
+    """Exact per-posting BM25 contribution — float association matches
+    the single-node oracle bit for bit (((idf*tf)*(k1+1))/denom,
+    oracle/engine.py:62-63): rank identity at scale requires bitwise
+    score equality so exact ties break by doc_id identically. The
+    STORED tfn uses a different association; the 1e-9 bound slack
+    absorbs that — bounds only ever skip work."""
+    denom = tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avg_len)
+    return idf * tf * (BM25_K1 + 1.0) / denom
 
 
 def make_kernel(
@@ -193,10 +195,17 @@ def make_kernel(
                 hit[sel] = h
             return contrib, hit
 
+        # CANONICAL accumulation order: the oracle sums each doc's
+        # contributions in sorted-term order (oracle/engine.py:56); a
+        # doc appears in at most one row per term, so intra-term row
+        # order cannot change its sum. Summing in the same order keeps
+        # float ties exact, so the doc_id tiebreak matches bit for bit.
+        score_order = sorted(lists, key=lambda lst: lst.term)
+
         def score_all(cand: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
             scores = np.zeros(len(cand))
             matched = np.zeros(len(cand), dtype=np.int64)
-            for lst in lists:
+            for lst in score_order:
                 contrib, h = gather(lst, cand)
                 scores += contrib
                 matched += h
@@ -282,26 +291,23 @@ def make_kernel(
             full_decode(lst)
         cand = np.unique(np.concatenate([lst.full_ids for lst in ess]))
 
-        # Phase 3: essential partials + block-bound prefilter
-        ess_scores = np.zeros(len(cand))
-        ess_matched = np.zeros(len(cand), dtype=np.int64)
-        for lst in ess:
-            contrib, h = gather(lst, cand)
-            ess_scores += contrib
-            ess_matched += h
+        # Phase 3: essential partials + block-bound prefilter. The ess
+        # sum here is pruning-only (final scores are recomputed in
+        # canonical order below); a relative epsilon guards the ±ulp
+        # difference between this sum order and the canonical one.
         if noness and np.isfinite(theta):
-            opt = ess_scores.copy()
+            opt = np.zeros(len(cand))
+            for lst in ess:
+                contrib, _ = gather(lst, cand)
+                opt += contrib
             for lst in noness:
                 opt += block_bound(lst, cand)
-            keep = opt >= theta
-            cand, ess_scores, ess_matched = cand[keep], ess_scores[keep], ess_matched[keep]
+            keep = opt >= theta - abs(theta) * 1e-12
+            cand = cand[keep]
 
-        # Phase 4: exact non-essential contributions for survivors
-        scores, matched = ess_scores, ess_matched
-        for lst in noness:
-            contrib, h = gather(lst, cand)
-            scores = scores + contrib
-            matched = matched + h
+        # Phase 4: exact scores for survivors, canonical order (the
+        # non-essential gathers decode only the blocks survivors touch)
+        scores, matched = score_all(cand)
 
         # merge with seed (duplicates carry identical exact scores)
         all_ids = np.concatenate([seed, cand])

@@ -139,7 +139,9 @@ class IndexBuilder:
             stats.write.mode("overwrite").parquet(f"{base}/stats/src_part={part}")
             _write_doc_stats(f"{base}/doc_stats/src_part={part}", n_docs, sum_len)
         finally:
-            p.unpersist()
+            # blocking: async unpersist races the final task's accumulator
+            # updates and spams a benign-but-ugly DAGScheduler ERROR
+            p.unpersist(blocking=True)
         return n_docs, n_postings
 
     # -- read side ------------------------------------------------------------
