@@ -312,6 +312,23 @@ def q_distinct_users_daily_approx(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def q_index_url_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count_urls.py analogue: sampled page scan -> Chao1 distinct-URL
+    estimate + extrapolated result count (portable md5 sampling so the
+    oracle states the identical sample)."""
+    from mwmbl_spark.operators.index_stats import sampled_index_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pages = docs.select(
+        (F.col("doc_id") % 50).alias("page"),
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.org/"),
+            F.col("lang"), F.lit("/doc_"), (F.col("doc_id") % 60).cast("string"),
+        ).alias("url"),
+    )
+    return sampled_index_stats(pages, proportion=0.3, seed=1, portable=True)
+
+
 def q_top_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-day top-3 users by event count (crawler/stats.py:144-216
     top-k users/hosts analogue) — one windowed plan."""
@@ -735,6 +752,32 @@ ranked AS (
   FROM daily
 )
 SELECT day, user_id, n_events, sum_value, rnk FROM ranked WHERE rnk <= 3""",
+    "index_url_stats": """
+WITH pages AS (
+  SELECT doc_id % 50 AS page,
+         'https://' || source || '.example.org/' || lang || '/doc_'
+           || (doc_id % 60)::VARCHAR AS url
+  FROM documents
+),
+s AS (
+  SELECT * FROM pages
+  WHERE ('0x' || substr(md5('1:' || page::VARCHAR), 1, 15))::BIGINT % 1000000
+        < 300000
+),
+freq AS (
+  SELECT url, count(*) AS n FROM (SELECT DISTINCT page, url FROM s) GROUP BY url
+),
+fof AS (
+  SELECT count(*) AS d,
+         sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)::BIGINT AS f1,
+         sum(CASE WHEN n = 2 THEN 1 ELSE 0 END)::BIGINT AS f2
+  FROM freq
+),
+total AS (SELECT count(*) AS sample_docs FROM s)
+SELECT floor(sample_docs / 0.3)::BIGINT AS n_results_estimate,
+       floor(d + (f1 * (f1 - 1)) / (2.0 * (f2 + 1)))::BIGINT AS distinct_urls_estimate,
+       sample_docs, d AS sample_distinct, f1, f2
+FROM total, fof""",
 }
 
 # --- training-data pipeline oracles ------------------------------------------
@@ -1328,6 +1371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_users_daily": _shipped(q_distinct_users_daily),
         "distinct_users_daily_approx": _shipped(q_distinct_users_daily_approx),
         "top_users_daily": _shipped(q_top_users_daily),
+        "index_url_stats": _shipped(q_index_url_stats),
         "dedup_exact": _shipped(q_dedup_exact),
         "dedup_minhash": _shipped(q_dedup_minhash),
         "simhash": _shipped(q_simhash),
