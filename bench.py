@@ -45,6 +45,7 @@ def main() -> None:
 
     def timed(name, fn):
         t0 = time.perf_counter()
+        print(f"BENCH START {name} {time.strftime('%H:%M:%S')}", file=sys.stderr)
         try:
             fn()
             timings[name] = round(time.perf_counter() - t0, 4)

@@ -224,11 +224,14 @@ def minhash_near_duplicates(
     filter -> exact Jaccard >= threshold.
 
     ``shingle_rows`` feeds four plan branches (signatures, sizes, both
-    sides of the intersection join); ``localCheckpoint(eager=False)``
+    sides of the intersection join); an EAGER ``localCheckpoint``
     materializes it once and reuses the blocks across branches — on a
-    real cluster this is a checkpoint/staging table write.
+    real cluster this is a checkpoint/staging table write. (Eager, not
+    lazy: a lazily-materialized checkpoint can complete its stage after
+    the enclosing SQL execution has unregistered its metric
+    accumulators, spamming benign DAGScheduler ERRORs.)
     """
-    sr = shingle_rows(docs, text_col, id_col).localCheckpoint(eager=False)
+    sr = shingle_rows(docs, text_col, id_col).localCheckpoint(eager=True)
     rows_per_band = N_MINHASHES // N_BANDS
     sigs = minhash_signatures(sr)
     bands = sigs.select(
