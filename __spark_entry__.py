@@ -430,6 +430,32 @@ def q_mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_image_meta(attach_fake_payload(docs))
 
 
+def q_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize stage (binary-out mapInPandas): scaled dims + thumbnail
+    byte count, value-gated (the thumb payload itself is engine-opaque;
+    its LENGTH is the oracle-checkable contract of the stub)."""
+    from mwmbl_spark.multimodal import attach_fake_payload, resize_stub
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = resize_stub(attach_fake_payload(docs), max_side=32)
+    return out.select(
+        "doc_id", "width", "height",
+        F.length("thumb").cast("long").alias("thumb_bytes"),
+    )
+
+
+def q_mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sample stage (1->N mapInPandas fan-out): one row per
+    sampled offset with the sampled-frame byte count."""
+    from mwmbl_spark.multimodal import attach_fake_payload, frame_sample_stub
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = frame_sample_stub(attach_fake_payload(docs), every_n_bytes=97)
+    return out.select(
+        "doc_id", "frame_idx", F.length("frame").cast("long").alias("frame_bytes")
+    )
+
+
 # ---------------------------------------------------------------------------
 # URL dataflow queries (frontier / link graph / seen-set / errors)
 # Synthetic URL column derived deterministically from documents so both
@@ -1329,6 +1355,29 @@ SELECT doc_id,
        3 AS channels
 FROM documents"""
 
+ORACLE["mm_resize"] = """
+WITH m AS (
+  SELECT doc_id, octet_length(encode(text)) AS n FROM documents
+),
+dims AS (
+  SELECT doc_id, n,
+         least(n % 64 + 1, 32)::INT AS width,
+         least(n // 64 % 64 + 1, 32)::INT AS height
+  FROM m
+)
+SELECT doc_id, width, height,
+       least(width * height, n)::BIGINT AS thumb_bytes
+FROM dims"""
+
+ORACLE["mm_frames"] = """
+WITH m AS (
+  SELECT doc_id, octet_length(encode(text)) AS n FROM documents
+)
+SELECT doc_id, t.k::INT AS frame_idx,
+       least(16, n - t.k * 97)::BIGINT AS frame_bytes
+FROM m, unnest(range(((n + 96) // 97)::BIGINT)) AS t(k)
+WHERE n > 0"""
+
 
 # ---------------------------------------------------------------------------
 # Driver contract
@@ -1381,6 +1430,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": _shipped(q_token_stats),
         "fingerprint": _shipped(q_fingerprint),
         "mm_decode": _shipped(q_mm_decode),
+        "mm_resize": _shipped(q_mm_resize),
+        "mm_frames": _shipped(q_mm_frames),
         "url_tokens": _shipped(q_url_tokens),
         "frontier": _shipped(q_frontier),
         "link_graph": _shipped(q_link_graph),

@@ -73,6 +73,10 @@ class IndexBuilder:
     def __init__(self, spark: SparkSession, cfg: IndexConfig):
         self.spark = spark
         self.cfg = cfg
+        # (committed-set key) -> (stats_df, n_docs, avg_len); a query
+        # BATCH shares one consistent stats snapshot, and repeated
+        # batches against an unchanged index skip the stats jobs
+        self._stats_cache: tuple[tuple[str, ...], DataFrame, int, float] | None = None
 
     # -- source partitioning ------------------------------------------------
     def src_partition_col(self):
@@ -185,10 +189,27 @@ class IndexBuilder:
         avg_len = sum_len / max(1, n_docs)
         return stats, n_docs, avg_len
 
+    def cached_global_stats(self) -> tuple[DataFrame, int, float]:
+        """global_stats memoized on the committed-partition set (the
+        manifest is the tiny invalidation key; stats persist in memory
+        across query batches until a new partition commits)."""
+        from mwmbl_spark.manifest import committed_partitions
+
+        key = tuple(sorted(str(d) for d in committed_partitions(self.spark, self.cfg.path)))
+        if self._stats_cache is not None and self._stats_cache[0] == key:
+            return self._stats_cache[1], self._stats_cache[2], self._stats_cache[3]
+        stats, n_docs, avg_len = self.global_stats()
+        stats = stats.persist()
+        stats.count()
+        if self._stats_cache is not None:
+            self._stats_cache[1].unpersist()
+        self._stats_cache = (key, stats, n_docs, avg_len)
+        return stats, n_docs, avg_len
+
     def query_topk(
         self, queries: DataFrame, k: int = 10, mode: str = "disjunctive"
     ) -> DataFrame:
-        stats, n_docs, avg_len = self.global_stats()
+        stats, n_docs, avg_len = self.cached_global_stats()
         return wand_topk(
             self.segments(),
             stats,
