@@ -91,3 +91,57 @@ def test_streaming_hourly_counts(spark, tmp_path):
     }
     assert got.items() >= want.items() or got == {}
     assert len(got) > 0
+
+
+# --- streaming curation folds (views.py write path, decoupled) ---------------
+
+def test_streaming_curation_folds_edits(spark, tmp_path):
+    import hashlib
+
+    from mwmbl_spark.streaming.curation_stream import (
+        curation_stream,
+        current_pages,
+    )
+
+    n_pages = 16
+    term = "spark data"
+    pg = int(hashlib.md5(term.encode()).hexdigest()[:15], 16) % n_pages
+    seed = str(tmp_path / "seed")
+    store = str(tmp_path / "store")
+    cur = str(tmp_path / "cur")
+    ckpt = str(tmp_path / "ckpt_cur")
+    spark.createDataFrame(
+        [
+            (pg, 0, "Old A", "https://a.com", "ex", 5.0, term, None),
+            (pg, 1, "Old B", "https://b.com", "ex", 4.0, term, None),
+        ],
+        "page long, position int, title string, url string, extract string, "
+        "score double, term string, state int",
+    ).write.parquet(seed)
+
+    # batch 1: approve a new doc
+    spark.createDataFrame(
+        [(term, 0, "New X", "https://x.com", "e", 7)],
+        "query string, rank long, title string, url string, extract string, state int",
+    ).write.mode("append").parquet(cur)
+    curation_stream(spark, cur, seed, store, ckpt, n_pages)
+    rows1 = {r["url"]: r for r in current_pages(spark, store, seed).collect()}
+    assert rows1["https://x.com"]["position"] == 0 and rows1["https://x.com"]["state"] == 7
+    assert len(rows1) == 3
+
+    # re-run with no new files: no new version (exactly-once)
+    from mwmbl_spark.manifest import committed_partitions
+
+    v1 = set(committed_partitions(spark, store))
+    curation_stream(spark, cur, seed, store, ckpt, n_pages)
+    assert set(committed_partitions(spark, store)) == v1
+
+    # batch 2 folds ON TOP of batch 1: un-approve x.com
+    spark.createDataFrame(
+        [(term, 0, "New X", "https://x.com", "e", None)],
+        "query string, rank long, title string, url string, extract string, state int",
+    ).write.mode("append").parquet(cur)
+    curation_stream(spark, cur, seed, store, ckpt, n_pages)
+    rows2 = {r["url"]: r for r in current_pages(spark, store, seed).collect()}
+    assert rows2["https://x.com"]["state"] is None  # un-approved survivor
+    assert len(rows2) == 3
