@@ -88,6 +88,10 @@ def main() -> None:
     timed("q5_embedding_topk", lambda: entrymod.q_embedding_topk(spark, sf_dir).count())
     timed("q6_text_features", lambda: entrymod.q_text_features(spark, sf_dir).count())
     timed("q7_events_daily", lambda: entrymod.q_events_daily(spark, sf_dir).count())
+    # round-2 additions (new operators; q1-q7 keys stay comparable
+    # across rounds)
+    timed("q8_search_pipeline", lambda: entrymod.q_search_pipeline(spark, sf_dir).count())
+    timed("q9_curation_apply", lambda: entrymod.q_curation_apply(spark, sf_dir).count())
 
     build_s = timings.get("q1_index_build", -1.0)
     total = round(sum(v for v in timings.values() if v > 0), 4)
