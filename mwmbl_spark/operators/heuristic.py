@@ -187,19 +187,38 @@ def score_result_py(
     is_complete: bool,
     domain_scores: dict[str, float] | None = None,
 ) -> float:
-    feats = get_features_py(terms, title, url, extract, score, is_complete, domain_scores)
+    """score_result twin [rank.py:40-53]. Computes ONLY the five fields
+    the formula reads (title/extract/domain/domain_tokenized/path) —
+    the reference's get_features also derives 'query' and 'whole', but
+    they feed the LTR vector only, so skipping them here changes no
+    output while cutting ~2/7 of the regex work on the scoring hot path
+    (get_features_py keeps the full 50-feature surface)."""
+    parsed = urlparse(url)
+    domain, path = parsed.netloc, parsed.path
+    match_scores: dict[str, float] = {}
+    match_terms = 0
+    for part, name, is_url in [
+        (title, "title", False),
+        (extract, "extract", False),
+        (domain, "domain", True),
+        (domain, "domain_tokenized", False),
+        (path, "path", True),
+    ]:
+        lmc, ml, tp, mt, _ = get_match_features_py(terms, part, is_complete, is_url)
+        match_scores[name] = score_match_py(lmc, ml, tp)
+        match_terms = max(match_terms, mt)
     length_penalty = math.e ** (-LENGTH_PENALTY * len(url))
     match_score = (
-        4 * feats["match_score_title"]
-        + feats["match_score_extract"]
-        + 2 * feats["match_score_domain"]
-        + 2 * feats["match_score_domain_tokenized"]
-        + feats["match_score_path"]
+        4 * match_scores["title"]
+        + match_scores["extract"]
+        + 2 * match_scores["domain"]
+        + 2 * match_scores["domain_tokenized"]
+        + match_scores["path"]
     )
-    if feats["match_terms"] <= len(terms) / 2 and state is None:
+    if match_terms <= len(terms) / 2 and state is None:
         return 0.0
     if match_score > MATCH_SCORE_THRESHOLD:
-        return match_score * length_penalty * (feats["domain_score"] + DOMAIN_SCORE_SMOOTHING) / 10
+        return match_score * length_penalty * (_domain_score(domain, domain_scores) + DOMAIN_SCORE_SMOOTHING) / 10
     return 0.0
 
 
