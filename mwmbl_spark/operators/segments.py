@@ -94,7 +94,14 @@ def _encode_pd(ids: pd.Series, tfs: pd.Series, lens: pd.Series) -> pd.DataFrame:
     call per ~10k segments, NumPy inside — never per-row Python."""
     out = {k.name: [] for k in _ENC_SCHEMA.fields}
     for a_ids, a_tfs, a_lens in zip(ids, tfs, lens):
-        v_ids = np.asarray(a_ids, dtype=np.uint64)
+        signed = np.asarray(a_ids, dtype=np.int64)
+        if signed.size and signed[0] < 0:  # sorted asc: first is the min
+            raise ValueError(
+                "doc_id must be non-negative: the kernel's binary search "
+                "requires signed order == uint64 order (synth.with_doc_id "
+                "clears the sign bit; do the same for custom id schemes)"
+            )
+        v_ids = signed.astype(np.uint64)
         d_ids, o_ids = delta_encode_blocked(v_ids, BLOCK_SIZE)
         d_tfs, o_tfs = vb_encode_blocked(np.asarray(a_tfs, dtype=np.uint64), BLOCK_SIZE)
         d_lens, o_lens = vb_encode_blocked(np.asarray(a_lens, dtype=np.uint64), BLOCK_SIZE)
