@@ -79,3 +79,30 @@ def test_postings_scan_prunes_columns(spark, built):
     assert "ReadSchema: struct<text:string,doc_id:bigint>" in probe[0] or (
         "text" in probe[0] and "role" not in probe[0].split("ReadSchema")[1]
     ), probe[0]
+
+
+def test_curation_apply_broadcasts_and_skips_untouched_pages(spark):
+    """The 100TB property of the curation write: the page store never
+    shuffles for the curation side (curations broadcast into every
+    join) and untouched pages bypass the window rewrite entirely."""
+    from mwmbl_spark.operators.curation import apply_curation
+
+    pages = spark.createDataFrame(
+        [(0, 0, "t", "https://a.com", "e", 1.0, "spark data", None)],
+        "page long, position int, title string, url string, extract string, "
+        "score double, term string, state int",
+    )
+    curations = spark.createDataFrame(
+        [("spark data", 0, "N", "https://x.com", "e", 7)],
+        "query string, rank long, title string, url string, extract string, state int",
+    )
+    plan = _explain(apply_curation(pages, curations, 16))
+    # every join against the page store builds on the (small) curation side
+    assert "BroadcastHashJoin" in plan
+    # untouched pages union in ABOVE the window: exactly one Window op,
+    # and a LeftAnti branch that never reaches it
+    assert plan.count("Window") >= 1
+    assert "LeftAnti" in plan
+    # the big side is never exchanged by a non-broadcast (hash) shuffle
+    # except the window's own partitioning of TOUCHED pages
+    assert "SortMergeJoin" not in plan
