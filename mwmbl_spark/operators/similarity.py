@@ -12,8 +12,15 @@
 At 10^12 rows the brute-force plan is a full scan per query batch
 (still linear, embarrassingly parallel); the LSH plan prunes the scan
 to matching buckets via a shuffle-free broadcast semi join on bucket id.
-An IVF (k-means coarse quantizer) variant slots into the same probe
-plan; LSH is used here because it is deterministic without training.
+
+- ``ivf_topk``: the IVF (coarse-quantizer) scale path — deterministic
+  Lloyd training (seed centroids = hash-smallest vec_ids, distributed
+  assignment + elementwise-mean refit), then queries probe only the
+  ``n_probe`` nearest centroids' inverted lists. Centroid count rises
+  with corpus size (sqrt(N) rule of thumb); the probe plan broadcasts
+  centroids and queries, so the corpus shuffles exactly once per
+  training iteration (groupBy cluster) and never at query time beyond
+  the candidate top-k window.
 """
 
 from __future__ import annotations
@@ -125,6 +132,126 @@ def lsh_bucket_topk(
     )
     scored = pairs.select(
         "query_id", "vec_id", cosine_sim(F.col("emb"), F.col("q_emb")).alias("sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", F.round("sim", 6).alias("sim"), "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file coarse quantizer)
+# ---------------------------------------------------------------------------
+
+def _to64(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def ivf_train(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    n_iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic distributed Lloyd iterations -> (cid, centroid
+    array<double>). Seeds = the ``n_centroids`` vectors with the
+    smallest md5-derived id hash (data-independent, reproducible —
+    no RNG, same centroids on any cluster / partitioning)."""
+    seeds = (
+        embeddings.select(
+            F.col(id_col).alias("vec_id"), _to64(F.col(vec_col)).alias("c")
+        )
+        .withColumn("h", hash60(F.col("vec_id").cast("string")))
+        .orderBy("h", "vec_id")
+        .limit(n_centroids)
+    )
+    cents = seeds.select(
+        (F.row_number().over(Window.orderBy("h", "vec_id")) - 1).alias("cid"), "c"
+    )
+    corpus = embeddings.select(
+        F.col(id_col).alias("vec_id"), _to64(F.col(vec_col)).alias("v")
+    )
+    for _ in range(n_iters):
+        assigned = _ivf_assign(corpus, cents)
+        refit = (
+            assigned.select("cid", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("c")
+            )
+        )
+        # empty clusters keep their previous centroid
+        cents = (
+            cents.select("cid", F.col("c").alias("c_old"))
+            .join(refit, "cid", "left")
+            .select("cid", F.coalesce("c", "c_old").alias("c"))
+            .localCheckpoint(eager=True)  # cut the per-iteration lineage
+        )
+    return cents
+
+
+def _ivf_assign(corpus: DataFrame, cents: DataFrame) -> DataFrame:
+    """argmax-cosine cluster id per vector (centroids broadcast)."""
+    sims = corpus.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "v", "cid", cosine_sim(F.col("v"), F.col("c")).alias("sim")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cid"))
+    return (
+        sims.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") == 1)
+        .select("vec_id", "v", "cid")
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    n_iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """Approximate top-k via IVF probe: score only the corpus vectors
+    assigned to each query's ``n_probe`` nearest centroids. Same output
+    shape as cosine_topk; recall is pytest-gated vs the exact baseline.
+    Pass a pre-trained ``centroids`` frame to skip training (the
+    production shape: train once, probe per batch)."""
+    cents = centroids if centroids is not None else ivf_train(
+        embeddings, n_centroids, n_iters, id_col, vec_col
+    )
+    corpus = embeddings.select(
+        F.col(id_col).alias("vec_id"), _to64(F.col(vec_col)).alias("v")
+    )
+    assigned = _ivf_assign(corpus, cents)
+    q = corpus.where(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("q_emb")
+    )
+    qsims = q.crossJoin(F.broadcast(cents)).select(
+        "query_id", "q_emb", "cid", cosine_sim(F.col("q_emb"), F.col("c")).alias("csim")
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("csim"), F.asc("cid"))
+    probes = (
+        qsims.withColumn("rnk", F.row_number().over(wq))
+        .where(F.col("rnk") <= n_probe)
+        .select("query_id", "q_emb", "cid")
+    )
+    pairs = assigned.join(
+        F.broadcast(probes),
+        (assigned["cid"] == probes["cid"]) & (assigned["vec_id"] != probes["query_id"]),
+    ).select("query_id", "vec_id", "v", "q_emb")
+    scored = pairs.select(
+        "query_id", "vec_id", cosine_sim(F.col("v"), F.col("q_emb")).alias("sim")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
     return (

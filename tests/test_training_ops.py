@@ -182,3 +182,34 @@ def test_real_decoder_is_explicit_stub(spark, docs):
     media = attach_fake_payload(docs.limit(1))
     with pytest.raises(NotImplementedError):
         decode_image_real(media)
+
+
+def test_ivf_topk_recall_and_determinism(embeddings):
+    from mwmbl_spark.operators.similarity import cosine_topk, ivf_topk, ivf_train
+
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in cosine_topk(embeddings, query_ids=[0, 1, 2], k=10).collect()
+    }
+    cents = ivf_train(embeddings, n_centroids=8, n_iters=2)
+    approx1 = ivf_topk(
+        embeddings, query_ids=[0, 1, 2], k=10, n_centroids=8, n_probe=4,
+        centroids=cents,
+    ).collect()
+    got = {(r["query_id"], r["vec_id"]) for r in approx1}
+    recall = len(got & exact) / len(exact)
+    # the synthetic embeddings are near-uniform (no cluster structure),
+    # so IVF recall ~= probed fraction; real embeddings cluster and beat
+    # this floor. The strong functional check is the n_probe=all case.
+    assert recall >= 0.35, recall
+    # deterministic: retrain + reprobe gives the identical result
+    approx2 = ivf_topk(
+        embeddings, query_ids=[0, 1, 2], k=10, n_centroids=8, n_probe=4, n_iters=2
+    ).collect()
+    assert sorted(map(tuple, approx1)) == sorted(map(tuple, approx2))
+    # probing ALL centroids recovers the exact result
+    full = ivf_topk(
+        embeddings, query_ids=[0, 1, 2], k=10, n_centroids=8, n_probe=8,
+        centroids=cents,
+    )
+    assert {(r["query_id"], r["vec_id"]) for r in full.collect()} == exact
