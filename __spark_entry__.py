@@ -259,7 +259,9 @@ def q_completions(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = stats.join(
         F.broadcast(prefixes), F.col("term").startswith(F.col("prefix"))
     )
-    w = Window.partitionBy("prefix").orderBy(F.desc("df"), F.asc("term"))
+    # term DESC tiebreak = the reference completer's reverse=True tuple
+    # sort (completer.py:29-30)
+    w = Window.partitionBy("prefix").orderBy(F.desc("df"), F.desc("term"))
     return (
         joined.withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= 3)
@@ -749,7 +751,7 @@ prefixes(prefix) AS (VALUES {", ".join(f"('{p}')" for p in COMPLETION_PREFIXES)}
 ranked AS (
   SELECT pr.prefix, s.term, s.df,
          row_number() OVER (PARTITION BY pr.prefix
-                            ORDER BY s.df DESC, s.term) AS rnk
+                            ORDER BY s.df DESC, s.term DESC) AS rnk
   FROM stats s JOIN prefixes pr ON starts_with(s.term, pr.prefix)
 )
 SELECT prefix, term, df, rnk FROM ranked WHERE rnk <= 3""",
@@ -1192,7 +1194,7 @@ compl AS (
   SELECT query_id, term FROM (
     SELECT l.query_id, c.term,
            row_number() OVER (PARTITION BY l.query_id
-                              ORDER BY c.cnt DESC, c.term) AS rnk
+                              ORDER BY c.cnt DESC, c.term DESC) AS rnk
     FROM counts c JOIN lastp l ON starts_with(c.term, l.prefix)
   ) WHERE rnk <= 3
 ),

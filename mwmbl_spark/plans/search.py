@@ -73,7 +73,10 @@ def expanded_terms(qmeta: DataFrame, counts: DataFrame, n_completions: int = 3) 
     last = qmeta.where(~F.col("is_complete")).select(
         "query_id", F.element_at("terms", -1).alias("prefix")
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cnt"), F.asc("term"))
+    # tiebreak term DESC: the reference sorts (count, term) tuples with
+    # reverse=True, so equal counts break by the LATER term
+    # (completer.py:29-30)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cnt"), F.desc("term"))
     compl = (
         counts.join(F.broadcast(last), F.col("term").startswith(F.col("prefix")))
         .withColumn("rnk", F.row_number().over(w))

@@ -20,6 +20,15 @@ def build_term_index_py(docs: list[dict]) -> dict[str, set[int]]:
     return index
 
 
+def complete_py(counts: dict[str, int], prefix: str, n: int = 3) -> list[str]:
+    """Completer.complete twin [completer.py:24-35]: prefix-matching
+    terms sorted as (count, term) tuples reverse=True — equal counts
+    break by the LATER term — top n."""
+    matching = [(c, t) for t, c in counts.items() if t.startswith(prefix)]
+    top = sorted(matching, reverse=True)[:n]
+    return [t for _, t in top]
+
+
 def search_py(
     docs: list[dict],
     query: str,
@@ -39,12 +48,7 @@ def search_py(
 
     retrieval = set(terms) | set(get_bigrams_py(len(terms), terms))
     if not is_complete:
-        prefix = terms[-1]
-        compl = sorted(
-            ((t, c) for t, c in counts.items() if t.startswith(prefix)),
-            key=lambda tc: (-tc[1], tc[0]),
-        )[:n_completions]
-        retrieval |= {t for t, _ in compl}
+        retrieval |= set(complete_py(counts, terms[-1], n_completions))
 
     cand_ids = set()
     for t in retrieval:

@@ -96,3 +96,52 @@ def test_extract_highlights_merges_adjacent():
     segs = highlight_segments_py(pat, "spark tuning is fun")
     # 'spark' + ' ' + 'tuning' merge across the whitespace gap
     assert extract_highlights_py(segs) == ["spark tuning"]
+
+
+# --- completer twins (ported from reference test/test_completer.py) ----------
+
+def test_completer_correct_completions():
+    from oracle.search import complete_py
+
+    counts = {"build": 4, "builder": 3, "announce": 2, "buildings": 1}
+    assert complete_py(counts, "build") == ["build", "builder", "buildings"]
+
+
+def test_completer_correct_sort_order():
+    from oracle.search import complete_py
+
+    counts = {"build": 4, "builder": 1, "announce": 2, "buildings": 3}
+    assert complete_py(counts, "build") == ["build", "buildings", "builder"]
+
+
+def test_completer_no_completions():
+    from oracle.search import complete_py
+
+    assert complete_py({"build": 4}, "missing") == []
+
+
+def test_completer_tie_breaks_by_later_term():
+    # reference sorts (count, term) reverse=True: equal counts -> the
+    # LATER term wins (completer.py:29-30)
+    from oracle.search import complete_py
+
+    counts = {"aa": 2, "ab": 2, "ac": 2, "ad": 2}
+    assert complete_py(counts, "a") == ["ad", "ac", "ab"]
+
+
+def test_spark_completions_match_twin_on_ties(spark):
+    from pyspark.sql import functions as F
+
+    from mwmbl_spark.plans.search import expanded_terms, query_meta
+
+    counts = spark.createDataFrame(
+        [("aa", 2), ("ab", 2), ("ac", 2), ("ad", 2), ("zz", 9)],
+        "term string, cnt long",
+    )
+    qdf = spark.createDataFrame([(0, "a")], "query_id long, query string")
+    got = {
+        r["term"]
+        for r in expanded_terms(query_meta(qdf), counts).collect()
+    }
+    # query term 'a' itself + the 3 tie-winning completions
+    assert got == {"a", "ad", "ac", "ab"}
