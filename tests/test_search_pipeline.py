@@ -145,3 +145,18 @@ def test_spark_completions_match_twin_on_ties(spark):
     }
     # query term 'a' itself + the 3 tie-winning completions
     assert got == {"a", "ad", "ac", "ab"}
+
+
+def test_format_result_reference_case():
+    # ported from reference test/test_format.py::test_format_result
+    pat = highlight_pattern_py("in bananas")
+    title = highlight_segments_py(pat, "Something Bananas")
+    assert title == [
+        {"value": "Something ", "is_bold": False},
+        {"value": "Bananas", "is_bold": True},
+    ]
+    extract = highlight_segments_py(pat, "Insist in Bananas")
+    assert extract == [
+        {"value": "Insist in ", "is_bold": False},
+        {"value": "Bananas", "is_bold": True},
+    ]
