@@ -64,13 +64,91 @@ def classify_errors(items: DataFrame) -> Column:
 
 
 def filter_blacklisted(urls: DataFrame, blacklist: DataFrame, url_col: str = "url") -> DataFrame:
-    """P9: drop rows whose domain is blacklisted (broadcast anti join)."""
+    """P9 (StaticBlacklistProvider): drop rows whose domain is in a
+    static blacklist (broadcast anti join)."""
     dom = urls.withColumn("_domain", domain_expr(F.col(url_col)))
     return dom.join(
         F.broadcast(blacklist.select(F.col("domain").alias("_domain"))),
         "_domain",
         "left_anti",
     ).drop("_domain")
+
+
+# BuiltInRulesBlacklistProvider constants (reference settings.py:34-35)
+EXCLUDED_DOMAINS = {
+    "web.archive.org", "forums.giantitp.com", "www.crutchfield.com",
+    "plus.google.com", "www.lukas-renggli.ch",
+}
+DOMAIN_BLACKLIST_PATTERN = (
+    r"porn|xxx|adult|jksu\.org|lwhyl\.org$|rgcd\.cn$|hzqwyou\.cn$"
+    r"|omgoat\.org$|pussyboy\.net$"
+)
+
+
+def is_domain_blacklisted_py(domain: str, trusted: set[str] | None = None) -> bool:
+    """BuiltInRulesBlacklistProvider twin
+    [indexer/blacklist_providers.py:35-75]: excluded set -> regex ->
+    trusted whitelist -> SEO-spam heuristics (8-or-6-char random
+    subdomain of .com; all-numeric first label)."""
+    import re as _re
+
+    if domain in EXCLUDED_DOMAINS:
+        return True
+    if _re.search(DOMAIN_BLACKLIST_PATTERN, domain):
+        return True
+    if trusted and domain in trusted:
+        return False
+    parts = domain.split(".")
+    if len(parts) == 3 and parts[2] == "com" and len(parts[0]) in {6, 8}:
+        return True
+    if parts and set(parts[0]) <= set("1234567890"):
+        return True
+    return False
+
+
+def is_domain_blacklisted_expr(domain: Column, is_trusted: Column) -> Column:
+    """Spark expression twin of ``is_domain_blacklisted_py`` — rule
+    order preserved (excluded/regex fire even for trusted domains).
+    ``is_trusted`` is a boolean column (join flag against the
+    domain-prior table, the reference's DOMAINS whitelist)."""
+    parts = F.split(domain, r"\.")
+    first = F.element_at(parts, 1)
+    hard = domain.isin(list(EXCLUDED_DOMAINS)) | domain.rlike(DOMAIN_BLACKLIST_PATTERN)
+    seo = (
+        (F.size(parts) == 3)
+        & (F.element_at(parts, 3) == "com")
+        & F.length(first).isin(6, 8)
+    )
+    # Python checks set(first) <= digits, which is True for an EMPTY
+    # first label too -> [0-9]* not [0-9]+
+    numeric = first.rlike("^[0-9]*$")
+    return F.when(hard, F.lit(True)).when(is_trusted, F.lit(False)).otherwise(seo | numeric)
+
+
+def filter_blacklisted_rules(
+    urls: DataFrame, trusted_domains: DataFrame | None = None, url_col: str = "url"
+) -> DataFrame:
+    """P9 (BuiltInRulesBlacklistProvider): drop rows failing the
+    built-in spam rules. ``trusted_domains``: (domain) whitelist table,
+    broadcast (the ~8k-row HN-domains prior in the reference)."""
+    dom = urls.withColumn("_domain", domain_expr(F.col(url_col)))
+    if trusted_domains is not None:
+        dom = dom.join(
+            F.broadcast(
+                trusted_domains.select(F.col("domain").alias("_domain"))
+                .distinct()
+                .withColumn("_trusted", F.lit(True))
+            ),
+            "_domain",
+            "left",
+        )
+        trusted_flag = F.coalesce(F.col("_trusted"), F.lit(False))
+    else:
+        trusted_flag = F.lit(False)
+    return (
+        dom.where(~is_domain_blacklisted_expr(F.col("_domain"), trusted_flag))
+        .drop("_domain", "_trusted")
+    )
 
 
 def new_urls_only(urls: DataFrame, seen: DataFrame, url_col: str = "url") -> DataFrame:

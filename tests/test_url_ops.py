@@ -38,3 +38,52 @@ def test_filter_blacklisted_plan_is_broadcast_anti_join(spark):
     blacklist = spark.createDataFrame([("a.com",)], "domain string")
     plan = filter_blacklisted(urls, blacklist)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+# --- BuiltInRulesBlacklistProvider (reference test/test_blacklist.py) --------
+
+BAD_DOMAINS = [
+    "brofqpxj.uelinc.com",
+    "gzsmjc.fba01.com",
+    "59648.etnomurcia.com",
+    "something.hzqwyou.cn",
+]
+
+
+def test_builtin_rules_twin_matches_reference_cases():
+    from mwmbl_spark.operators.urls import is_domain_blacklisted_py
+
+    for d in BAD_DOMAINS:
+        assert is_domain_blacklisted_py(d), d
+    assert not is_domain_blacklisted_py(
+        "teamblog.supportbee.com", trusted={"teamblog.supportbee.com"}
+    )
+    assert not is_domain_blacklisted_py("something.com")
+    # excluded set fires even when trusted
+    assert is_domain_blacklisted_py("web.archive.org", trusted={"web.archive.org"})
+
+
+def test_builtin_rules_spark_matches_twin(spark):
+    from mwmbl_spark.operators.urls import (
+        filter_blacklisted_rules,
+        is_domain_blacklisted_py,
+    )
+
+    domains = BAD_DOMAINS + [
+        "teamblog.supportbee.com", "something.com", "web.archive.org",
+        "ok.example.org", "123456.numeric.net", "porn.example.com",
+    ]
+    urls = spark.createDataFrame(
+        [(i, f"https://{d}/x") for i, d in enumerate(domains)],
+        "doc_id long, url string",
+    )
+    trusted = spark.createDataFrame(
+        [("teamblog.supportbee.com",)], "domain string"
+    )
+    kept = {r["url"] for r in filter_blacklisted_rules(urls, trusted).collect()}
+    want = {
+        f"https://{d}/x"
+        for d in domains
+        if not is_domain_blacklisted_py(d, trusted={"teamblog.supportbee.com"})
+    }
+    assert kept == want
