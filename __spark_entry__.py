@@ -581,6 +581,14 @@ def q_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ndcg_at_10(pred, gold)
 
 
+def q_ndcg_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rankeval corpus report: mean + SEM of per-query NDCG@10 and
+    proportion-matched (evaluate.py:87-91 semantics)."""
+    from mwmbl_spark.operators.rankeval import rankeval_summary
+
+    return rankeval_summary(q_ndcg(spark, sf_dir))
+
+
 def q_tfidf_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A12: per-(query, doc) tf/idf/tf-idf statistical features."""
     t = _docs_as_transcripts(spark, sf_dir)
@@ -1044,6 +1052,14 @@ SELECT query_id,
        round(sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) / 10.0, 6) AS proportion_matched
 FROM ideal GROUP BY query_id"""
 
+ORACLE["ndcg_summary"] = f"""
+SELECT round(avg(ndcg), 6) AS ndcg_mean,
+       round(stddev_samp(ndcg) / sqrt(count(*)), 6) AS ndcg_sem,
+       round(avg(proportion_matched), 6) AS proportion_mean,
+       round(stddev_samp(proportion_matched) / sqrt(count(*)), 6) AS proportion_sem,
+       count(*) AS n_queries
+FROM ({ORACLE["ndcg"]})"""
+
 ORACLE["tfidf_features"] = f"""
 WITH {_POST_SQL},
 {_QTERM_SQL},
@@ -1446,6 +1462,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "new_urls": _shipped(q_new_urls),
         "url_errors": _shipped(q_url_errors),
         "ndcg": _shipped(q_ndcg),
+        "ndcg_summary": _shipped(q_ndcg_summary),
         "curation_apply": _shipped(q_curation_apply),
     }
 

@@ -60,3 +60,21 @@ def ndcg_at_10(predicted: DataFrame, gold: DataFrame) -> DataFrame:
         ).alias("ndcg"),
         F.round("proportion_matched", 6).alias("proportion_matched"),
     )
+
+
+def rankeval_summary(per_query: DataFrame) -> DataFrame:
+    """Corpus-level rankeval report — mean and standard error of the
+    per-query NDCG@10 and proportion-matched (the numbers the
+    reference's harness prints: rankeval/evaluation/evaluate.py:87-91,
+    sem = stddev_samp / sqrt(n))."""
+    return per_query.agg(
+        F.round(F.avg("ndcg"), 6).alias("ndcg_mean"),
+        F.round(
+            F.stddev_samp("ndcg") / F.sqrt(F.count(F.lit(1))), 6
+        ).alias("ndcg_sem"),
+        F.round(F.avg("proportion_matched"), 6).alias("proportion_mean"),
+        F.round(
+            F.stddev_samp("proportion_matched") / F.sqrt(F.count(F.lit(1))), 6
+        ).alias("proportion_sem"),
+        F.count(F.lit(1)).alias("n_queries"),
+    )
