@@ -222,6 +222,25 @@ def score_result_py(
     return 0.0
 
 
+def score_result_whole_py(
+    terms: list[str],
+    title: str,
+    url: str,
+    extract: str,
+    score,
+    is_complete: bool,
+    domain_scores: dict[str, float] | None = None,
+) -> float:
+    """score_result_whole twin [rank.py:56-74]: the combined whole-field
+    match score for promotion decisions — no majority-terms zero filter,
+    so partial matches score continuously."""
+    if not url:
+        return 0.0
+    feats = get_features_py(terms, title or "", url, extract or "", score or 0.0, is_complete, domain_scores)
+    length_penalty = math.e ** (-LENGTH_PENALTY * len(url))
+    return feats["match_score_whole"] * length_penalty * (feats["domain_score"] + DOMAIN_SCORE_SMOOTHING) / 10
+
+
 def order_results_py(
     terms: list[str],
     docs: list[dict],

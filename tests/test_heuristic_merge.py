@@ -264,3 +264,15 @@ def test_merge_pages_page_cap(spark, page_dfs):
     # the cap keeps the best-first prefix: curated doc survives on page 0
     page0 = [r for r in capped if r["page"] == 0]
     assert any(r["title"] == "curated" for r in page0)
+
+
+def test_score_result_whole_no_majority_filter():
+    """rank.py:56-74: whole-field promotion score has NO majority-terms
+    zero filter — a 1-of-3-terms match still scores > 0."""
+    from mwmbl_spark.operators.heuristic import score_result_whole_py
+
+    s = score_result_whole_py(
+        ["alpha", "beta", "gamma"], "alpha only", "https://x.com", "", None, True
+    )
+    assert s > 0.0
+    assert score_result_whole_py(["a"], "t", "", "e", None, True) == 0.0  # no url
