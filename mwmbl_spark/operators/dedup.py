@@ -102,25 +102,31 @@ def shingles_expr(toks: Column, n: int = SHINGLE_N) -> Column:
     )
 
 
-def doc_shingles(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def _toks_barrier(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(doc_id, toks) with the tokenizer MATERIALIZED: the Arrow UDF's
+    plan node (ArrowEvalPython) is a projection barrier, so downstream
+    higher-order functions reference the computed column instead of
+    having Catalyst re-inline the tokenize expression into every lambda
+    (no CSE there — measured 5x slower on the shingle pipeline)."""
+    from mwmbl_spark.functions.tokenize import tokenize_pd
+
     return docs.select(
-        F.col(id_col).alias("doc_id"),
-        shingles_expr(tokenize_expr(F.col(text_col))).alias("shingles"),
+        F.col(id_col).alias("doc_id"), tokenize_pd(F.col(text_col)).alias("toks")
+    )
+
+
+def doc_shingles(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    return _toks_barrier(docs, text_col, id_col).select(
+        "doc_id", shingles_expr(F.col("toks")).alias("shingles")
     ).where(F.size("shingles") > 0)
 
 
 def shingle_rows(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """(doc_id, shingle) exploded rows — the scale-native form.
-
-    Explode (Generate) evaluates the tokenize/shingle expression ONCE
-    per doc; downstream references see plain rows. The array form
-    (doc_shingles) suffers Catalyst projection-collapse re-inlining
-    inside higher-order-function lambdas (no CSE there), which at bench
-    scale showed up as ~8x recompute of the tokenizer.
-    """
-    return docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(shingles_expr(tokenize_expr(F.col(text_col)))).alias("shingle"),
+    """(doc_id, shingle) exploded rows — the scale-native form (explode
+    keeps downstream consumers on plain rows; the tokenizer runs once
+    per doc behind the Arrow-UDF barrier, see _toks_barrier)."""
+    return _toks_barrier(docs, text_col, id_col).select(
+        "doc_id", F.explode(shingles_expr(F.col("toks"))).alias("shingle")
     )
 
 
