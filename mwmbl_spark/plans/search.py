@@ -41,13 +41,31 @@ DOC_COLS = ["doc_id", "title", "url", "extract", "score", "state"]
 def build_term_index(docs: DataFrame) -> DataFrame:
     """P5 posting table: (term, doc_id) over title/url/extract index
     terms — the mwmbl-equivalent retrieval index (bigrams are index
-    terms, not query-side intersections)."""
-    return docs.select(
-        "doc_id",
-        F.explode(
-            document_terms_expr(F.col("title"), F.col("url"), F.col("extract"))
-        ).alias("term"),
+    terms, not query-side intersections).
+
+    Per-field tokens are materialized behind the Arrow-UDF barrier:
+    index_terms_expr references its token array many times (slice +
+    bigram element_ats) and Catalyst re-inlines raw expressions into
+    HOF lambdas with no CSE — the same 5x trap fixed in dedup.py."""
+    from mwmbl_spark.functions.tokenize import (
+        index_terms_expr,
+        prepare_url_expr,
+        tokenize_pd,
     )
+
+    toks = docs.select(
+        "doc_id",
+        tokenize_pd(F.col("title")).alias("t_title"),
+        tokenize_pd(prepare_url_expr(F.col("url"))).alias("t_url"),
+        tokenize_pd(F.col("extract")).alias("t_extract"),
+    )
+    terms = F.array_union(
+        index_terms_expr(F.col("t_title")),
+        F.array_union(
+            index_terms_expr(F.col("t_url")), index_terms_expr(F.col("t_extract"))
+        ),
+    )
+    return toks.select("doc_id", F.explode(terms).alias("term"))
 
 
 def term_counts(index: DataFrame) -> DataFrame:
