@@ -1408,8 +1408,10 @@ WHERE n > 0"""
 # ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: BM25 top-10 for the fixed query set on sf0.001."""
-    return q_bm25_topk(spark, "/root/testdata/sf0.001")
+    """Flagship: BM25 top-10 for the fixed query set on sf0.001 through
+    the engine's real path — compressed block-max segments + MaxScore
+    kernel (rank-identical to the exhaustive plan and the oracle)."""
+    return q_wand_topk(spark, "/root/testdata/sf0.001")
 
 
 def _shipped(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:

@@ -219,13 +219,20 @@ def prune_segments(
     """Bucket-pruned scan: filter on the (small, collected) bucket set of
     the query terms — becomes a partition filter on the parquet scan —
     then exact term membership via broadcast semi join. ``num_buckets``
-    must match the value the segments were built with."""
-    buckets = [
-        r["b"]
-        for r in terms_df.select(bucket_of(F.col("term"), num_buckets).alias("b"))
-        .distinct()
-        .collect()
-    ]
+    must match the value the segments were built with.
+
+    The bucket collect deliberately has NO distinct: deduping a
+    query-batch-sized list driver-side avoids a 32-partition exchange
+    whose scheduling costs ~1 s per batch (measured); the semi join
+    still deduplicates term membership exactly."""
+    buckets = sorted(
+        {
+            r["b"]
+            for r in terms_df.select(
+                bucket_of(F.col("term"), num_buckets).alias("b")
+            ).collect()
+        }
+    )
     return segs.where(F.col("bucket").isin(buckets)).join(
         F.broadcast(terms_df.select("term").distinct()), "term", "left_semi"
     )
