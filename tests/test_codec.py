@@ -95,3 +95,21 @@ def test_blocked_empty():
     data, offs = delta_encode_blocked(np.empty(0, dtype=np.uint64), 128)
     assert data == b"" and len(offs) == 0
     assert delta_decode_blocked(b"", 128).size == 0
+
+
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=2**62), min_size=1, max_size=300, unique=True
+    ),
+    st.sampled_from([1, 3, 64, 128]),
+)
+def test_blocked_roundtrip_property(vals, bs):
+    ids = np.sort(np.array(vals, dtype=np.uint64))
+    data, offs = delta_encode_blocked(ids, bs)
+    assert np.array_equal(delta_decode_blocked(data, bs), ids)
+    # every block independently
+    n_blocks = (len(ids) + bs - 1) // bs
+    blk = np.random.default_rng(0).integers(0, n_blocks)
+    assert np.array_equal(
+        decode_block(data, offs, int(blk)), ids[blk * bs:(blk + 1) * bs]
+    )
