@@ -631,6 +631,55 @@ def q_new_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     return new_urls_only(urls, seen)
 
 
+def _crawl_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic crawl-item fixture derived from documents: content
+    rows carry 1-2 extracted links (one spam link per 5th doc, dropped
+    by the built-in blacklist rules); no-content rows carry an error."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.org/"),
+        F.col("lang"), F.lit("/doc_"), F.col("doc_id").cast("string"),
+    )
+    link1 = F.concat(
+        F.lit("https://link-"), (F.col("doc_id") % 13).cast("string"),
+        F.lit(".example.net/p"), (F.col("doc_id") % 29).cast("string"),
+    )
+    links = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.array(link1, F.lit("https://abcdef.spam01.com/x")),
+    ).otherwise(F.array(link1))
+    has_content = F.col("doc_id") % 4 != 1
+    return docs.select(
+        url.alias("url"),
+        F.concat(F.lit("u"), (F.col("doc_id") % 5).cast("string")).alias("user_id"),
+        F.col("doc_id").alias("ts"),
+        F.when(F.col("doc_id") % 8 == 1, F.lit(404)).otherwise(F.lit(0)).alias("status"),
+        F.when(F.col("doc_id") % 8 == 5, F.lit("AbortError"))
+        .otherwise(F.lit(None).cast("string")).alias("error_name"),
+        has_content.alias("has_content"),
+        F.when(has_content, links).alias("links"),
+    )
+
+
+def q_record_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed crawl-result -> URL-store flow (update_urls.py:42-133):
+    item statuses + blacklist-filtered links and their roots, resolved
+    per url (status only progresses forwards; latest writer provides
+    user/ts)."""
+    from mwmbl_spark.operators.update_urls import record_urls
+
+    found, _ = record_urls(_crawl_items(spark, sf_dir))
+    return found
+
+
+def q_record_url_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The domain-edge side of record_urls (feeds the J7 link graph)."""
+    from mwmbl_spark.operators.update_urls import record_urls
+
+    _, links = record_urls(_crawl_items(spark, sf_dir))
+    return links
+
+
 def q_url_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mwmbl_spark.operators.urls import classify_errors
 
@@ -1141,6 +1190,78 @@ WITH {_URL_SQL}
 SELECT doc_id, url FROM urls
 WHERE url NOT IN (SELECT url FROM urls WHERE doc_id % 4 = 0)"""
 
+_CRAWL_ITEMS_SQL = """
+base AS (
+  SELECT doc_id,
+         'https://' || source || '.example.org/' || lang || '/doc_' || doc_id::VARCHAR AS url,
+         'u' || (doc_id % 5)::VARCHAR AS user_id,
+         doc_id AS ts,
+         doc_id % 4 <> 1 AS has_content
+  FROM documents
+),
+item_rows AS (
+  SELECT url, user_id, ts,
+         CASE WHEN has_content THEN 100
+              WHEN doc_id % 8 = 1 THEN 30   -- 404
+              WHEN doc_id % 8 = 5 THEN 20   -- AbortError/timeout
+              ELSE 40 END AS status
+  FROM base
+),
+raw_links AS (
+  SELECT user_id, ts,
+         regexp_extract(url, '^https?://([^/]+)', 1) AS src_domain,
+         l.link
+  FROM base, unnest(
+    CASE WHEN doc_id % 5 = 0
+         THEN ['https://link-' || (doc_id % 13)::VARCHAR || '.example.net/p' || (doc_id % 29)::VARCHAR,
+               'https://abcdef.spam01.com/x']
+         ELSE ['https://link-' || (doc_id % 13)::VARCHAR || '.example.net/p' || (doc_id % 29)::VARCHAR]
+    END) AS l(link)
+  WHERE has_content
+),
+with_dom AS (
+  SELECT *, regexp_extract(link, '^[a-z]+://([^/]+)', 1) AS link_domain,
+         regexp_extract(link, '^([a-z]+)://', 1) AS proto,
+         string_split(regexp_extract(link, '^[a-z]+://([^/]+)', 1), '.') AS parts
+  FROM raw_links
+),
+ok_links AS (
+  SELECT * FROM with_dom
+  WHERE link_domain <> ''
+    AND NOT (
+      link_domain IN ('web.archive.org', 'forums.giantitp.com',
+                      'www.crutchfield.com', 'plus.google.com',
+                      'www.lukas-renggli.ch')
+      OR regexp_matches(link_domain,
+          'porn|xxx|adult|jksu\\.org|lwhyl\\.org$|rgcd\\.cn$|hzqwyou\\.cn$|omgoat\\.org$|pussyboy\\.net$')
+      OR (len(parts) = 3 AND parts[3] = 'com' AND len(parts[1]) IN (6, 8))
+      OR regexp_matches(parts[1], '^[0-9]*$')
+    )
+),
+link_rows AS (
+  SELECT link AS url, user_id, ts, 0 AS status FROM ok_links
+  UNION ALL
+  SELECT proto || '://' || link_domain || '/' AS url, user_id, ts, 0 FROM ok_links
+),
+all_rows AS (
+  SELECT url, user_id, ts, status FROM item_rows
+  UNION ALL SELECT url, user_id, ts, status FROM link_rows
+),
+resolved AS (
+  SELECT url, user_id, ts,
+         max(status) OVER (PARTITION BY url) AS status,
+         row_number() OVER (PARTITION BY url ORDER BY ts DESC, user_id DESC) AS rn
+  FROM all_rows
+)"""
+
+ORACLE["record_urls"] = f"""
+WITH {_CRAWL_ITEMS_SQL}
+SELECT url, user_id, status, ts FROM resolved WHERE rn = 1"""
+
+ORACLE["record_url_links"] = f"""
+WITH {_CRAWL_ITEMS_SQL}
+SELECT DISTINCT src_domain, link_domain AS dst_domain FROM ok_links"""
+
 ORACLE["url_errors"] = """
 SELECT doc_id,
        CASE WHEN doc_id % 5 = 1 THEN 30
@@ -1463,6 +1584,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_graph": _shipped(q_link_graph),
         "new_urls": _shipped(q_new_urls),
         "url_errors": _shipped(q_url_errors),
+        "record_urls": _shipped(q_record_urls),
+        "record_url_links": _shipped(q_record_url_links),
         "ndcg": _shipped(q_ndcg),
         "ndcg_summary": _shipped(q_ndcg_summary),
         "curation_apply": _shipped(q_curation_apply),

@@ -87,3 +87,37 @@ def test_builtin_rules_spark_matches_twin(spark):
         if not is_domain_blacklisted_py(d, trusted={"teamblog.supportbee.com"})
     }
     assert kept == want
+
+
+# --- record_urls (update_urls.py:42-133 composed flow) ------------------------
+
+def test_record_urls_flow(spark):
+    from mwmbl_spark.operators.update_urls import record_urls
+
+    items = spark.createDataFrame(
+        [
+            ("https://site.a.com/page1", "u1", 100, 0, None, True,
+             ["https://good.example.org/x", "https://abcdef.spam01.com/bad"]),
+            ("https://good.example.org/x", "u2", 200, 404, None, False, None),
+            ("https://site.a.com/page1", "u3", 50, 0, None, True, []),
+        ],
+        "url string, user_id string, ts long, status int, error_name string, "
+        "has_content boolean, links array<string>",
+    )
+    found, links = record_urls(items)
+    rows = {r["url"]: r for r in found.collect()}
+
+    # crawled item: CRAWLED wins; latest-ts writer provides (user, ts)
+    assert rows["https://site.a.com/page1"]["status"] == 100
+    assert rows["https://site.a.com/page1"]["user_id"] == "u1"
+    # url that is BOTH a link and a failed crawl: error status beats NEW
+    assert rows["https://good.example.org/x"]["status"] == 30  # 404
+    assert rows["https://good.example.org/x"]["user_id"] == "u2"
+    # the link's root url is recorded as NEW
+    assert rows["https://good.example.org/"]["status"] == 0
+    # blacklisted link (6-char .com subdomain) and its root are excluded
+    assert "https://abcdef.spam01.com/bad" not in rows
+    assert "https://abcdef.spam01.com/" not in rows
+
+    edges = {(r["src_domain"], r["dst_domain"]) for r in links.collect()}
+    assert edges == {("site.a.com", "good.example.org")}
