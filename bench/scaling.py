@@ -4,7 +4,7 @@ No real cluster exists in this sandbox, so the N vs 4N executor
 comparison is evidenced by running the IDENTICAL job on IDENTICAL input
 at two parallelism levels — local[N] vs local[4N], default 1 vs 4 (the
 levels where this sandbox VM delivers clean CPU scaling; see
-BENCH/BASELINE.md hardware-ceiling note) — with
+BENCH/SCALING.md hardware-ceiling note) — with
 spark.sql.shuffle.partitions scaled proportionally, each in a fresh JVM
 (subprocess) so nothing warm carries over.
 
@@ -13,7 +13,8 @@ Work measured per run:
      salted block-max segments (delta+varbyte) -> manifest commit
   2. query batch: BM25 top-10 via the segment/WAND path
 
-Output: JSON per run + BENCH/BASELINE.md with
+Output: JSON per run + BENCH/SCALING.md with (regenerated wholesale —
+narrative results live in BENCH/BASELINE.md, which this script never touches)
   efficiency = (throughput_4N / throughput_N) / 4   (target >= 0.8)
 
 Usage:
@@ -216,13 +217,13 @@ def main() -> None:
     }
     print(json.dumps(report))
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    with open(os.path.join(REPO, "BENCH", "SCALING.md"), "w") as f:
         f.write(render_md(report))
 
 
 def render_md(r: dict) -> str:
     n, n4 = r["cores_n"], r["cores_4n"]
-    return f"""# BENCH/BASELINE — measured engine numbers
+    return f"""# BENCH/SCALING — N-vs-4N protocol output (auto-generated)
 
 ## Scaling protocol (north rule: N vs 4N executors, efficiency >= 0.8)
 
