@@ -382,18 +382,30 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, ANN_QUERY_IDS, k=10)
 
 
+def _docs_with_toks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, text, toks) with the tokenizer materialized behind the
+    Arrow-UDF barrier (quality expressions reference it many times)."""
+    from mwmbl_spark.functions.tokenize import tokenize_pd
+
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", tokenize_pd(F.col("text")).alias("toks")
+    )
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mwmbl_spark.functions.text_quality import lang_id_expr
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return docs.select("doc_id", lang_id_expr(F.col("text")).alias("pred_lang"))
+    docs = _docs_with_toks(spark, sf_dir)
+    return docs.select(
+        "doc_id", lang_id_expr(F.col("text"), F.col("toks")).alias("pred_lang")
+    )
 
 
 def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mwmbl_spark.functions.text_quality import quality_features, quality_score_expr
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    f = quality_features(F.col("text"))
+    docs = _docs_with_toks(spark, sf_dir)
+    f = quality_features(F.col("text"), F.col("toks"))
     return docs.select(
         "doc_id",
         f["n_tokens"].alias("n_tokens"),
@@ -401,15 +413,15 @@ def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(f["mean_token_len"], 6).alias("mean_token_len"),
         F.round(f["stopword_ratio"], 6).alias("stopword_ratio"),
         F.round(f["punct_ratio"], 6).alias("punct_ratio"),
-        quality_score_expr(F.col("text")).alias("quality"),
+        quality_score_expr(F.col("text"), F.col("toks")).alias("quality"),
     )
 
 
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mwmbl_spark.functions.text_quality import token_counts
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    tc = token_counts(F.col("text"))
+    docs = _docs_with_toks(spark, sf_dir)
+    tc = token_counts(F.col("text"), F.col("toks"))
     return docs.select(
         "doc_id",
         tc["n_ws_tokens"].alias("n_ws_tokens"),
@@ -421,8 +433,10 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mwmbl_spark.functions.text_quality import fingerprint_expr
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return docs.select("doc_id", fingerprint_expr(F.col("text")).alias("fingerprint"))
+    docs = _docs_with_toks(spark, sf_dir)
+    return docs.select(
+        "doc_id", fingerprint_expr(F.col("text"), F.col("toks")).alias("fingerprint")
+    )
 
 
 def q_mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:

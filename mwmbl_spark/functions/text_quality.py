@@ -34,11 +34,16 @@ def _count_in(toks: Column, words: list[str]) -> Column:
     return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
 
 
-def lang_id_expr(text: Column) -> Column:
+def lang_id_expr(text: Column, toks: Column | None = None) -> Column:
     """Predicted language: argmax of marker-token counts, ties and
     all-zero -> 'unknown'; tiebreak = first language in sorted order
-    strictly greater than all later ones (deterministic)."""
-    toks = tokenize_expr(text)
+    strictly greater than all later ones (deterministic).
+
+    Pass a pre-materialized ``toks`` column (e.g. tokenize_pd behind the
+    Arrow-UDF projection barrier) on wide scans: the expression
+    references the token array several times and Catalyst re-inlines a
+    raw tokenize per reference (docs/SCALE.md pathology note)."""
+    toks = tokenize_expr(text) if toks is None else toks
     counts = {lang: _count_in(toks, words) for lang, words in sorted(LANG_MARKERS.items())}
     langs = sorted(counts)
     best = F.greatest(*[counts[lg] for lg in langs])
@@ -49,8 +54,8 @@ def lang_id_expr(text: Column) -> Column:
     return pred
 
 
-def quality_features(text: Column) -> dict[str, Column]:
-    toks = tokenize_expr(text)
+def quality_features(text: Column, toks: Column | None = None) -> dict[str, Column]:
+    toks = tokenize_expr(text) if toks is None else toks
     n_tokens = F.size(toks)
     n_chars = F.length(text)
     stop = _count_in(toks, STOPWORDS_SMALL)
@@ -64,12 +69,12 @@ def quality_features(text: Column) -> dict[str, Column]:
     }
 
 
-def quality_score_expr(text: Column) -> Column:
+def quality_score_expr(text: Column, toks: Column | None = None) -> Column:
     """Composite quality in [0,1]: length saturation + stopword presence
     - punctuation noise. An explicit, deterministic formula (the exact
     weights are a policy choice; what matters is the engine computes it
     columnar and the oracle agrees)."""
-    f = quality_features(text)
+    f = quality_features(text, toks)
     length_component = F.least(f["n_tokens"].cast("double") / 100.0, F.lit(1.0))
     stop_component = F.least(f["stopword_ratio"] * 4.0, F.lit(1.0))
     punct_penalty = F.least(f["punct_ratio"] * 2.0, F.lit(1.0))
@@ -78,10 +83,10 @@ def quality_score_expr(text: Column) -> Column:
     )
 
 
-def token_counts(text: Column) -> dict[str, Column]:
+def token_counts(text: Column, toks: Column | None = None) -> dict[str, Column]:
     """Whitespace token count + BPE-ish regex token count."""
     return {
-        "n_ws_tokens": F.size(tokenize_expr(text)),
+        "n_ws_tokens": F.size(tokenize_expr(text) if toks is None else toks),
         "n_bpe_tokens": F.size(F.regexp_extract_all(F.lower(text), F.lit(BPE_ISH_REGEX), 0)),
         "n_chars": F.length(text),
     }
@@ -90,11 +95,11 @@ def token_counts(text: Column) -> dict[str, Column]:
 FP_MOD = 1 << 32
 
 
-def fingerprint_expr(text: Column) -> Column:
+def fingerprint_expr(text: Column, toks: Column | None = None) -> Column:
     """Order-sensitive 32-bit document fingerprint: positional rolling
     hash sum_i (hash60(i || ':' || tok_i) mod 2^32) mod 2^32. Reordering
     tokens changes the value (unlike a bag-of-words hash)."""
-    toks = tokenize_expr(text)
+    toks = tokenize_expr(text) if toks is None else toks
     contribs = F.zip_with(
         toks,
         F.sequence(F.lit(0), F.size(toks) - 1),
