@@ -230,9 +230,13 @@ def q_tfidf_reference(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_index_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P5: distinct(first-10 tokens ∪ first-10 bigrams) per document."""
+    """P5: distinct(first-10 tokens ∪ first-10 bigrams) per document.
+    Tokens materialized behind the Arrow-UDF barrier (index_terms_expr
+    references the array many times — docs/SCALE.md pathology)."""
+    from mwmbl_spark.functions.tokenize import tokenize_pd
+
     t = _docs_as_transcripts(spark, sf_dir)
-    toks = t.select("doc_id", tokenize_expr(F.col("text")).alias("toks"))
+    toks = t.select("doc_id", tokenize_pd(F.col("text")).alias("toks"))
     return toks.select(
         "doc_id", F.explode(index_terms_expr(F.col("toks"))).alias("term")
     ).distinct()
@@ -240,8 +244,10 @@ def q_index_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P3: first min(10, len-1) positional bigrams, with position."""
+    from mwmbl_spark.functions.tokenize import tokenize_pd
+
     t = _docs_as_transcripts(spark, sf_dir)
-    toks = t.select("doc_id", tokenize_expr(F.col("text")).alias("toks"))
+    toks = t.select("doc_id", tokenize_pd(F.col("text")).alias("toks"))
     return toks.select(
         "doc_id",
         F.posexplode(bigrams_expr(F.col("toks"))).alias("pos", "bigram"),
