@@ -99,8 +99,12 @@ def reshard(spark, old_builder, new_cfg) -> "IndexBuilder":  # noqa: F821
             postings, doc_lens, stats, n_docs, avg, new_cfg.num_buckets, new_cfg.nsalt
         )
         base = new_cfg.path
+        n_write = min(
+            new_cfg.num_buckets,
+            max(4, spark.sparkContext.defaultParallelism * 4),
+        )
         (
-            segs.repartition(new_cfg.num_buckets, F.col("bucket"))
+            segs.repartition(n_write, F.col("bucket"))
             .sortWithinPartitions("bucket", "term", "salt")
             .write.mode("overwrite")
             .partitionBy("bucket")
