@@ -445,6 +445,43 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _doc_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic paragraph table derived from documents: 15-token
+    chunks with synthetic link-chars and dom paths (the DOM walk itself
+    is crawl infrastructure; the classifier operates on this shape)."""
+    docs = _docs_with_toks(spark, sf_dir)
+    n_para = F.ceil(F.size("toks") / 15).cast("int")
+    para = docs.where(F.size("toks") > 0).select(
+        "doc_id", "toks",
+        F.explode(F.sequence(F.lit(0), n_para - 1)).alias("pos"),
+    ).select(
+        "doc_id", "pos",
+        F.concat_ws(" ", F.slice("toks", F.col("pos") * 15 + 1, 15)).alias("text"),
+        F.when((F.col("doc_id") % 7 == 0) & (F.col("pos") == 0), F.lit(10))
+        .otherwise(F.lit(0)).alias("chars_in_links"),
+        F.when(F.col("pos") % 4 == 0, F.lit("body.h2.p"))
+        .otherwise(F.lit("body.div.p")).alias("dom_path"),
+    )
+    return para.where(F.col("text") != "")
+
+
+def q_content_extract_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """jusText pass 1 (context-free paragraph classification,
+    core.py:253-284) — link density, copyright, length and
+    stopword-density bands. The sequential pass-2 revision and the
+    final extraction are pytest-gated Spark-vs-twin
+    (tests/test_extract.py), like the other non-SQL-expressible ops."""
+    from mwmbl_spark.operators.extract import cf_class_expr
+
+    para = _doc_paragraphs(spark, sf_dir)
+    return para.select(
+        "doc_id", "pos",
+        cf_class_expr(
+            F.col("text"), F.col("chars_in_links"), F.col("dom_path")
+        ).alias("cf_class"),
+    )
+
+
 def q_mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mwmbl_spark.multimodal import attach_fake_payload, decode_image_meta
 
@@ -1512,6 +1549,41 @@ FROM pages p WHERE NOT EXISTS (SELECT 1 FROM touched t WHERE t.page = p.page)
 UNION ALL
 SELECT page, position, title, url, extract, score, term, state FROM rewritten"""
 
+ORACLE["content_extract_cf"] = (
+    "WITH " + _TOK_SQL + r""",
+para AS (
+  SELECT doc_id, p.pos::INT AS pos,
+         array_to_string(toks[p.pos*15+1 : p.pos*15+15], ' ') AS ptext,
+         CASE WHEN doc_id % 7 = 0 AND p.pos = 0 THEN 10 ELSE 0 END AS cil,
+         CASE WHEN p.pos % 4 = 0 THEN 'body.h2.p' ELSE 'body.div.p' END AS dom_path
+  FROM tok, unnest(range(((len(toks) + 14) // 15)::BIGINT)) AS p(pos)
+  WHERE len(toks) > 0
+),
+feat AS (
+  SELECT doc_id, pos, ptext, cil, dom_path,
+         length(ptext) AS plen,
+         list_filter(string_split_regex(trim(ptext), '\s+'), x -> x <> '') AS words
+  FROM para WHERE ptext <> ''
+),
+dens AS (
+  SELECT doc_id, pos, ptext, cil, dom_path, plen,
+         CASE WHEN len(words) > 0
+              THEN len(list_filter(words, x -> lower(x) IN ('a', 'about', 'above', 'after', 'again', 'all', 'am', 'an', 'and', 'any', 'are', 'as', 'at', 'be', 'because', 'been', 'before', 'being', 'below', 'between', 'both', 'but', 'by', 'could', 'did', 'do', 'does', 'doing', 'down', 'during', 'each', 'few', 'for', 'from', 'further', 'had', 'has', 'have', 'having', 'he', 'her', 'here', 'hers', 'him', 'his', 'how', 'i', 'if', 'in', 'into', 'is', 'it', 'its', 'just', 'me', 'more', 'most', 'my', 'no', 'nor', 'not', 'of', 'off', 'on', 'once', 'only', 'or', 'other', 'our', 'out', 'over', 'own', 'same', 'she', 'so', 'some', 'such', 'than', 'that', 'the', 'their', 'them', 'then', 'there', 'these', 'they', 'this', 'those', 'through', 'to', 'too', 'under', 'until', 'up', 'very', 'was', 'we', 'were', 'what', 'when', 'where', 'which', 'while', 'who', 'whom', 'why', 'will', 'with', 'you', 'your')))::DOUBLE / len(words)
+              ELSE 0 END AS swd,
+         CASE WHEN plen > 0 THEN cil::DOUBLE / plen ELSE 0 END AS ld
+  FROM feat
+)
+SELECT doc_id, pos,
+       CASE WHEN ld > 0.2 THEN 'bad'
+            WHEN contains(ptext, chr(169)) OR contains(ptext, '&copy') THEN 'bad'
+            WHEN contains(dom_path, 'select') THEN 'bad'
+            WHEN plen < 70 THEN (CASE WHEN cil > 0 THEN 'bad' ELSE 'short' END)
+            WHEN swd >= 0.32 THEN (CASE WHEN plen > 200 THEN 'good' ELSE 'neargood' END)
+            WHEN swd >= 0.30 THEN 'neargood'
+            ELSE 'bad' END AS cf_class
+FROM dens"""
+)
+
 ORACLE["mm_decode"] = """
 SELECT doc_id,
        octet_length(encode(text)) AS n_bytes,
@@ -1596,6 +1668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_features": _shipped(q_text_features),
         "token_stats": _shipped(q_token_stats),
         "fingerprint": _shipped(q_fingerprint),
+        "content_extract_cf": _shipped(q_content_extract_cf),
         "mm_decode": _shipped(q_mm_decode),
         "mm_resize": _shipped(q_mm_resize),
         "mm_frames": _shipped(q_mm_frames),
