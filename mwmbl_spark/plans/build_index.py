@@ -169,14 +169,34 @@ class IndexBuilder:
 
     def doc_totals(self) -> tuple[int, int]:
         """(n_docs, sum_len) over committed partitions — includes
-        zero-token docs the posting relation can't see."""
+        zero-token docs the posting relation can't see. Local doc_stats
+        are single-row files written driver-side; read them back
+        driver-side too (a Spark job costs ~0.3-0.5 s of scheduling for
+        a handful of rows). Non-local paths use the Spark reader."""
         from mwmbl_spark.manifest import committed_partitions
 
-        done = [str(d) for d in committed_partitions(self.spark, self.cfg.path)]
+        done = {str(d) for d in committed_partitions(self.spark, self.cfg.path)}
+        base = f"{self.cfg.path}/doc_stats"
+        if "://" not in base or base.startswith("file://"):
+            import glob
+            import os
+
+            import pyarrow.parquet as pq
+
+            local = base.removeprefix("file://")
+            n = s = 0
+            for part_dir in glob.glob(os.path.join(local, "src_part=*")):
+                if os.path.basename(part_dir).split("=", 1)[1] not in done:
+                    continue
+                for f in glob.glob(os.path.join(part_dir, "*.parquet")):
+                    t = pq.read_table(f, columns=["n_docs", "sum_len"])
+                    n += sum(t.column("n_docs").to_pylist())
+                    s += sum(t.column("sum_len").to_pylist())
+            return n, s
         ds = (
-            self.spark.read.option("basePath", f"{self.cfg.path}/doc_stats")
-            .parquet(f"{self.cfg.path}/doc_stats")
-            .where(F.col("src_part").cast("string").isin(done))
+            self.spark.read.option("basePath", base)
+            .parquet(base)
+            .where(F.col("src_part").cast("string").isin(list(done)))
             .agg(F.sum("n_docs").alias("n"), F.sum("sum_len").alias("s"))
             .collect()[0]
         )
