@@ -35,7 +35,7 @@ STATUS_INDEXED = "INDEXED"
 
 MANIFEST_SCHEMA = (
     "src_partition string, status string, n_docs long, n_postings long, "
-    "wall_ms long, committed_at timestamp"
+    "wall_ms long, committed_at timestamp, seq long, replaces string"
 )
 
 
@@ -50,37 +50,96 @@ def read_manifest(spark: SparkSession, index_path: str) -> DataFrame:
         return spark.createDataFrame([], MANIFEST_SCHEMA)
 
 
-def committed_partitions(spark: SparkSession, index_path: str) -> set[str]:
-    """The committed set. Local manifests are read driver-side with
-    pyarrow (the manifest is a handful of single-row files written
-    driver-side; a Spark job costs ~0.3-0.5 s of pure scheduling per
-    call and query_topk consults this 2-3x per batch). Non-local paths
-    (hdfs://, s3://) fall back to the Spark reader — at that point the
-    manifest is Iceberg metadata anyway."""
+def _read_rows(spark: SparkSession, index_path: str) -> list[dict]:
+    """All manifest rows as dicts (seq/replaces default 0/"" for rows
+    written before the upsert epoch). Local manifests are read
+    driver-side with pyarrow (the manifest is a handful of single-row
+    files written driver-side; a Spark job costs ~0.3-0.5 s of pure
+    scheduling per call and query_topk consults this 2-3x per batch).
+    Non-local paths (hdfs://, s3://) fall back to the Spark reader — at
+    that point the manifest is Iceberg metadata anyway."""
     d = manifest_path(index_path)
+    rows: list[dict] = []
     if "://" not in d or d.startswith("file://"):
         import glob
 
         import pyarrow.parquet as pq
 
         local = d.removeprefix("file://")
-        out: set[str] = set()
         for f in glob.glob(os.path.join(local, "*.parquet")):
-            t = pq.read_table(f, columns=["src_partition", "status"])
-            for part, status in zip(
-                t.column("src_partition").to_pylist(), t.column("status").to_pylist()
-            ):
-                if status == STATUS_INDEXED:
-                    out.add(part)
-        return out
+            t = pq.read_table(f)
+            names = set(t.schema.names)
+            cols = {
+                "src_partition": t.column("src_partition").to_pylist(),
+                "status": t.column("status").to_pylist(),
+                "seq": t.column("seq").to_pylist() if "seq" in names else None,
+                "replaces": t.column("replaces").to_pylist() if "replaces" in names else None,
+            }
+            for i in range(t.num_rows):
+                rows.append(
+                    {
+                        "src_partition": cols["src_partition"][i],
+                        "status": cols["status"][i],
+                        "seq": int(cols["seq"][i]) if cols["seq"] else 0,
+                        "replaces": (cols["replaces"][i] or "") if cols["replaces"] else "",
+                    }
+                )
+        return rows
     m = read_manifest(spark, index_path)
+    if "seq" not in m.columns:
+        m = m.withColumn("seq", F.lit(0).cast("long"))
+    if "replaces" not in m.columns:
+        m = m.withColumn("replaces", F.lit("").cast("string"))
+    for r in m.select("src_partition", "status", "seq", "replaces").collect():
+        rows.append(
+            {
+                "src_partition": r["src_partition"],
+                "status": r["status"],
+                "seq": int(r["seq"] or 0),
+                "replaces": r["replaces"] or "",
+            }
+        )
+    return rows
+
+
+def partition_seqs(spark: SparkSession, index_path: str) -> dict[str, int]:
+    """LIVE fragments -> commit seq. A fragment is live when it is
+    INDEXED and not listed in any committed fragment's ``replaces``
+    (compaction supersedes its inputs logically before any physical
+    vacuum). Re-commits of the same src_part keep the max seq."""
+    rows = [r for r in _read_rows(spark, index_path) if r["status"] == STATUS_INDEXED]
+    seqs: dict[str, int] = {}
+    replaced: set[str] = set()
+    for r in rows:
+        part = r["src_partition"]
+        seqs[part] = max(seqs.get(part, 0), r["seq"])
+        if r["replaces"]:
+            replaced.update(p for p in r["replaces"].split(",") if p)
+    return {p: s for p, s in seqs.items() if p not in replaced}
+
+
+def committed_partitions(spark: SparkSession, index_path: str) -> set[str]:
+    """The LIVE committed set (read-side visibility): committed minus
+    compaction-replaced. Use ``ever_committed_partitions`` for
+    resume/pending logic — a replaced base partition must not rebuild,
+    its docs live on in the compacted fragment."""
+    return set(partition_seqs(spark, index_path))
+
+
+def ever_committed_partitions(spark: SparkSession, index_path: str) -> set[str]:
     return {
         r["src_partition"]
-        for r in m.where(F.col("status") == STATUS_INDEXED)
-        .select("src_partition")
-        .distinct()
-        .collect()
+        for r in _read_rows(spark, index_path)
+        if r["status"] == STATUS_INDEXED
     }
+
+
+def next_seq(spark: SparkSession, index_path: str) -> int:
+    """1 + max seq over ALL manifest rows (including replaced): seqs are
+    globally monotonic — delete-vector semantics (`kills postings of
+    fragments with smaller seq`) depend on it."""
+    rows = _read_rows(spark, index_path)
+    return 1 + max((r["seq"] for r in rows), default=0)
 
 
 def commit_partition(
@@ -90,6 +149,8 @@ def commit_partition(
     n_docs: int,
     n_postings: int,
     wall_ms: int,
+    seq: int = 0,
+    replaces: list[str] | None = None,
 ) -> None:
     """Append one manifest row as a uniquely-named parquet file written
     driver-side (pyarrow): a single metadata row does not warrant a
@@ -115,6 +176,8 @@ def commit_partition(
                 [datetime.now(timezone.utc).replace(tzinfo=None)],
                 pa.timestamp("us"),
             ),
+            "seq": pa.array([seq], pa.int64()),
+            "replaces": pa.array([",".join(replaces or [])], pa.string()),
         }
     )
     tmp = os.path.join(path, f".tmp-{uuid.uuid4().hex}.parquet")
@@ -128,8 +191,9 @@ def pending_partitions(
 ) -> list[str]:
     """Set difference vs the manifest (the reference's status-driven
     chunk selection, process_batch.py:27-29) — anti-join semantics,
-    done driver-side because the partition list is tiny."""
-    done = committed_partitions(spark, index_path)
+    done driver-side because the partition list is tiny. Uses the
+    EVER-committed set: a compaction-replaced partition stays done."""
+    done = ever_committed_partitions(spark, index_path)
     return [p for p in all_partitions if p not in done]
 
 

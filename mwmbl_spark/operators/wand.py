@@ -72,10 +72,12 @@ class _List:
         "term", "idf", "ub", "growth", "n_postings", "n_blocks",
         "block_last", "block_maxes", "o_ids", "o_tfs", "o_lens",
         "d_ids", "d_tfs", "d_lens", "blocks", "full_ids", "full_partial",
+        "seq",
     )
 
     def __init__(self, row, idf: float, avg_len_q: float):
         self.term = row.term
+        self.seq = int(getattr(row, "seq", 0) or 0)
         self.idf = idf
         self.growth = max(1.0, avg_len_q / float(row.avg_len_build))
         self.ub = idf * float(row.max_tfn) * self.growth * _UB_SLACK
@@ -109,12 +111,23 @@ def make_kernel(
     k: int,
     mode: str = "disjunctive",
     stats_sink: dict | None = None,
+    deletes=None,
 ):
+    """``deletes``: per-salt delete map (operators/upsert.load_delete_map,
+    plain dict or a SparkContext broadcast) — postings whose doc has a
+    newer version in a later fragment are masked at block-decode time.
+    Bounds stay valid (dropping rows can only lower a max); masked docs
+    can never become candidates because candidates come from decoded
+    (already-masked) ids."""
     n_docs_f, avg_len_f = float(n_docs), float(avg_len)
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         query_id = int(pdf["query_id"].iloc[0])
         n_terms = int(pdf["n_terms"].iloc[0])
+        dmap = deletes.value if hasattr(deletes, "value") else deletes
+        dead_entry = (
+            dmap.get(int(pdf["salt"].iloc[0])) if dmap and "salt" in pdf else None
+        )
         ctr = {"blocks_decoded": 0, "blocks_total": 0, "rows_full": 0,
                "rows_total": 0, "rows_untouched": 0}
 
@@ -158,6 +171,12 @@ def make_kernel(
             ids = np.cumsum(gaps, dtype=np.uint64)
             tf = vb_decode(slice_block(lst.d_tfs, lst.o_tfs, blk)).astype(np.float64)
             dl = vb_decode(slice_block(lst.d_lens, lst.o_lens, blk)).astype(np.float64)
+            if dead_entry is not None:
+                from mwmbl_spark.operators.upsert import dead_mask
+
+                keep = dead_mask(ids, lst.seq, dead_entry)
+                if keep is not None:
+                    ids, tf, dl = ids[keep], tf[keep], dl[keep]
             got = (ids, _partial(lst.idf, tf, dl, avg_len_f))
             lst.blocks[blk] = got
             ctr["blocks_decoded"] += 1
@@ -178,6 +197,8 @@ def make_kernel(
             hit = np.zeros(len(cand), dtype=bool)
             if lst.full_ids is not None:
                 ids, partial = lst.full_ids, lst.full_partial
+                if ids.size == 0:
+                    return contrib, hit
                 idx = np.minimum(np.searchsorted(ids, cand), len(ids) - 1)
                 h = ids[idx] == cand
                 contrib[h] = partial[idx[h]]
@@ -186,6 +207,8 @@ def make_kernel(
             valid = blk < lst.n_blocks
             for b_ix in np.unique(blk[valid]):
                 ids, partial = decode_blk(lst, int(b_ix))
+                if ids.size == 0:  # block fully masked by delete vector
+                    continue
                 sel = valid & (blk == b_ix)
                 idx = np.minimum(np.searchsorted(ids, cand[sel]), len(ids) - 1)
                 h = ids[idx] == cand[sel]
@@ -330,10 +353,13 @@ def wand_topk(
     k: int = 10,
     mode: str = "disjunctive",
     num_buckets: int | None = None,
+    deletes=None,
 ) -> DataFrame:
     """Top-k over the compressed segment table -> (query_id, doc_id,
     score, rank). Rank-identical to bm25.bm25_topk / the oracle.
-    ``num_buckets`` must match the segment build's bucket count."""
+    ``num_buckets`` must match the segment build's bucket count.
+    ``deletes``: per-salt delete map for merge-on-read upserts
+    (operators/upsert.py); broadcast to executors when non-trivial."""
     from mwmbl_spark import DEFAULT_NUM_BUCKETS
 
     qt = query_terms(queries)
@@ -341,8 +367,12 @@ def wand_topk(
     joined = segs.join(F.broadcast(qt), "term").join(
         F.broadcast(stats.select("term", "df")), "term"
     )
+    if deletes is not None and not hasattr(deletes, "value") and not deletes:
+        deletes = None  # empty map: zero kernel overhead
+    if deletes is not None and not hasattr(deletes, "value"):
+        deletes = segments.sparkSession.sparkContext.broadcast(deletes)
     local = joined.groupBy("query_id", "salt").applyInPandas(
-        make_kernel(n_docs, avg_len, k, mode), schema=KERNEL_OUT_SCHEMA
+        make_kernel(n_docs, avg_len, k, mode, deletes=deletes), schema=KERNEL_OUT_SCHEMA
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     return (

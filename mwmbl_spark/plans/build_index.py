@@ -5,6 +5,8 @@ Layout of an index directory:
     {path}/segments/src_part=P/bucket=B/*.parquet   — block-max segments
     {path}/stats/src_part=P/*.parquet               — per-partition (term, df, cf)
     {path}/doc_stats/src_part=P/*.parquet           — (n_docs, sum_len)
+    {path}/doc_index/src_part=P/*.parquet           — (salt, doc_id, doc_len)
+    {path}/deletes/src_part=P/*.parquet             — (salt, doc_id) delete vector
     {path}/_manifest/                               — commit log (manifest.py)
 
 The build loops over SOURCE partitions (the analogue of the reference's
@@ -19,10 +21,21 @@ source partition and one salt, so per-(term,salt,src_part) segments are
 disjoint doc sets; the WAND kernel gathers across all of a term's
 segment rows, which sums disjoint contributions — identical scores to a
 single-shot build (asserted in tests/test_build_resume.py).
+
+Doc-level updates (reference index_batches.py:78-90 RMW-merge semantics,
+lakehouse-shaped): ``upsert`` commits a new fragment + a delete vector
+that masks the superseded versions at query time (merge-on-read);
+``delete_docs`` is the degenerate upsert with no new postings;
+``compact`` rewrites the surviving postings into one consolidated
+fragment and retires the vectors. Stats stay EXACT across any chain of
+these (negative stats-delta rows ride the per-fragment aggregation), so
+query scores are hash-identical to a fresh build over the updated
+corpus — see operators/upsert.py and tests/test_upsert.py.
 """
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass
 
@@ -61,6 +74,22 @@ def _write_doc_stats(path: str, n_docs: int, sum_len: int) -> None:
     )
 
 
+def _local_rowcount(path: str, spark: SparkSession) -> int:
+    """Row count of a just-written parquet dir from footer metadata
+    (zero Spark jobs on local paths; non-local falls back to a count)."""
+    if "://" not in path or path.startswith("file://"):
+        import glob
+
+        import pyarrow.parquet as pq
+
+        local = path.removeprefix("file://")
+        return sum(
+            pq.ParquetFile(f).metadata.num_rows
+            for f in glob.glob(os.path.join(local, "*.parquet"))
+        )
+    return spark.read.parquet(path).count()
+
+
 @dataclass
 class IndexConfig:
     path: str
@@ -73,10 +102,19 @@ class IndexBuilder:
     def __init__(self, spark: SparkSession, cfg: IndexConfig):
         self.spark = spark
         self.cfg = cfg
-        # (committed-set key) -> (stats_df, n_docs, avg_len); a query
+        # ((part, seq), ...) -> (stats_df, n_docs, avg_len); a query
         # BATCH shares one consistent stats snapshot, and repeated
-        # batches against an unchanged index skip the stats jobs
-        self._stats_cache: tuple[tuple[str, ...], DataFrame, int, float] | None = None
+        # batches against an unchanged index skip the stats jobs. The
+        # key carries the commit SEQ of every live fragment (seqs are
+        # globally monotonic), so re-committing/rebuilding an existing
+        # src_part — same name set, new seq — invalidates correctly.
+        self._stats_cache: tuple[tuple, DataFrame, int, float] | None = None
+        self._deletes_cache: tuple[tuple, dict] | None = None
+
+    def _live(self) -> dict[str, int]:
+        from mwmbl_spark.manifest import partition_seqs
+
+        return partition_seqs(self.spark, self.cfg.path)
 
     # -- source partitioning ------------------------------------------------
     def src_partition_col(self):
@@ -95,19 +133,71 @@ class IndexBuilder:
         todo = pending_partitions(self.spark, self.cfg.path, all_parts)
         if max_partitions is not None:
             todo = todo[:max_partitions]
+        from mwmbl_spark.manifest import next_seq
+
         done = []
         for part in todo:
             t0 = time.perf_counter()
             # no cache of raw text: re-scanning columnar parquet is
             # cheaper than materializing deserialized rows, and the
             # build touches the source exactly twice (postings pass +
-            # row count)
+            # doc_index pass)
             sub = df.where(F.col("src_part") == part)
             n_docs, n_postings = self._build_partition(sub, part)
             wall_ms = int((time.perf_counter() - t0) * 1000)
-            commit_partition(self.spark, self.cfg.path, part, n_docs, n_postings, wall_ms)
+            commit_partition(
+                self.spark, self.cfg.path, part, n_docs, n_postings, wall_ms,
+                seq=next_seq(self.spark, self.cfg.path),
+            )
             done.append(part)
         return done
+
+    def _write_segments(self, segs: DataFrame, part: str) -> None:
+        """Clustered dynamic-partition write. Cluster rows by bucket
+        BEFORE the write: otherwise every task holds a writer per bucket
+        directory (tasks x buckets small files + writer memory), which
+        measured 10x slower at high parallelism; clustered, each task
+        streams a few whole buckets. Write-task count adapts to the
+        session's parallelism: on a small executor count, num_buckets
+        tiny tasks in many waves cost pure scheduling (64 tasks at 4
+        cores measured 17% slower than 16), while a big cluster takes
+        one task per bucket."""
+        n_write = min(
+            self.cfg.num_buckets,
+            max(4, self.spark.sparkContext.defaultParallelism * 4),
+        )
+        (
+            segs.repartition(n_write, F.col("bucket"))
+            .sortWithinPartitions("bucket", "term", "salt")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(f"{self.cfg.path}/segments/src_part={part}")
+        )
+
+    def _write_doc_index(self, p: DataFrame, src_ids: DataFrame, part: str) -> int:
+        """Write the (salt, doc_id, doc_len) doc-index sidecar — one row
+        per SOURCE doc, including zero-token docs the posting relation
+        can't see — and return its row count (free from parquet footer
+        metadata on local paths). The sidecar is what makes doc-level
+        upserts exact: it answers "does doc d exist, at which seq, with
+        which length" without touching posting data, so pure-append
+        batches skip the dead-stats scan entirely."""
+        from mwmbl_spark.operators.segments import salt_of
+
+        ids = p.select("doc_id", "doc_len").distinct()
+        zero = (
+            src_ids.select("doc_id").distinct()
+            .join(ids.select("doc_id"), "doc_id", "left_anti")
+            .withColumn("doc_len", F.lit(0).cast("long"))
+        )
+        di = ids.unionByName(zero).select(
+            salt_of(F.col("doc_id"), self.cfg.nsalt).alias("salt"),
+            "doc_id",
+            F.col("doc_len").cast("long").alias("doc_len"),
+        )
+        out = f"{self.cfg.path}/doc_index/src_part={part}"
+        di.write.mode("overwrite").parquet(out)
+        return _local_rowcount(out, self.spark)
 
     def _build_partition(self, sub: DataFrame, part: str) -> tuple[int, int]:
         # single tokenize pass: postings carry doc_len, so the segment
@@ -119,35 +209,17 @@ class IndexBuilder:
                 F.count(F.lit(1)).alias("np"), F.sum("tf").alias("s")
             ).collect()[0]
             n_postings, sum_len = int(agg["np"]), int(agg["s"] or 0)
-            # n_docs counts EVERY source row (incl. zero-token docs the
-            # posting relation can't see) — a plain row count, no tokenize
-            n_docs = sub.count()
+            # n_docs counts EVERY source row (incl. zero-token docs):
+            # the doc_index write subsumes the old plain row count, and
+            # its parquet footer gives the count back for free
+            n_docs = self._write_doc_index(p, sub, part)
             avg = sum_len / max(1, n_docs)
             stats = term_stats(p)
             segs = build_segments(
                 p, None, stats, n_docs, avg, self.cfg.num_buckets, self.cfg.nsalt
             )
             base = self.cfg.path
-            # cluster rows by bucket BEFORE the dynamic-partition write:
-            # otherwise every task holds a writer per bucket directory
-            # (tasks x buckets small files + writer memory), which
-            # measured 10x slower at high parallelism; clustered, each
-            # task streams a few whole buckets. Write-task count adapts
-            # to the session's parallelism: on a small executor count,
-            # num_buckets tiny tasks in many waves cost pure scheduling
-            # (64 tasks at 4 cores measured 17% slower than 16), while a
-            # big cluster takes one task per bucket.
-            n_write = min(
-                self.cfg.num_buckets,
-                max(4, self.spark.sparkContext.defaultParallelism * 4),
-            )
-            (
-                segs.repartition(n_write, F.col("bucket"))
-                .sortWithinPartitions("bucket", "term", "salt")
-                .write.mode("overwrite")
-                .partitionBy("bucket")
-                .parquet(f"{base}/segments/src_part={part}")
-            )
+            self._write_segments(segs, part)
             stats.write.mode("overwrite").parquet(f"{base}/stats/src_part={part}")
             _write_doc_stats(f"{base}/doc_stats/src_part={part}", n_docs, sum_len)
         finally:
@@ -157,15 +229,58 @@ class IndexBuilder:
         return n_docs, n_postings
 
     # -- read side ------------------------------------------------------------
-    def segments(self) -> DataFrame:
-        from mwmbl_spark.manifest import committed_partitions
+    def _with_seq(self, df: DataFrame, live: dict[str, int]) -> DataFrame:
+        """Restrict a src_part-partitioned table to LIVE fragments and
+        attach each row's commit ``seq`` (tiny literal map — a JVM
+        expression, no join)."""
+        df = df.where(F.col("src_part").cast("string").isin(list(live)))
+        if not live:
+            return df.withColumn("seq", F.lit(0).cast("long"))
+        mapping = F.create_map(
+            *[x for p, s in live.items() for x in (F.lit(p), F.lit(s))]
+        )
+        return df.withColumn(
+            "seq",
+            F.coalesce(
+                F.element_at(mapping, F.col("src_part").cast("string")), F.lit(0)
+            ).cast("long"),
+        )
 
-        done = committed_partitions(self.spark, self.cfg.path)
+    def segments(self) -> DataFrame:
         segs = self.spark.read.option("basePath", f"{self.cfg.path}/segments").parquet(
             f"{self.cfg.path}/segments"
         )
-        # only committed partitions are visible (crash-orphans filtered)
-        return segs.where(F.col("src_part").cast("string").isin([str(d) for d in done]))
+        # only live committed partitions are visible (crash-orphans and
+        # compaction-replaced fragments filtered); seq drives the
+        # delete-vector masking in the kernel
+        return self._with_seq(segs, self._live())
+
+    def doc_index(self) -> DataFrame:
+        """(salt, doc_id, doc_len, src_part, seq) over live fragments.
+        A doc's LATEST row (max seq, not superseded by a delete vector)
+        is its current version."""
+        try:
+            di = self.spark.read.option(
+                "basePath", f"{self.cfg.path}/doc_index"
+            ).parquet(f"{self.cfg.path}/doc_index")
+        except Exception:  # noqa: BLE001 — index predates doc_index
+            return self.spark.createDataFrame(
+                [], "salt int, doc_id long, doc_len long, src_part string, seq long"
+            )
+        return self._with_seq(di, self._live())
+
+    def delete_map(self) -> dict:
+        """Merged per-salt delete vectors for the current live set
+        (operators/upsert.load_delete_map), memoized like stats."""
+        from mwmbl_spark.operators.upsert import load_delete_map
+
+        live = self._live()
+        key = tuple(sorted(live.items()))
+        if self._deletes_cache is not None and self._deletes_cache[0] == key:
+            return self._deletes_cache[1]
+        dm = load_delete_map(self.cfg.path, live)
+        self._deletes_cache = (key, dm)
+        return dm
 
     def doc_totals(self) -> tuple[int, int]:
         """(n_docs, sum_len) over committed partitions — includes
@@ -173,9 +288,7 @@ class IndexBuilder:
         are single-row files written driver-side; read them back
         driver-side too (a Spark job costs ~0.3-0.5 s of scheduling for
         a handful of rows). Non-local paths use the Spark reader."""
-        from mwmbl_spark.manifest import committed_partitions
-
-        done = {str(d) for d in committed_partitions(self.spark, self.cfg.path)}
+        done = set(self._live())
         base = f"{self.cfg.path}/doc_stats"
         if "://" not in base or base.startswith("file://"):
             import glob
@@ -203,27 +316,26 @@ class IndexBuilder:
         return int(ds["n"] or 0), int(ds["s"] or 0)
 
     def global_stats(self) -> tuple[DataFrame, int, float]:
-        from mwmbl_spark.manifest import committed_partitions
-
-        done = [str(d) for d in committed_partitions(self.spark, self.cfg.path)]
+        done = list(self._live())
         stats = (
             self.spark.read.option("basePath", f"{self.cfg.path}/stats")
             .parquet(f"{self.cfg.path}/stats")
             .where(F.col("src_part").cast("string").isin(done))
             .groupBy("term")
             .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
+            # upsert stats-deltas can net a term to zero (every holder
+            # re-crawled without it); a fresh build has no such row
+            .where(F.col("df") > 0)
         )
         n_docs, sum_len = self.doc_totals()
         avg_len = sum_len / max(1, n_docs)
         return stats, n_docs, avg_len
 
     def cached_global_stats(self) -> tuple[DataFrame, int, float]:
-        """global_stats memoized on the committed-partition set (the
-        manifest is the tiny invalidation key; stats persist in memory
-        across query batches until a new partition commits)."""
-        from mwmbl_spark.manifest import committed_partitions
-
-        key = tuple(sorted(str(d) for d in committed_partitions(self.spark, self.cfg.path)))
+        """global_stats memoized on the live (part, seq) set — seqs are
+        monotonic, so rebuilds/upserts/compactions all invalidate; an
+        unchanged index skips the stats jobs across query batches."""
+        key = tuple(sorted(self._live().items()))
         if self._stats_cache is not None and self._stats_cache[0] == key:
             return self._stats_cache[1], self._stats_cache[2], self._stats_cache[3]
         stats, n_docs, avg_len = self.global_stats()
@@ -247,4 +359,220 @@ class IndexBuilder:
             k=k,
             mode=mode,
             num_buckets=self.cfg.num_buckets,
+            deletes=self.delete_map(),
         )
+
+    # -- doc-level updates (merge-on-read; operators/upsert.py) ---------------
+    def _superseded(self, new_ids: DataFrame) -> list:
+        """Latest ALIVE version of each doc in ``new_ids`` that already
+        exists in the index: rows (doc_id, seq, doc_len, salt).
+        Collected driver-side — bounded by |batch ∩ index|, the same
+        payload the delete vector and the dead-stats broadcast need; on
+        a 1000-executor cluster this is a sc.broadcast, not a shuffle.
+        Docs whose latest row is itself dead (delete_docs'd) are
+        excluded — their stats were already subtracted."""
+        import numpy as np
+
+        old = self.doc_index().join(
+            new_ids.select("doc_id").distinct(), "doc_id", "left_semi"
+        )
+        rows = (
+            old.groupBy("doc_id")
+            .agg(
+                F.max("seq").alias("seq"),
+                F.max_by("doc_len", "seq").alias("doc_len"),
+                F.max_by("salt", "seq").alias("salt"),
+            )
+            .collect()
+        )
+        if not rows:
+            return []
+        dm = self.delete_map()
+        out = []
+        for r in rows:
+            e = dm.get(int(r["salt"]))
+            if e is not None:
+                ids, seqs = e
+                j = int(np.searchsorted(ids, np.uint64(r["doc_id"])))
+                if (
+                    j < ids.size
+                    and int(ids[j]) == int(r["doc_id"])
+                    and int(seqs[j]) > int(r["seq"])
+                ):
+                    continue  # already dead — nothing left to supersede
+            out.append(r)
+        return out
+
+    def _dead_deltas(self, rows: list) -> DataFrame:
+        """Negative (term, df, cf) stats rows for the doc versions in
+        ``rows`` — a block-sparse gather over ONLY the fragments/salts
+        that hold them (src_part partition filter + salt predicate),
+        decoding only blocks whose id range covers a superseded doc."""
+        from mwmbl_spark.operators.upsert import dead_term_deltas
+
+        latest: dict[int, dict[int, int]] = {}
+        for r in rows:
+            latest.setdefault(int(r["salt"]), {})[int(r["doc_id"])] = int(r["seq"])
+        live = self._live()
+        seqs_needed = {int(r["seq"]) for r in rows}
+        parts_needed = [p for p, s in live.items() if s in seqs_needed]
+        segs = self.segments().where(
+            F.col("src_part").cast("string").isin(parts_needed)
+        ).where(F.col("salt").isin(sorted(latest)))
+        d = dead_term_deltas(segs, latest)
+        return d.select(
+            "term",
+            (-F.col("dead_df")).cast("long").alias("df"),
+            (-F.col("dead_cf")).cast("long").alias("cf"),
+        )
+
+    def upsert(self, batch: DataFrame, name: str | None = None) -> str:
+        """Index a batch that may RE-CRAWL already-indexed docs: commits
+        a new fragment (segments/stats/doc_stats/doc_index) plus a
+        delete vector masking the superseded versions, and exact
+        negative stats-deltas so query-time df/N/avgdl — and therefore
+        scores — stay hash-identical to a fresh build over the updated
+        corpus (reference RMW-merge semantics, index_batches.py:78-90,
+        without rewriting a single existing file)."""
+        from mwmbl_spark.manifest import commit_partition, next_seq
+        from mwmbl_spark.operators.upsert import write_delete_vector
+
+        t0 = time.perf_counter()
+        base = self.cfg.path
+        seq = next_seq(self.spark, base)
+        part = name or f"u{seq}"
+        p = build_postings_with_len(batch).persist()
+        try:
+            agg = p.agg(
+                F.count(F.lit(1)).alias("np"), F.sum("tf").alias("s")
+            ).collect()[0]
+            n_postings, sum_new = int(agg["np"]), int(agg["s"] or 0)
+            n_new = self._write_doc_index(p, batch, part)
+            avg = sum_new / max(1, n_new)
+            new_ids = self.spark.read.parquet(f"{base}/doc_index/src_part={part}")
+            dead = self._superseded(new_ids)
+            n_dead = len(dead)
+            sum_dead = sum(int(r["doc_len"]) for r in dead)
+            stats_frag = term_stats(p).select(
+                "term", F.col("df").cast("long"), F.col("cf").cast("long")
+            )
+            if dead:
+                stats_frag = stats_frag.unionByName(self._dead_deltas(dead))
+            segs = build_segments(
+                p, None, stats_frag, n_new, avg, self.cfg.num_buckets, self.cfg.nsalt
+            )
+            self._write_segments(segs, part)
+            stats_frag.write.mode("overwrite").parquet(f"{base}/stats/src_part={part}")
+            _write_doc_stats(
+                f"{base}/doc_stats/src_part={part}", n_new - n_dead, sum_new - sum_dead
+            )
+            if dead:
+                write_delete_vector(
+                    base, part,
+                    [int(r["salt"]) for r in dead],
+                    [int(r["doc_id"]) for r in dead],
+                )
+            wall_ms = int((time.perf_counter() - t0) * 1000)
+            commit_partition(
+                self.spark, base, part, n_new, n_postings, wall_ms, seq=seq
+            )
+        finally:
+            p.unpersist(blocking=True)
+        return part
+
+    def delete_docs(self, doc_ids: DataFrame, name: str | None = None) -> str | None:
+        """Remove docs from the index (the degenerate upsert: delete
+        vector + negative stats, no new postings). Returns the committed
+        fragment name, or None when no listed doc is alive."""
+        from mwmbl_spark.manifest import commit_partition, next_seq
+        from mwmbl_spark.operators.upsert import write_delete_vector
+
+        t0 = time.perf_counter()
+        base = self.cfg.path
+        seq = next_seq(self.spark, base)
+        part = name or f"d{seq}"
+        dead = self._superseded(doc_ids)
+        if not dead:
+            return None
+        n_dead = len(dead)
+        sum_dead = sum(int(r["doc_len"]) for r in dead)
+        self._dead_deltas(dead).write.mode("overwrite").parquet(
+            f"{base}/stats/src_part={part}"
+        )
+        _write_doc_stats(f"{base}/doc_stats/src_part={part}", -n_dead, -sum_dead)
+        write_delete_vector(
+            base, part, [int(r["salt"]) for r in dead], [int(r["doc_id"]) for r in dead]
+        )
+        wall_ms = int((time.perf_counter() - t0) * 1000)
+        commit_partition(self.spark, base, part, -n_dead, 0, wall_ms, seq=seq)
+        return part
+
+    def compact(self, vacuum: bool = True) -> str | None:
+        """Rewrite all live fragments into ONE consolidated fragment:
+        decode surviving postings (delete vectors applied), rebuild
+        segments grouped globally, and retire the vectors. Fragment
+        count per term returns to <= nsalt and read amplification stops
+        growing with commit count; stats/doc_stats are the ARITHMETIC
+        roll-up of the replaced fragments (already delta-corrected), so
+        no re-tokenize and bitwise-identical query scores. ``vacuum``
+        physically removes the replaced directories after the manifest
+        commit (crash before the commit leaves the old set live)."""
+        from mwmbl_spark.manifest import commit_partition, next_seq
+        from mwmbl_spark.operators.upsert import decode_segments
+
+        t0 = time.perf_counter()
+        live = self._live()
+        if not live:
+            return None
+        base = self.cfg.path
+        seq = next_seq(self.spark, base)
+        part = f"c{seq}"
+        dm = self.delete_map()
+        posts = decode_segments(self.segments(), dm).select(
+            "term", "doc_id", "tf", "doc_len"
+        )
+        stats, n_docs, avg_len = self.global_stats()
+        _, sum_len = self.doc_totals()
+        segs = build_segments(
+            posts, None, stats, n_docs, avg_len, self.cfg.num_buckets, self.cfg.nsalt
+        )
+        self._write_segments(segs, part)
+        stats.write.mode("overwrite").parquet(f"{base}/stats/src_part={part}")
+        _write_doc_stats(f"{base}/doc_stats/src_part={part}", n_docs, sum_len)
+        # consolidated doc_index: the latest alive row per doc
+        latest = self.doc_index().groupBy("doc_id").agg(
+            F.max("seq").alias("di_seq"),
+            F.max_by("doc_len", "seq").alias("doc_len"),
+            F.max_by("salt", "seq").alias("salt"),
+        )
+        if dm:
+            pairs = [
+                (int(d), int(s))
+                for ids, seqs in dm.values()
+                for d, s in zip(ids.tolist(), seqs.tolist())
+            ]
+            dels = self.spark.createDataFrame(pairs, "doc_id long, del_seq long")
+            latest = latest.join(F.broadcast(dels), "doc_id", "left").where(
+                F.col("del_seq").isNull() | (F.col("di_seq") >= F.col("del_seq"))
+            )
+        n_postings_row = stats.agg(F.sum("df").alias("s")).collect()[0]
+        latest.select("salt", "doc_id", "doc_len").write.mode("overwrite").parquet(
+            f"{base}/doc_index/src_part={part}"
+        )
+        wall_ms = int((time.perf_counter() - t0) * 1000)
+        commit_partition(
+            self.spark, base, part, n_docs, int(n_postings_row["s"] or 0),
+            wall_ms, seq=seq, replaces=list(live),
+        )
+        if vacuum:
+            import shutil
+
+            local = base.removeprefix("file://")
+            if "://" not in local:
+                for old in live:
+                    for sub in ("segments", "stats", "doc_stats", "doc_index", "deletes"):
+                        shutil.rmtree(
+                            os.path.join(local, sub, f"src_part={old}"),
+                            ignore_errors=True,
+                        )
+        return part
