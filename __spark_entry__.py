@@ -47,7 +47,8 @@ COMPLETION_PREFIXES = ["sp", "fa", "w"]
 # Shared SQL fragments (DuckDB dialect) — MUST mirror the Spark semantics
 # ---------------------------------------------------------------------------
 
-_TOK_SQL = r"""
+def _tok_sql(src: str = "documents") -> str:
+    return rf"""
 tok AS (
   SELECT doc_id,
          CASE WHEN text LIKE '%…'
@@ -58,16 +59,23 @@ tok AS (
            list_filter(string_split_regex(lower(trim(text)), '\s+'),
                        x -> x <> '') AS toks0,
            text
-    FROM documents
+    FROM {src}
   )
 )"""
 
-_POST_SQL = _TOK_SQL + """,
+
+def _post_sql(src: str = "documents") -> str:
+    return _tok_sql(src) + """,
 post AS (
   SELECT doc_id, t.term, count(*) AS tf
   FROM tok, unnest(toks) AS t(term)
   GROUP BY doc_id, t.term
 )"""
+
+
+_TOK_SQL = _tok_sql()
+
+_POST_SQL = _post_sql()
 
 _QUERY_VALUES = ", ".join(f"({i}, '{q}')" for i, q in QUERY_SET)
 
@@ -150,6 +158,74 @@ def q_wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = wand_topk(
         segs, stats, _queries_df(spark), cs.n_docs, cs.avg_doc_len, k=10, num_buckets=32
     )
+    return out.select(
+        "query_id", "doc_id", F.round("score", 6).alias("score"), "rank"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Doc-level upsert + compaction (merge-on-read; plans/build_index.py,
+# operators/upsert.py). Reference semantics: re-crawled URLs replace
+# their stored postings (index_batches.py:78-90 RMW merge). The
+# contract: build the base index, upsert re-crawled versions of every
+# doc_id%10==3 plus brand-new docs, query — results must equal plain
+# BM25 over the UPDATED corpus (the oracle states the same corpus
+# transform in SQL). ``compacted_topk`` then compacts fragments into
+# one and must return the identical ranking.
+# ---------------------------------------------------------------------------
+
+_UPSERT_BUILDERS: dict = {}
+
+
+def _upserted_builder(spark: SparkSession, sf_dir: str):
+    import tempfile
+
+    from mwmbl_spark.plans.build_index import IndexBuilder, IndexConfig
+
+    key = (id(spark), sf_dir)
+    b = _UPSERT_BUILDERS.get(key)
+    if b is None:
+        t = _docs_as_transcripts(spark, sf_dir)
+        cfg = IndexConfig(
+            path=tempfile.mkdtemp(prefix="mwmbl_upsert_idx_"),
+            num_buckets=32, nsalt=8, n_src_partitions=4,
+        )
+        b = IndexBuilder(spark, cfg)
+        b.build(t)
+        updated = t.where(F.col("doc_id") % 10 == 3).select(
+            "doc_id",
+            F.concat(F.col("text"), F.lit(" spark upsert refreshed")).alias("text"),
+        )
+        new = t.where(F.col("doc_id") % 25 == 7).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat(
+                F.lit("fresh upsert spark doc "), (F.col("doc_id") % 7).cast("string")
+            ).alias("text"),
+        )
+        b.upsert(updated.unionByName(new))
+        _UPSERT_BUILDERS[key] = b
+    return b
+
+
+def q_upsert_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 through the MERGE-ON-READ path: base segments + an
+    upsert fragment + delete vectors masking superseded postings, with
+    delta-corrected stats — must be value-identical to fresh BM25 over
+    the updated corpus."""
+    b = _upserted_builder(spark, sf_dir)
+    out = b.query_topk(_queries_df(spark), k=10)
+    return out.select(
+        "query_id", "doc_id", F.round("score", 6).alias("score"), "rank"
+    )
+
+
+def q_compacted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same ranking after ``compact()`` consolidates all fragments into
+    one and retires the delete vectors (same oracle as upsert_topk)."""
+    b = _upserted_builder(spark, sf_dir)
+    if len(b._live()) > 1:
+        b.compact()
+    out = b.query_topk(_queries_df(spark), k=10)
     return out.select(
         "query_id", "doc_id", F.round("score", 6).alias("score"), "rank"
     )
@@ -774,8 +850,9 @@ qterm AS (
   )
 )"""
 
-_BM25_CAND = f"""
-WITH {_POST_SQL},
+def _bm25_cand(src: str = "documents", prelude: str = "") -> str:
+    return f"""
+WITH {prelude}{_post_sql(src)},
 {_QTERM_SQL},
 cand AS (
   SELECT q.query_id, p.doc_id, q.n_terms,
@@ -796,9 +873,12 @@ scored AS (
 )"""
 
 
-def _bm25_sql(mode_filter: str) -> str:
+_BM25_CAND = _bm25_cand()
+
+
+def _bm25_sql(mode_filter: str, src: str = "documents", prelude: str = "") -> str:
     return (
-        _BM25_CAND
+        _bm25_cand(src, prelude)
         + f""",
 ranked AS (
   SELECT query_id, doc_id, score,
@@ -819,6 +899,18 @@ SELECT term, count(*) AS df, sum(tf)::BIGINT AS cf FROM post GROUP BY term""",
     "bm25_topk": _bm25_sql(""),
     "bm25_conjunctive": _bm25_sql("WHERE matched = n_terms"),
     "wand_topk": _bm25_sql(""),
+    "upsert_topk": _bm25_sql("", src="mod_docs", prelude="""
+mod_docs AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 = 3 THEN text || ' spark upsert refreshed'
+              ELSE text END AS text
+  FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id,
+         'fresh upsert spark doc ' || (doc_id % 7)::VARCHAR AS text
+  FROM documents WHERE doc_id % 25 = 7
+),
+"""),
     "tfidf_reference": f"""
 WITH {_POST_SQL},
 {_QTERM_SQL},
@@ -921,6 +1013,9 @@ SELECT floor(sample_docs / 0.3)::BIGINT AS n_results_estimate,
        sample_docs, d AS sample_distinct, f1, f2
 FROM total, fof""",
 }
+
+# compaction must preserve the ranking bit for bit — same oracle
+ORACLE["compacted_topk"] = ORACLE["upsert_topk"]
 
 # --- training-data pipeline oracles ------------------------------------------
 
@@ -1647,6 +1742,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": _shipped(q_bm25_topk),
         "bm25_conjunctive": _shipped(q_bm25_conjunctive),
         "wand_topk": _shipped(q_wand_topk),
+        "upsert_topk": _shipped(q_upsert_topk),
+        "compacted_topk": _shipped(q_compacted_topk),
         "search_candidates": _shipped(q_search_candidates),
         "search_pipeline": _shipped(q_search_pipeline),
         "mmr_rerank": _shipped(q_mmr_rerank),
