@@ -1548,16 +1548,21 @@ def _twin_search_oracles() -> dict[str, str]:
     for qid, q in QUERY_SET:
         res = search_py(docs, q, k=10)
         ranked = [{**d, "rank": i} for i, d in enumerate(res, 1)]
+        # floats go through a STRING cast: DuckDB parses bare decimal
+        # literals via DECIMAL and the DECIMAL->DOUBLE conversion is not
+        # correctly rounded (measured 1-ulp drift on 17-significant-digit
+        # values); CAST('repr' AS DOUBLE) round-trips bit for bit
         for d in ranked:
             search_vals.append(
                 f"({qid}, {d['rank']}, {d['doc_id']}, '{esc(d['title'])}', "
-                f"'{esc(d['url'])}', '{esc(d['extract'])}', NULL, {d['result_score']!r})"
+                f"'{esc(d['url'])}', '{esc(d['extract'])}', NULL, "
+                f"CAST('{d['result_score']!r}' AS DOUBLE))"
             )
         for mrank, d in enumerate(mmr_rerank_py(ranked), 1):
             mmr_vals.append(
                 f"({qid}, {d['rank']}, {d['doc_id']}, '{esc(d['title'])}', "
                 f"'{esc(d['url'])}', '{esc(d['extract'])}', NULL, "
-                f"{d['result_score']!r}, {mrank})"
+                f"CAST('{d['result_score']!r}' AS DOUBLE), {mrank})"
             )
     if not search_vals:
         _TWIN_CACHE = {}

@@ -22,6 +22,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import statistics
 import sys
 import tempfile
 import time
@@ -42,13 +43,22 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     tmp = tempfile.mkdtemp(prefix="mwmbl_bench_")
     timings: dict[str, float] = {}
+    all_runs: dict[str, list[float]] = {}
+    reps_default = int(os.environ.get("SPARK_GRAFT_REPS", "3"))
 
-    def timed(name, fn):
-        t0 = time.perf_counter()
+    def timed(name, fn, reps: int | None = None):
+        """Record the MEDIAN of ``reps`` runs (sub-5s queries at sf0.1
+        sit inside this VM's ±25-40% steal noise — a single sample is
+        unreadable; r2's q2 'regression' was exactly that)."""
         print(f"BENCH START {name} {time.strftime('%H:%M:%S')}", file=sys.stderr)
+        walls = []
         try:
-            fn()
-            timings[name] = round(time.perf_counter() - t0, 4)
+            for _ in range(reps if reps is not None else reps_default):
+                t0 = time.perf_counter()
+                fn()
+                walls.append(round(time.perf_counter() - t0, 4))
+            timings[name] = round(statistics.median(walls), 4)
+            all_runs[name] = walls
         except Exception as e:  # noqa: BLE001 — one bad query must not
             # kill the whole benchmark record
             print(f"BENCH ERROR {name}: {e}", file=sys.stderr)
@@ -65,7 +75,9 @@ def main() -> None:
     transcripts = transcripts_from_documents(spark, sf_dir)
     n_docs = transcripts.count()
 
-    timed("q1_index_build", lambda: builder.build(transcripts))
+    # single rep: the cold build (fresh python workers + codegen) is the
+    # cross-round-comparable number, and the built index feeds q2
+    timed("q1_index_build", lambda: builder.build(transcripts), reps=1)
 
     qdf = spark.createDataFrame(entrymod.QUERY_SET, "query_id long, query string")
     timed("q2_wand_topk", lambda: builder.query_topk(qdf, k=10).count())
@@ -93,15 +105,38 @@ def main() -> None:
     timed("q8_search_pipeline", lambda: entrymod.q_search_pipeline(spark, sf_dir).count())
     timed("q9_curation_apply", lambda: entrymod.q_curation_apply(spark, sf_dir).count())
 
+    # value stays the q1-q9 sum for cross-round comparability; the
+    # round-3 doc-level-update headliners are recorded alongside
+    CORE = set(timings)
+    from pyspark.sql import functions as F  # noqa: E402
+
+    upsert_state = {"k": 0}
+
+    def one_upsert():
+        k = upsert_state["k"]
+        upsert_state["k"] += 1
+        batch = transcripts.where(F.col("doc_id") % 17 == k).select(
+            "doc_id",
+            F.concat(F.col("text"), F.lit(f" recrawl{k} spark data")).alias("text"),
+        )
+        builder.upsert(batch)
+
+    timed("q10_upsert_batch", one_upsert)
+    timed("q11_compact", lambda: builder.compact(), reps=1)
+    timed("q12_wand_after_compact", lambda: builder.query_topk(qdf, k=10).count())
+
     build_s = timings.get("q1_index_build", -1.0)
-    total = round(sum(v for v in timings.values() if v > 0), 4)
+    total = round(sum(v for k, v in timings.items() if v > 0 and k in CORE), 4)
     print(
         json.dumps(
             {
                 "metric": "segment index build + BM25/WAND + curation-op suite wall-clock",
                 "value": total,
                 "unit": "sec",
+                "value_scope": "sum of q1-q9 medians (q10-q12 recorded, excluded)",
+                "reps": reps_default,
                 "queries": timings,
+                "runs": all_runs,
                 "sf": sf,
                 "n_docs": n_docs,
                 "build_turns_per_sec": round(n_docs / build_s, 2) if build_s > 0 else -1.0,

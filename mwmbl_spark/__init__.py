@@ -62,6 +62,9 @@ def get_spark(
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", default_mem))
         .config("spark.ui.enabled", "false")
+        # FAIR lets concurrent driver threads (IndexBuilder.build's
+        # partition pool) interleave their jobs instead of queueing FIFO
+        .config("spark.scheduler.mode", "FAIR")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -84,9 +84,13 @@ def _compiled_query_regex(terms: tuple[str, ...], is_complete: bool, is_url: boo
     return re.compile(get_query_regex_py(list(terms), is_complete, is_url), flags=re.IGNORECASE)
 
 
-def get_match_features_py(
+def get_match_features_finditer_py(
     terms: list[str], result_string: str, is_complete: bool, is_url: bool
 ):
+    """REFERENCE TWIN — the literal port of rank.py:182-201 (finditer +
+    Match objects). Kept as the parity oracle for the split-based fast
+    kernel below (tests/test_heuristic_merge.py fuzz-asserts
+    equivalence); not used on any hot path."""
     pattern = _compiled_query_regex(tuple(terms), is_complete, is_url)
     matches = list(pattern.finditer(result_string))
     last_match_char = 1
@@ -102,6 +106,111 @@ def get_match_features_py(
             match_length += len(value)
     total_possible = sum(len(t) for t in terms)
     return last_match_char, match_length, total_possible, len(seen), match_counts
+
+
+@lru_cache(maxsize=4096)
+def _compiled_split_regex(terms: tuple[str, ...], is_complete: bool, is_url: bool):
+    """The query regex wrapped in ONE capture group for ``re.split``:
+    split returns [gap0, match1, gap1, match2, ...] in a single C pass —
+    the same leftmost non-overlapping match sequence as finditer, but
+    with zero Match-object construction (the dominant CPython cost of
+    the scorer; this is the vectorization the reference bought with its
+    Rust port, mwmbl_rank/src/features.rs)."""
+    return re.compile(
+        "(" + get_query_regex_py(list(terms), is_complete, is_url) + ")",
+        flags=re.IGNORECASE,
+    )
+
+
+@lru_cache(maxsize=4096)
+def _compiled_split_regex_lc(terms: tuple[str, ...], is_complete: bool, is_url: bool):
+    """Case-SENSITIVE split pattern over pre-lowered terms, for the
+    ASCII fast path: IGNORECASE forfeits sre's literal-prefix skip and
+    measured ~2.6x slower than scanning the lowered string with exact
+    literals. For ASCII text and terms the two are provably identical —
+    IC-match of literal t at p in s  <=>  exact match of t.lower() at p
+    in s.lower() (1:1 positional lowering), with the same alternation
+    branch order, hence the same match sequence and offsets."""
+    lowered = tuple(t.lower() for t in terms)
+    return re.compile(
+        "(" + get_query_regex_py(list(lowered), is_complete, is_url) + ")"
+    )
+
+
+def get_match_features_py(
+    terms: list[str], result_string: str, is_complete: bool, is_url: bool
+):
+    """Match features via one ``re.split`` pass (bitwise-identical to the
+    finditer twin above: same engine, same match sequence; offsets are
+    reconstructed from the gap/match segment lengths). ASCII inputs take
+    the pre-lowered case-sensitive pattern (see _compiled_split_regex_lc);
+    anything else falls back to the IGNORECASE scan."""
+    tterms = tuple(terms)
+    total_possible, ascii_terms = _terms_meta(tterms)
+    if ascii_terms and result_string.isascii():
+        parts = _compiled_split_regex_lc(tterms, is_complete, is_url).split(
+            result_string.lower()
+        )
+        pre_lowered = True
+    else:
+        parts = _compiled_split_regex(tterms, is_complete, is_url).split(
+            result_string
+        )
+        pre_lowered = False
+    if len(parts) == 1:
+        return 1, 0, total_possible, 0, {}
+    last_match_char = 1
+    match_length = 0
+    seen: set[str] = set()
+    match_counts: dict[str, int] = defaultdict(int)
+    pos = 0
+    it = iter(parts)
+    for gap, value in zip(it, it):  # (gap_i, match_i) pairs; final gap unpaired
+        end = pos + len(gap) + len(value)
+        v = value if pre_lowered else value.lower()
+        match_counts[v] += 1
+        if v not in seen:
+            seen.add(v)
+            last_match_char = end
+            match_length += len(v)
+        pos = end
+    return last_match_char, match_length, total_possible, len(seen), match_counts
+
+
+@lru_cache(maxsize=4096)
+def _terms_meta(terms: tuple[str, ...]) -> tuple[int, bool]:
+    """(total_possible_match_length, all-ASCII) per query — constant
+    across every candidate of the query, not per-row work."""
+    return sum(len(t) for t in terms), all(t.isascii() for t in terms)
+
+
+def _parse_domain_path(url: str) -> tuple[str, str]:
+    """(netloc, path) — exact urlparse() equivalence for the dominant
+    'scheme://netloc/path' shape without urlsplit's ~16us per call
+    (profiled at 27% of the scoring kernel). Any url carrying query/
+    fragment/params markers or an unusual scheme prefix falls back to
+    the real parser."""
+    i = url.find("://")
+    if i > 0 and not any(c in url for c in "?#;"):
+        j = url.find("/", i + 3)
+        if j < 0:
+            return url[i + 3:], ""
+        return url[i + 3:j], url[j:]
+    parsed = urlparse(url)
+    return parsed.netloc, parsed.path
+
+
+@lru_cache(maxsize=65536)
+def _match_features_cached(
+    terms: tuple[str, ...], s: str, is_complete: bool, is_url: bool
+):
+    """Memo for fields that REPEAT across candidates (domain and its
+    tokenized twin: a result page typically carries many docs per site,
+    and the reference's DOMAINS prior means popular domains dominate).
+    Returns only the scalar features (match_counts dropped — the cached
+    call sites never read it)."""
+    lmc, ml, tp, mt, _ = get_match_features_py(list(terms), s, is_complete, is_url)
+    return lmc, ml, tp, mt
 
 
 def score_match_py(last_match_char, match_length, total_possible) -> float:
@@ -153,15 +262,24 @@ def get_features_py(
     return feats
 
 
+_WIKI_MAX_CACHE: dict[tuple[int, int], float] = {}
+
+
 def get_wiki_score_py(url: str, wiki_scores: dict[str, float] | None = None) -> float:
     """Wikipedia popularity prior [rank.py:204-206]: last path segment is
     the article title, looked up in a (title -> score) table normalized
     by the max score. Like the domain prior, the table is injected data
-    (reference ships resources/wiki_stats.json); absent table -> 0.0."""
+    (reference ships resources/wiki_stats.json); absent table -> 0.0.
+    The max is memoized per table (id, len) — a 100k-title table scanned
+    per candidate row would make the feature hot path quadratic."""
     if not wiki_scores:
         return 0.0
     title = url.split("/")[-1]
-    max_score = max(wiki_scores.values())
+    key = (id(wiki_scores), len(wiki_scores))
+    max_score = _WIKI_MAX_CACHE.get(key)
+    if max_score is None:
+        max_score = max(wiki_scores.values())
+        _WIKI_MAX_CACHE[key] = max_score
     if max_score <= 0:
         return 0.0
     return wiki_scores.get(title, 0.0) / max_score
@@ -193,18 +311,21 @@ def score_result_py(
     they feed the LTR vector only, so skipping them here changes no
     output while cutting ~2/7 of the regex work on the scoring hot path
     (get_features_py keeps the full 50-feature surface)."""
-    parsed = urlparse(url)
-    domain, path = parsed.netloc, parsed.path
+    domain, path = _parse_domain_path(url)
+    tterms = tuple(terms)
     match_scores: dict[str, float] = {}
     match_terms = 0
-    for part, name, is_url in [
-        (title, "title", False),
-        (extract, "extract", False),
-        (domain, "domain", True),
-        (domain, "domain_tokenized", False),
-        (path, "path", True),
+    for part, name, is_url, cached in [
+        (title, "title", False, False),
+        (extract, "extract", False, False),
+        (domain, "domain", True, True),
+        (domain, "domain_tokenized", False, True),
+        (path, "path", True, False),
     ]:
-        lmc, ml, tp, mt, _ = get_match_features_py(terms, part, is_complete, is_url)
+        if cached:  # domains repeat heavily across candidates
+            lmc, ml, tp, mt = _match_features_cached(tterms, part, is_complete, is_url)
+        else:
+            lmc, ml, tp, mt, _ = get_match_features_py(terms, part, is_complete, is_url)
         match_scores[name] = score_match_py(lmc, ml, tp)
         match_terms = max(match_terms, mt)
     length_penalty = math.e ** (-LENGTH_PENALTY * len(url))

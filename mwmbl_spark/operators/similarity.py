@@ -199,16 +199,40 @@ def ivf_train(
 
 
 def _ivf_assign(corpus: DataFrame, cents: DataFrame) -> DataFrame:
-    """argmax-cosine cluster id per vector (centroids broadcast)."""
-    sims = corpus.crossJoin(F.broadcast(cents)).select(
-        "vec_id", "v", "cid", cosine_sim(F.col("v"), F.col("c")).alias("sim")
+    """argmax-cosine cluster id per vector — NO shuffle, NO window.
+
+    The centroids are tiny (~sqrt(N) by the IVF sizing rule): collect
+    them, L2-normalize driver-side, and fold them into ONE array
+    literal; assignment is then a per-row argmax of <v, c'_j> (cosine
+    argmax is invariant to the row vector's own norm, so per-row
+    normalization drops out entirely). Ties break to the smallest cid
+    via the struct max on (sim, -cid), matching the previous
+    row_number(sim DESC, cid ASC) semantics.
+
+    The round-2 implementation ranked the N×C crossJoin through a
+    window partitioned by the near-unique vec_id — a full shuffle+sort
+    of N×C rows per Lloyd iteration and per probe. This plan keeps
+    every row in its scan partition (asserted shuffle-free in
+    tests/test_plan_quality.py). If C*d outgrows a comfortable plan
+    literal (>~1e6 values), switch to groupBy(vec_id).agg(max_by(...))
+    over the broadcast join — partial-agg, still no window sort."""
+    import math
+
+    rows = sorted(cents.collect(), key=lambda r: r["cid"])
+    normed = []
+    for r in rows:
+        n = math.sqrt(sum(x * x for x in r["c"]))
+        normed.append([x / n if n > 0 else 0.0 for x in r["c"]])
+    cent_lit = F.array(*[F.array(*[F.lit(x) for x in c]) for c in normed])
+    scores = F.transform(cent_lit, lambda c: _dot(F.col("v"), c))
+    best = F.array_max(
+        F.zip_with(
+            scores,
+            F.sequence(F.lit(0), F.lit(len(normed) - 1)),
+            lambda s, i: F.struct(s.alias("sim"), (-i).alias("ncid")),
+        )
     )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cid"))
-    return (
-        sims.withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") == 1)
-        .select("vec_id", "v", "cid")
-    )
+    return corpus.select("vec_id", "v", (-best["ncid"]).cast("int").alias("cid"))
 
 
 def ivf_topk(

@@ -124,33 +124,66 @@ class IndexBuilder:
         return F.pmod(F.xxhash64("conv_id"), F.lit(self.cfg.n_src_partitions)).cast("string")
 
     # -- build ---------------------------------------------------------------
-    def build(self, transcripts: DataFrame, max_partitions: int | None = None) -> list[str]:
+    def build(
+        self,
+        transcripts: DataFrame,
+        max_partitions: int | None = None,
+        concurrency: int | None = None,
+    ) -> list[str]:
         """Index all pending source partitions (resume-aware). Returns the
         list of partitions committed in this run. ``max_partitions``
-        bounds the run (used by tests to simulate a killed build)."""
+        bounds the run (used by tests to simulate a killed build).
+
+        Partition builds are submitted CONCURRENTLY from a driver thread
+        pool under the FAIR scheduler (``concurrency`` threads, default
+        min(4, len(todo))): each partition's pipeline carries ~1-2 s of
+        fixed driver/scheduling cost per Spark job that a sequential
+        loop serializes — at thousands of source partitions that fixed
+        cost, not compute, becomes the build's critical path (VERDICT r2
+        finding #3). Spark's scheduler is thread-safe; jobs from
+        different threads fill each other's scheduling gaps. Commit
+        SEQs are pre-allocated per partition so the manifest stays
+        race-free (each commit writes its own uniquely-named file)."""
         df = transcripts.withColumn("src_part", self.src_partition_col())
         all_parts = [str(i) for i in range(self.cfg.n_src_partitions)]
         todo = pending_partitions(self.spark, self.cfg.path, all_parts)
         if max_partitions is not None:
             todo = todo[:max_partitions]
+        if not todo:
+            return []
+        from concurrent.futures import ThreadPoolExecutor
+
         from mwmbl_spark.manifest import next_seq
 
-        done = []
-        for part in todo:
+        base_seq = next_seq(self.spark, self.cfg.path)
+        seqs = {part: base_seq + i for i, part in enumerate(todo)}
+        n_threads = concurrency if concurrency is not None else min(4, len(todo))
+
+        def run_one(part: str) -> str:
             t0 = time.perf_counter()
-            # no cache of raw text: re-scanning columnar parquet is
-            # cheaper than materializing deserialized rows, and the
-            # build touches the source exactly twice (postings pass +
-            # doc_index pass)
-            sub = df.where(F.col("src_part") == part)
-            n_docs, n_postings = self._build_partition(sub, part)
-            wall_ms = int((time.perf_counter() - t0) * 1000)
-            commit_partition(
-                self.spark, self.cfg.path, part, n_docs, n_postings, wall_ms,
-                seq=next_seq(self.spark, self.cfg.path),
+            self.spark.sparkContext.setLocalProperty(
+                "spark.scheduler.pool", f"build-{part}"
             )
-            done.append(part)
-        return done
+            try:
+                # no cache of raw text: re-scanning columnar parquet is
+                # cheaper than materializing deserialized rows, and the
+                # build touches the source exactly twice (postings pass
+                # + doc_index pass)
+                sub = df.where(F.col("src_part") == part)
+                n_docs, n_postings = self._build_partition(sub, part)
+                wall_ms = int((time.perf_counter() - t0) * 1000)
+                commit_partition(
+                    self.spark, self.cfg.path, part, n_docs, n_postings,
+                    wall_ms, seq=seqs[part],
+                )
+                return part
+            finally:
+                self.spark.sparkContext.setLocalProperty("spark.scheduler.pool", None)
+
+        if n_threads <= 1:
+            return [run_one(p) for p in todo]
+        with ThreadPoolExecutor(max_workers=n_threads) as pool:
+            return list(pool.map(run_one, todo))
 
     def _write_segments(self, segs: DataFrame, part: str) -> None:
         """Clustered dynamic-partition write. Cluster rows by bucket
@@ -203,24 +236,38 @@ class IndexBuilder:
         # single tokenize pass: postings carry doc_len, so the segment
         # build needs no doc_id join and no second traversal; persist
         # because stats/doc-stats/segments all read the posting relation
+        from concurrent.futures import ThreadPoolExecutor
+
         p = build_postings_with_len(sub).persist()
         try:
+            # job 1 (alone: materializes the persisted p exactly once)
             agg = p.agg(
                 F.count(F.lit(1)).alias("np"), F.sum("tf").alias("s")
             ).collect()[0]
             n_postings, sum_len = int(agg["np"]), int(agg["s"] or 0)
-            # n_docs counts EVERY source row (incl. zero-token docs):
-            # the doc_index write subsumes the old plain row count, and
-            # its parquet footer gives the count back for free
-            n_docs = self._write_doc_index(p, sub, part)
-            avg = sum_len / max(1, n_docs)
+            base = self.cfg.path
             stats = term_stats(p)
+            # jobs 2+3 overlap (independent, both read cached p): the
+            # doc_index sidecar (subsumes the old row count — its parquet
+            # footer returns n_docs for free) and the stats fragment.
+            # Each Spark job carries ~0.5-1 s of fixed driver cost; FAIR
+            # scheduling + driver threads pay it once, not per job.
+            with ThreadPoolExecutor(max_workers=2) as ex:
+                f_docs = ex.submit(self._write_doc_index, p, sub, part)
+                f_stats = ex.submit(
+                    lambda: stats.write.mode("overwrite").parquet(
+                        f"{base}/stats/src_part={part}"
+                    )
+                )
+                n_docs = f_docs.result()
+                f_stats.result()
+            # avg feeds only the STORED tfn bounds (query-time scoring
+            # derives avgdl from doc_stats totals), but exact is free here
+            avg = sum_len / max(1, n_docs)
             segs = build_segments(
                 p, None, stats, n_docs, avg, self.cfg.num_buckets, self.cfg.nsalt
             )
-            base = self.cfg.path
             self._write_segments(segs, part)
-            stats.write.mode("overwrite").parquet(f"{base}/stats/src_part={part}")
             _write_doc_stats(f"{base}/doc_stats/src_part={part}", n_docs, sum_len)
         finally:
             # blocking: async unpersist races the final task's accumulator

@@ -63,6 +63,33 @@ def test_match_features_distinct_counting():
     assert counts == {"x": 2, "y": 1}
 
 
+def test_split_kernel_equals_finditer_twin():
+    """The re.split fast kernel must be feature-identical to the literal
+    finditer port of rank.py:182-201 — fuzzed over case variants,
+    unicode (incl. Greek final sigma and the tokenizer's ellipsis),
+    adjacent/overlapping-ish matches and both completeness/url modes."""
+    import random
+
+    from mwmbl_spark.operators.heuristic import get_match_features_finditer_py
+
+    rng = random.Random(7)
+    alphabet = [
+        "spark", "Spark", "SPARK", "data", "sp", "ark", "σπα", "Σπα", "ς",
+        "…", "a-b", "x", " ", ".", "/", "dataspark", "sparkdata",
+    ]
+    term_pool = ["spark", "data", "sp", "σπα", "a-b", "query", "x"]
+    for _ in range(400):
+        terms = rng.sample(term_pool, rng.randint(1, 4))
+        s = "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 25)))
+        for is_complete in (True, False):
+            for is_url in (True, False):
+                a = get_match_features_py(terms, s, is_complete, is_url)
+                b = get_match_features_finditer_py(terms, s, is_complete, is_url)
+                assert (a[0], a[1], a[2], a[3], dict(a[4])) == (
+                    b[0], b[1], b[2], b[3], dict(b[4]),
+                ), (terms, s, is_complete, is_url)
+
+
 def test_score_zero_when_minority_terms_match():
     s = score_result_py(["alpha", "beta", "gamma"], "alpha only", "https://x.com", "", None, None, True)
     assert s == 0.0  # 1 of 3 matched <= 3/2

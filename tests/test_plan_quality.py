@@ -81,6 +81,44 @@ def test_postings_scan_prunes_columns(spark, built):
     ), probe[0]
 
 
+def test_ivf_assign_is_shuffle_free(spark):
+    """IVF cluster assignment must keep every corpus row in its scan
+    partition: no Exchange, no Window — the round-2 implementation
+    ranked the N×C crossJoin through row_number() partitioned by the
+    near-unique vec_id, a full shuffle+sort per Lloyd iteration."""
+    from mwmbl_spark.operators.similarity import _ivf_assign, _to64
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 5), float(i % 3), 1.0]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    corpus = emb.select("vec_id", _to64(F.col("embedding")).alias("v"))
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.5]), (2, [0.3, 0.3, 0.3])],
+        "cid int, c array<double>",
+    )
+    plan = _explain(_ivf_assign(corpus, cents))
+    assert "Exchange" not in plan, plan
+    assert "Window" not in plan, plan
+    # determinism + tie-break: argmax fold equals the windowed reference
+    from pyspark.sql import Window as W
+
+    from mwmbl_spark.operators.similarity import cosine_sim
+
+    sims = corpus.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "cid", cosine_sim(F.col("v"), F.col("c")).alias("sim")
+    )
+    wv = W.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cid"))
+    want = {
+        (r["vec_id"], r["cid"])
+        for r in sims.withColumn("rnk", F.row_number().over(wv))
+        .where(F.col("rnk") == 1)
+        .collect()
+    }
+    got = {(r["vec_id"], r["cid"]) for r in _ivf_assign(corpus, cents).collect()}
+    assert got == want
+
+
 def test_curation_apply_broadcasts_and_skips_untouched_pages(spark):
     """The 100TB property of the curation write: the page store never
     shuffles for the curation side (curations broadcast into every
