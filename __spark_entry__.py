@@ -163,6 +163,44 @@ def q_wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# (term, position, doc_id, state): curated entries keyed by the FULL
+# query term (reference rank.py:289-293 curation probe). NULL state is
+# not curated; "merge sort" matches no full query -> inert.
+_WAND_CURATIONS = [
+    ("spark query", 0, 7, 8),
+    ("spark query", 1, 42, 7),
+    ("spark query", 2, 13, None),
+    ("fast join", 0, 5, 9),
+    ("merge sort", 0, 3, 7),
+]
+
+
+def q_wand_curated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation probe on the SEGMENT/WAND path (rank.py:289-293,318):
+    docs curated for the exact query pin first at
+    MAX_CURATED_SCORE - position; organic MaxScore results fill the
+    remaining slots, deduped against pinned doc_ids."""
+    from mwmbl_spark.operators.segments import build_segments
+    from mwmbl_spark.operators.wand import wand_topk_curated
+
+    t = _docs_as_transcripts(spark, sf_dir)
+    p = post_ops.build_postings(t)
+    dl = post_ops.doc_lengths(t)
+    stats = post_ops.term_stats(p)
+    cs = post_ops.corpus_stats(dl)
+    segs = build_segments(p, dl, stats, cs.n_docs, cs.avg_doc_len, num_buckets=32, nsalt=8)
+    curations = spark.createDataFrame(
+        _WAND_CURATIONS, "term string, position int, doc_id long, state int"
+    )
+    out = wand_topk_curated(
+        segs, stats, _queries_df(spark), curations, cs.n_docs, cs.avg_doc_len,
+        k=10, num_buckets=32,
+    )
+    return out.select(
+        "query_id", "doc_id", F.round("score", 6).alias("score"), "rank", "curated"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Doc-level upsert + compaction (merge-on-read; plans/build_index.py,
 # operators/upsert.py). Reference semantics: re-crawled URLs replace
@@ -1017,6 +1055,49 @@ FROM total, fof""",
 # compaction must preserve the ranking bit for bit — same oracle
 ORACLE["compacted_topk"] = ORACLE["upsert_topk"]
 
+_WAND_CUR_VALUES = ", ".join(
+    f"('{t}', {p}, {d}, {'NULL' if s is None else s})"
+    for t, p, d, s in _WAND_CURATIONS
+)
+
+ORACLE["wand_curated"] = (
+    _BM25_CAND
+    + f""",
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS rank
+  FROM scored
+),
+cur0(term, position, doc_id, state) AS (VALUES {_WAND_CUR_VALUES}),
+cur AS (
+  SELECT q.query_id, c.doc_id, c.position,
+         row_number() OVER (PARTITION BY q.query_id
+                            ORDER BY c.position, c.doc_id) AS crank
+  FROM cur0 c JOIN queries q ON c.term = q.query
+  WHERE c.state IS NOT NULL
+),
+ncur AS (SELECT query_id, max(crank) AS n_cur FROM cur GROUP BY query_id),
+org AS (
+  SELECT r.query_id, r.doc_id, r.score,
+         row_number() OVER (PARTITION BY r.query_id ORDER BY r.rank)
+           + coalesce(n.n_cur, 0) AS rank
+  FROM ranked r LEFT JOIN ncur n USING (query_id)
+  WHERE NOT EXISTS (SELECT 1 FROM cur c
+                    WHERE c.query_id = r.query_id AND c.doc_id = r.doc_id)
+    AND r.rank <= 10
+),
+allr AS (
+  SELECT query_id, doc_id, CAST(1111111.0 - position AS DOUBLE) AS score,
+         crank AS rank, 1 AS curated
+  FROM cur
+  UNION ALL
+  SELECT query_id, doc_id, score, rank, 0 AS curated FROM org
+)
+SELECT query_id, doc_id, round(score, 6) AS score, rank, curated
+FROM allr WHERE rank <= 10"""
+)
+
 # --- training-data pipeline oracles ------------------------------------------
 
 _SHINGLE_SQL = _TOK_SQL + """,
@@ -1747,6 +1828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": _shipped(q_bm25_topk),
         "bm25_conjunctive": _shipped(q_bm25_conjunctive),
         "wand_topk": _shipped(q_wand_topk),
+        "wand_curated": _shipped(q_wand_curated),
         "upsert_topk": _shipped(q_upsert_topk),
         "compacted_topk": _shipped(q_compacted_topk),
         "search_candidates": _shipped(q_search_candidates),

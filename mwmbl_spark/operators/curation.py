@@ -109,10 +109,15 @@ def apply_curation(
     touched pages: curated docs first in edited order, then surviving
     existing docs in stored order; ``page_cap`` re-applies the page-size
     truncation (indexer.store_in_page drops what doesn't fit)."""
-    cur = curations.select(
+    sel = [
         curation_term_expr(F.col("query")).alias("term"),
         "rank", "title", "url", "extract", "state",
-    ).withColumn("page", default_page_expr(F.col("term"), n_pages))
+    ]
+    if "edit_order" in curations.columns:
+        sel.append(F.col("edit_order"))
+    cur = curations.select(*sel).withColumn(
+        "page", default_page_expr(F.col("term"), n_pages)
+    )
 
     curated = cur.where(
         F.col("state").isNotNull() & (F.col("state") >= ORGANIC_APPROVED)
@@ -125,10 +130,21 @@ def apply_curation(
     )
 
     # every edited row updates the state of a same-URL survivor on the
-    # page — INCLUDING null states (un-approve), hence the marker column
+    # page — INCLUDING null states (un-approve), hence the marker column.
+    # Conflicting edits of the same (page, url) in one batch: the
+    # reference applies curations sequentially, last write wins
+    # (views.py:409-411) — when the input carries an ``edit_order``
+    # column we honor exactly that (max_by keeps the null state of a
+    # later un-approve). Orderless batches fall back to the documented
+    # deterministic tie rule max(state), which ignores nulls — i.e. an
+    # approve beats a same-batch un-approve when no order is given.
+    if "edit_order" in cur.columns:
+        new_state = F.max_by("state", "edit_order")
+    else:
+        new_state = F.max("state")
     state_updates = (
         cur.groupBy("page", "url")
-        .agg(F.max("state").alias("_new_state"))
+        .agg(new_state.alias("_new_state"))
         .withColumn("_touched", F.lit(True))
     )
 

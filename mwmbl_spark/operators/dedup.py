@@ -43,19 +43,51 @@ SHINGLE_N = 3
 DEFAULT_BAND_CAP = 1000
 
 
-def cap_bands(bands: DataFrame, band_cap: int | None) -> DataFrame:
+def cap_bands(bands: DataFrame, band_cap: int | None, warn: bool = True) -> DataFrame:
     """Drop (doc_id, band_key) rows whose key exceeds ``band_cap``
     members. One window shuffle on band_key — the same partitioning the
-    candidate self-join needs anyway. Use ``band_skew_report`` to see
-    what a cap WOULD drop (no silent truncation: callers log it)."""
+    candidate self-join needs anyway.
+
+    No silent caps: when the cap drops anything, a WARNING with the
+    dropped row/bucket counts is logged. The counts ride the SAME job
+    as the window (``DataFrame.observe`` — zero extra Spark jobs); a
+    daemon thread waits on the Observation and logs once the caller's
+    first action completes. ``band_skew_report`` remains the audit tool
+    for choosing a cap."""
     if band_cap is None:
         return bands
     w = Window.partitionBy("band_key")
-    return (
-        bands.withColumn("_bcnt", F.count(F.lit(1)).over(w))
-        .where(F.col("_bcnt") <= band_cap)
-        .drop("_bcnt")
-    )
+    counted = bands.withColumn("_bcnt", F.count(F.lit(1)).over(w))
+    if warn:
+        import logging
+        import threading
+
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        counted = counted.observe(
+            obs,
+            F.sum((F.col("_bcnt") > band_cap).cast("long")).alias("dropped_rows"),
+            F.approx_count_distinct(
+                F.when(F.col("_bcnt") > band_cap, F.col("band_key"))
+            ).alias("dropped_buckets"),
+        )
+
+        def _log() -> None:
+            try:
+                m = obs.get  # blocks until the first action completes
+                if m and m.get("dropped_rows"):
+                    logging.getLogger("mwmbl_spark.dedup").warning(
+                        "cap_bands(band_cap=%d) dropped %s (doc, band) rows "
+                        "across ~%s degenerate buckets (whole buckets, "
+                        "deterministic); run band_skew_report() to audit",
+                        band_cap, m["dropped_rows"], m["dropped_buckets"],
+                    )
+            except Exception:  # noqa: BLE001 — logging must never break a job
+                pass
+
+        threading.Thread(target=_log, daemon=True, name="band-cap-observer").start()
+    return counted.where(F.col("_bcnt") <= band_cap).drop("_bcnt")
 
 
 def band_skew_report(bands: DataFrame, band_cap: int) -> DataFrame:

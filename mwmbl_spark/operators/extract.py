@@ -105,24 +105,39 @@ def _neighbour(classes: list[str], i: int, ignore_neargood: bool, inc: int, boun
 
 
 def revise_paragraphs_py(
-    paragraphs: list[dict], max_heading_distance: int = MAX_HEADING_DISTANCE
+    paragraphs: list[dict],
+    max_heading_distance: int = MAX_HEADING_DISTANCE,
+    upstream_good_headings: bool = False,
 ) -> list[str]:
     """Context-sensitive revision (core.py:317-381): paragraphs =
-    [{text, cf_class, heading}] in document order -> final classes."""
+    [{text, cf_class, heading}] in document order -> final classes.
+
+    Reference quirk, replicated by default: core.py:325-339 copies
+    ``class_type = cf_class`` lazily INSIDE the first loop, so when
+    paragraph i scans forward, ``paragraphs[j].class_type`` (j > i) is
+    still the un-copied default — never 'good' — and the first
+    short-heading -> neargood promotion NEVER fires. Published jusText
+    copies classes up front and the promotion works;
+    ``upstream_good_headings=True`` restores that behavior. (The final
+    'more good headings' pass runs after all copies either way and is
+    identical.) Fuzzing showed ~0.7% of documents differ between the
+    two — the default pins reference parity."""
     n = len(paragraphs)
     cls = [p["cf_class"] for p in paragraphs]
 
-    # good headings: short headings near a good paragraph become neargood
-    for i, p in enumerate(paragraphs):
-        if not (p["heading"] and cls[i] == "short"):
-            continue
-        j, distance = i + 1, 0
-        while j < n and distance <= max_heading_distance:
-            if cls[j] == "good":
-                cls[i] = "neargood"
-                break
-            distance += len(paragraphs[j]["text"])
-            j += 1
+    # good headings: short headings near a good paragraph become
+    # neargood — upstream jusText only (no-op in the reference, see above)
+    if upstream_good_headings:
+        for i, p in enumerate(paragraphs):
+            if not (p["heading"] and cls[i] == "short"):
+                continue
+            j, distance = i + 1, 0
+            while j < n and distance <= max_heading_distance:
+                if cls[j] == "good":
+                    cls[i] = "neargood"
+                    break
+                distance += len(paragraphs[j]["text"])
+                j += 1
 
     # classify short by good/bad neighbours
     new_classes = {}

@@ -304,6 +304,96 @@ def fit_logistic_distributed(
     return w, b, mean, std
 
 
+class GbtLtr:
+    """Distributed gradient-boosted-tree LTR behind the LtrPipeline
+    semantics — Spark MLlib's GBTClassifier standing in for the
+    reference's XGBoost (mwmbl/tinysearchengine/ltr.py:83-230), so
+    boosted-tree training parity does not depend on xgboost being
+    installed. Same contract as LtrPipeline: labels binarised at
+    ``threshold`` (ThresholdPredictor, ltr.py:22-37), scores are
+    P(relevant), and the RankingPredictor zeroing applies
+    (match_term_proportion_whole <= 0.5 AND match_terms_whole <= 1.0 ->
+    0, ltr.py:75-80).
+
+    Training AND inference are Spark-native: fit over the distributed
+    (features array<double>, label) table from ``ltr_featurize``;
+    ranking uses ``model.transform`` (JVM tree evaluation, no Python in
+    the scoring loop). Deterministic under a fixed seed."""
+
+    _MTP_IDX = FEATURE_NAMES.index("match_term_proportion_whole")
+    _MT_IDX = FEATURE_NAMES.index("match_terms_whole")
+
+    def __init__(self, threshold: float = 0.0, max_iter: int = 20,
+                 max_depth: int = 3, step_size: float = 0.1, seed: int = 7):
+        self.threshold = threshold
+        self.max_iter = max_iter
+        self.max_depth = max_depth
+        self.step_size = step_size
+        self.seed = seed
+        self.model = None
+
+    def fit(self, feats: DataFrame, label_col: str = "label") -> "GbtLtr":
+        from pyspark.ml.classification import GBTClassifier
+        from pyspark.ml.functions import array_to_vector
+
+        train = feats.select(
+            array_to_vector("features").alias("fv"),
+            (F.col(label_col).cast("double") > self.threshold).cast("double").alias("y"),
+        )
+        self.model = GBTClassifier(
+            featuresCol="fv", labelCol="y", maxIter=self.max_iter,
+            maxDepth=self.max_depth, stepSize=self.step_size, seed=self.seed,
+        ).fit(train)
+        return self
+
+    def rank(
+        self,
+        candidates: DataFrame,
+        domain_scores: dict[str, float] | None = None,
+        wiki_scores: dict[str, float] | None = None,
+        is_complete: bool = True,
+        k: int | None = None,
+    ) -> DataFrame:
+        """ltr_rank semantics through the JVM: featurize -> tree
+        ensemble transform -> P(relevant) -> zeroing mask -> per-query
+        rank desc."""
+        if self.model is None:
+            raise RuntimeError("rank called before fit (or load)")
+        from pyspark.ml.functions import array_to_vector, vector_to_array
+
+        feats = ltr_featurize(candidates, domain_scores, wiki_scores, is_complete)
+        fv = feats.withColumn("fv", array_to_vector("features"))
+        scored = self.model.transform(fv).select(
+            *candidates.columns,
+            F.when(
+                (F.element_at("features", self._MTP_IDX + 1) <= 0.5)
+                & (F.element_at("features", self._MT_IDX + 1) <= 1.0),
+                F.lit(0.0),
+            )
+            .otherwise(F.element_at(vector_to_array("probability"), 2))
+            .alias("ltr_score"),
+        )
+        masked = scored.where(F.col("ltr_score") > 0)
+        w = Window.partitionBy("query_id").orderBy(F.desc("ltr_score"), F.asc("doc_id"))
+        ranked = masked.withColumn("ltr_rank", F.row_number().over(w))
+        if k is not None:
+            ranked = ranked.where(F.col("ltr_rank") <= k)
+        return ranked
+
+    def save(self, path: str) -> None:
+        if self.model is None:
+            raise RuntimeError("save called before fit")
+        self.model.write().overwrite().save(path)
+
+    @classmethod
+    def load(cls, path: str, threshold: float = 0.0) -> "GbtLtr":
+        from pyspark.ml.classification import GBTClassificationModel
+
+        out = cls(threshold=threshold)
+        out.model = GBTClassificationModel.load(path)
+        return out
+
+
 def ltr_rank(
     candidates: DataFrame,
     model: Callable[[np.ndarray], np.ndarray] = logistic_baseline,

@@ -58,20 +58,34 @@ def build_postings(transcripts: DataFrame, text_col: str = "text", id_col: str =
 
 
 def build_postings_with_len(
-    transcripts: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    transcripts: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    include_empty_docs: bool = False,
 ) -> DataFrame:
     """postings carrying doc_len: (term, doc_id, tf, doc_len) in ONE
     tokenize pass. The build path uses this shape — it removes both the
     second tokenize traversal (doc_lengths) and the postings⋈doc_lengths
-    shuffle join from the segment build. Zero-token docs are absent (they
-    can match nothing); corpus stats must count them separately
-    (n_docs from a plain row count, sum_len = sum(tf) here).
+    shuffle join from the segment build.
+
+    ``include_empty_docs=False`` (default): zero-token docs are absent
+    (they can match nothing); corpus stats must count them separately.
+    ``True``: ``explode_outer`` keeps one ``term IS NULL`` marker row
+    per zero-token/null-text doc (doc_len clamped to 0), so the ONE
+    relation also yields the exact doc_index sidecar
+    (``select(doc_id, doc_len).distinct()``) with no second source scan
+    and no anti-join — posting consumers must filter
+    ``term IS NOT NULL``.
     """
     toks = tokenized(transcripts, text_col, id_col)
-    return (
-        toks.select("doc_id", "doc_len", F.explode("tokens").alias("term"))
-        .groupBy("term", "doc_id", "doc_len")
-        .agg(F.count(F.lit(1)).alias("tf"))
+    explode = F.explode_outer if include_empty_docs else F.explode
+    sel = toks.select(
+        "doc_id",
+        F.greatest(F.col("doc_len"), F.lit(0)).alias("doc_len"),
+        explode("tokens").alias("term"),
+    )
+    return sel.groupBy("term", "doc_id", "doc_len").agg(
+        F.count(F.lit(1)).alias("tf")
     )
 
 

@@ -76,18 +76,11 @@ def cosine_topk(
 N_HYPERPLANE_BITS = 8
 
 
-def _sign_bucket(vec: Column, n_bits: int = N_HYPERPLANE_BITS) -> Column:
-    """Deterministic sign-bit bucket: bit j = sign of <v, h_j> where
-    hyperplane h_j has components (+1|-1) derived from md5(j || ':' || dim).
-
-    Implemented as a JVM expression: for each bit, a zip-with over the
-    vector and a per-(bit, dim) pseudo-random sign. The hyperplanes are
-    code-derived constants — no training data, same buckets everywhere.
-    """
-    def bit(j: int) -> Column:
-        # sign of dim i for plane j: parity of hash60(f"{j}:{i}") — folded
-        # into an expression over posexplode-free transform using the
-        # element index.
+def _sign_projections(vec: Column, n_bits: int = N_HYPERPLANE_BITS) -> Column:
+    """array<double> of <v, h_j> per hyperplane j, where h_j has
+    components (+1|-1) derived from md5(j || ':' || dim) — code-derived
+    constants, no training data, same projections everywhere."""
+    def proj(j: int) -> Column:
         signed = F.zip_with(
             vec,
             F.sequence(F.lit(0), F.size(vec) - 1),
@@ -97,13 +90,51 @@ def _sign_bucket(vec: Column, n_bits: int = N_HYPERPLANE_BITS) -> Column:
                 F.lit(1.0),
             ).otherwise(F.lit(-1.0)),
         )
-        proj = F.aggregate(signed, F.lit(0.0), lambda acc, x: acc + x)
-        return F.when(proj > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        return F.aggregate(signed, F.lit(0.0), lambda acc, x: acc + x)
 
+    return F.array(*[proj(j) for j in range(n_bits)])
+
+
+def _bucket_of_projs(projs: Column, n_bits: int = N_HYPERPLANE_BITS) -> Column:
     out = F.lit(0)
     for j in range(n_bits):
-        out = out + bit(j)
+        out = out + F.when(F.element_at(projs, j + 1) > 0, F.lit(1 << j)).otherwise(F.lit(0))
     return out.cast("int")
+
+
+def _sign_bucket(vec: Column, n_bits: int = N_HYPERPLANE_BITS) -> Column:
+    """Deterministic sign-bit bucket: bit j = sign of <v, h_j>.
+    Implemented as JVM expressions end to end."""
+    return _bucket_of_projs(_sign_projections(vec, n_bits), n_bits)
+
+
+def _probe_buckets(projs: Column, n_probe: int, n_bits: int = N_HYPERPLANE_BITS) -> Column:
+    """Multi-probe bucket list (Lv et al., 'Multi-Probe LSH', VLDB'07):
+    the query's own bucket plus the buckets obtained by flipping its
+    n_probe-1 LEAST-CONFIDENT bits (smallest |projection| — the planes
+    the vector sits closest to, where a near neighbor most likely lands
+    on the other side). Lifts recall at the same index/build cost: only
+    the query side fans out, the corpus keeps one bucket per vector."""
+    base = _bucket_of_projs(projs, n_bits)
+    if n_probe <= 1:
+        return F.array(base)
+    # bit indices ordered by |proj| ascending (struct sort on (|p|, j))
+    order = F.transform(
+        F.array_sort(
+            F.zip_with(
+                projs,
+                F.sequence(F.lit(0), F.lit(n_bits - 1)),
+                lambda p, j: F.struct(F.abs(p).alias("a"), j.alias("j")),
+            )
+        ),
+        lambda s: s["j"],
+    )
+    pow2 = F.array(*[F.lit(1 << j) for j in range(n_bits)])
+    flips = [
+        base.bitwiseXOR(F.element_at(pow2, F.element_at(order, i + 1) + 1)).cast("int")
+        for i in range(min(n_probe - 1, n_bits))
+    ]
+    return F.array(base, *flips)
 
 
 def lsh_bucket_topk(
@@ -113,18 +144,31 @@ def lsh_bucket_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_bits: int = N_HYPERPLANE_BITS,
+    n_probe: int = 1,
 ) -> DataFrame:
     """Approximate top-k: score only corpus vectors in the query's
-    sign-bit bucket (single-probe). Same output shape as cosine_topk."""
+    sign-bit bucket, plus (``n_probe`` > 1) the Hamming-adjacent buckets
+    of its least-confident bits — multi-probe LSH. Probe buckets are
+    distinct and a corpus vector lives in exactly one bucket, so no
+    (query, vec) pair is scored twice. Same output shape as
+    cosine_topk; only the tiny broadcast query side fans out."""
     bucketed = embeddings.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("emb"),
         _sign_bucket(F.col(vec_col), n_bits).alias("bucket"),
     )
-    q = bucketed.where(F.col("vec_id").isin(query_ids)).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("emb").alias("q_emb"),
-        F.col("bucket").alias("q_bucket"),
+    q = (
+        embeddings.where(F.col(id_col).isin(query_ids))
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_emb"),
+            _sign_projections(F.col(vec_col), n_bits).alias("projs"),
+        )
+        .select(
+            "query_id",
+            "q_emb",
+            F.explode(_probe_buckets(F.col("projs"), n_probe, n_bits)).alias("q_bucket"),
+        )
     )
     pairs = bucketed.join(
         F.broadcast(q),

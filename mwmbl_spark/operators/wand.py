@@ -380,3 +380,78 @@ def wand_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "doc_id", "score", "rank")
     )
+
+
+MAX_CURATED_SCORE = 1_111_111.0  # views.py:404 analogue (operators/curation.py)
+
+
+def wand_topk_curated(
+    segments: DataFrame,
+    stats: DataFrame,
+    queries: DataFrame,
+    curations: DataFrame,
+    n_docs: int,
+    avg_len: float,
+    k: int = 10,
+    mode: str = "disjunctive",
+    num_buckets: int | None = None,
+    deletes=None,
+) -> DataFrame:
+    """Curation-aware top-k through the segment/WAND path (reference
+    rank.py:289-293,318-320): documents curated for the EXACT query —
+    stored ``term`` equals ``' '.join(tokenize(q))`` and state is set —
+    are pinned FIRST in curation-position order with the pinned score
+    MAX_CURATED_SCORE - position (views.py:404 convention); organic
+    WAND results fill the remaining slots, deduplicated against the
+    pinned docs (curated wins, like the reference's
+    ``deduplicate(curated_items + ordered_results)``).
+
+    The curation table is a small editorial dimension — every join
+    against it broadcasts; the organic path is untouched wand_topk.
+    Output: (query_id, doc_id, score, rank, curated)."""
+    from mwmbl_spark.functions.tokenize import tokenize_expr
+
+    organic = wand_topk(
+        segments, stats, queries, n_docs, avg_len,
+        k=k, mode=mode, num_buckets=num_buckets, deletes=deletes,
+    )
+    cterm = queries.select(
+        "query_id", F.concat_ws(" ", tokenize_expr(F.col("query"))).alias("cterm")
+    )
+    cur = (
+        curations.where(F.col("state").isNotNull())
+        .join(F.broadcast(cterm), F.col("term") == F.col("cterm"))
+        .select("query_id", "doc_id", "position")
+    )
+    wc = Window.partitionBy("query_id").orderBy("position", "doc_id")
+    cur_ranked = cur.select(
+        "query_id",
+        "doc_id",
+        (F.lit(MAX_CURATED_SCORE) - F.col("position")).alias("score"),
+        F.row_number().over(wc).alias("crank"),
+        F.lit(1).alias("curated"),
+    )
+    n_cur = cur_ranked.groupBy("query_id").agg(F.max("crank").alias("n_cur"))
+    org = (
+        organic.join(F.broadcast(cur.select("query_id", "doc_id")), ["query_id", "doc_id"], "left_anti")
+        .join(F.broadcast(n_cur), "query_id", "left")
+        .select(
+            "query_id", "doc_id", "score",
+            F.lit(0).alias("curated"),
+            (F.coalesce(F.col("n_cur"), F.lit(0))).alias("shift"),
+            "rank",
+        )
+    )
+    wo = Window.partitionBy("query_id").orderBy("rank")
+    org_ranked = org.select(
+        "query_id", "doc_id", "score",
+        (F.row_number().over(wo) + F.col("shift")).alias("crank"),
+        "curated",
+    )
+    return (
+        cur_ranked.select("query_id", "doc_id", "score", F.col("crank").alias("rank"), "curated")
+        .unionByName(
+            org_ranked.select("query_id", "doc_id", "score", F.col("crank").alias("rank"), "curated")
+        )
+        .where(F.col("rank") <= k)
+    )

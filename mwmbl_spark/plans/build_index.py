@@ -207,23 +207,20 @@ class IndexBuilder:
             .parquet(f"{self.cfg.path}/segments/src_part={part}")
         )
 
-    def _write_doc_index(self, p: DataFrame, src_ids: DataFrame, part: str) -> int:
+    def _write_doc_index(self, p: DataFrame, part: str) -> int:
         """Write the (salt, doc_id, doc_len) doc-index sidecar — one row
-        per SOURCE doc, including zero-token docs the posting relation
-        can't see — and return its row count (free from parquet footer
-        metadata on local paths). The sidecar is what makes doc-level
-        upserts exact: it answers "does doc d exist, at which seq, with
-        which length" without touching posting data, so pure-append
-        batches skip the dead-stats scan entirely."""
+        per SOURCE doc, including zero-token docs (p is built with
+        ``include_empty_docs=True``, so they appear as term-IS-NULL
+        marker rows) — and return its row count (free from parquet
+        footer metadata on local paths). The sidecar is what makes
+        doc-level upserts exact: it answers "does doc d exist, at which
+        seq, with which length" without touching posting data, so
+        pure-append batches skip the dead-stats scan entirely. One
+        distinct over the cached posting relation: no second source
+        scan, no anti-join."""
         from mwmbl_spark.operators.segments import salt_of
 
-        ids = p.select("doc_id", "doc_len").distinct()
-        zero = (
-            src_ids.select("doc_id").distinct()
-            .join(ids.select("doc_id"), "doc_id", "left_anti")
-            .withColumn("doc_len", F.lit(0).cast("long"))
-        )
-        di = ids.unionByName(zero).select(
+        di = p.select("doc_id", "doc_len").distinct().select(
             salt_of(F.col("doc_id"), self.cfg.nsalt).alias("salt"),
             "doc_id",
             F.col("doc_len").cast("long").alias("doc_len"),
@@ -238,22 +235,23 @@ class IndexBuilder:
         # because stats/doc-stats/segments all read the posting relation
         from concurrent.futures import ThreadPoolExecutor
 
-        p = build_postings_with_len(sub).persist()
+        p = build_postings_with_len(sub, include_empty_docs=True).persist()
+        posts = p.where(F.col("term").isNotNull())
         try:
             # job 1 (alone: materializes the persisted p exactly once)
-            agg = p.agg(
+            agg = posts.agg(
                 F.count(F.lit(1)).alias("np"), F.sum("tf").alias("s")
             ).collect()[0]
             n_postings, sum_len = int(agg["np"]), int(agg["s"] or 0)
             base = self.cfg.path
-            stats = term_stats(p)
+            stats = term_stats(posts)
             # jobs 2+3 overlap (independent, both read cached p): the
             # doc_index sidecar (subsumes the old row count — its parquet
             # footer returns n_docs for free) and the stats fragment.
             # Each Spark job carries ~0.5-1 s of fixed driver cost; FAIR
             # scheduling + driver threads pay it once, not per job.
             with ThreadPoolExecutor(max_workers=2) as ex:
-                f_docs = ex.submit(self._write_doc_index, p, sub, part)
+                f_docs = ex.submit(self._write_doc_index, p, part)
                 f_stats = ex.submit(
                     lambda: stats.write.mode("overwrite").parquet(
                         f"{base}/stats/src_part={part}"
@@ -265,7 +263,7 @@ class IndexBuilder:
             # derives avgdl from doc_stats totals), but exact is free here
             avg = sum_len / max(1, n_docs)
             segs = build_segments(
-                p, None, stats, n_docs, avg, self.cfg.num_buckets, self.cfg.nsalt
+                posts, None, stats, n_docs, avg, self.cfg.num_buckets, self.cfg.nsalt
             )
             self._write_segments(segs, part)
             _write_doc_stats(f"{base}/doc_stats/src_part={part}", n_docs, sum_len)
@@ -488,25 +486,26 @@ class IndexBuilder:
         base = self.cfg.path
         seq = next_seq(self.spark, base)
         part = name or f"u{seq}"
-        p = build_postings_with_len(batch).persist()
+        p = build_postings_with_len(batch, include_empty_docs=True).persist()
+        posts = p.where(F.col("term").isNotNull())
         try:
-            agg = p.agg(
+            agg = posts.agg(
                 F.count(F.lit(1)).alias("np"), F.sum("tf").alias("s")
             ).collect()[0]
             n_postings, sum_new = int(agg["np"]), int(agg["s"] or 0)
-            n_new = self._write_doc_index(p, batch, part)
+            n_new = self._write_doc_index(p, part)
             avg = sum_new / max(1, n_new)
             new_ids = self.spark.read.parquet(f"{base}/doc_index/src_part={part}")
             dead = self._superseded(new_ids)
             n_dead = len(dead)
             sum_dead = sum(int(r["doc_len"]) for r in dead)
-            stats_frag = term_stats(p).select(
+            stats_frag = term_stats(posts).select(
                 "term", F.col("df").cast("long"), F.col("cf").cast("long")
             )
             if dead:
                 stats_frag = stats_frag.unionByName(self._dead_deltas(dead))
             segs = build_segments(
-                p, None, stats_frag, n_new, avg, self.cfg.num_buckets, self.cfg.nsalt
+                posts, None, stats_frag, n_new, avg, self.cfg.num_buckets, self.cfg.nsalt
             )
             self._write_segments(segs, part)
             stats_frag.write.mode("overwrite").parquet(f"{base}/stats/src_part={part}")

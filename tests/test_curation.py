@@ -133,3 +133,37 @@ def test_page_cap_truncates(spark, store):
     assert len(out) == 3
     assert sorted(r["position"] for r in out) == [0, 1, 2]
     assert [r["url"] for r in sorted(out, key=lambda r: r["position"])][0] == "https://new.com"
+
+
+def test_conflicting_same_batch_edits_last_write_wins(spark):
+    """Two edits of the same (page, url) in one batch: with an
+    ``edit_order`` column the LATER edit's state wins — including a
+    null un-approve (the reference applies curations sequentially,
+    views.py:409-411). Without edit_order the documented deterministic
+    tie rule max(state) applies."""
+    from mwmbl_spark.operators.curation import apply_curation, curation_term_expr  # noqa: F401
+
+    pages = spark.createDataFrame(
+        [(0, 0, "T", "https://x.com", "e", 1.0, "spark data", 3)],
+        "page long, position int, title string, url string, extract string, "
+        "score double, term string, state int",
+    )
+    # n_pages=1 -> every term hashes to page 0 (forced collision)
+    base = [
+        ("spark data", 0, "T", "https://x.com", "e", 3, 1),
+        ("other term", 0, "T", "https://x.com", "e", None, 2),  # later un-approve
+    ]
+    cur_ordered = spark.createDataFrame(
+        base,
+        "query string, rank long, title string, url string, extract string, "
+        "state int, edit_order int",
+    )
+    out = {r["url"]: r for r in apply_curation(pages, cur_ordered, 1).collect()}
+    assert out["https://x.com"]["state"] is None  # later edit (un-approve) wins
+
+    cur_orderless = spark.createDataFrame(
+        [r[:6] for r in base],
+        "query string, rank long, title string, url string, extract string, state int",
+    )
+    out2 = {r["url"]: r for r in apply_curation(pages, cur_orderless, 1).collect()}
+    assert out2["https://x.com"]["state"] == 3  # documented max(state) tie rule

@@ -63,8 +63,31 @@ def test_revision_heading_promotion():
         {"text": "Section title", "cf_class": "short", "heading": True},
         {"text": GOOD_TEXT, "cf_class": "good", "heading": False},
     ]
-    # short heading within MAX_HEADING_DISTANCE of good -> neargood -> good
+    # both modes converge here: the reference's lazy-copy quirk kills the
+    # FIRST promotion pass, but the final 'more good headings' recovery
+    # still lifts the demoted heading next to good content
     assert revise_paragraphs_py(ps) == ["good", "good"]
+    assert revise_paragraphs_py(ps, upstream_good_headings=True) == ["good", "good"]
+
+
+def test_revision_reference_lazy_copy_quirk():
+    """A fixture where the two modes DIVERGE (the ~0.7% class): a short
+    heading followed by a short paragraph then good content. Upstream
+    jusText promotes the heading to neargood in pass 1, which lets the
+    middle short paragraph classify good (bad-prev + neargood
+    non-ignore neighbour); the reference's lazy class_type copy makes
+    pass 1 a no-op (core.py:325-339 reads un-copied classes), so the
+    middle paragraph sees only bad/boundary neighbours and demotes —
+    the default replicates the reference exactly."""
+    ps = [
+        {"text": "Section title", "cf_class": "short", "heading": True},
+        {"text": "tiny", "cf_class": "short", "heading": False},
+        {"text": GOOD_TEXT, "cf_class": "good", "heading": False},
+    ]
+    assert revise_paragraphs_py(ps) == ["good", "bad", "good"]
+    assert revise_paragraphs_py(ps, upstream_good_headings=True) == [
+        "good", "good", "good",
+    ]
 
 
 def _synth_paragraphs(n_docs: int = 20, seed: int = 7):

@@ -184,6 +184,42 @@ def test_real_decoder_is_explicit_stub(spark, docs):
         decode_image_real(media)
 
 
+def test_lsh_multi_probe_sweep(spark):
+    """Multi-probe LSH (least-confident bit flips): candidates are a
+    superset per added probe, so recall is monotone in n_probe; on a
+    clustered fixture 4 probes must beat the single-probe floor."""
+    from mwmbl_spark.operators.similarity import cosine_topk, lsh_bucket_topk
+
+    rng = np.random.default_rng(11)
+    rows = []
+    vid = 0
+    for _c in range(30):
+        center = rng.normal(size=16)
+        for _m in range(10):
+            v = center + rng.normal(scale=0.15, size=16)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>").cache()
+    qids = [0, 10, 20, 30, 40]
+    exact: dict = {}
+    for r in cosine_topk(emb, qids, k=5).collect():
+        exact.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = {}
+    for n_probe in (1, 2, 4):
+        got: dict = {}
+        for r in lsh_bucket_topk(emb, qids, k=5, n_probe=n_probe).collect():
+            got.setdefault(r["query_id"], set()).add(r["vec_id"])
+        recalls[n_probe] = sum(
+            len(got.get(q, set()) & exact[q]) for q in qids
+        ) / sum(len(exact[q]) for q in qids)
+    print("LSH probe sweep recalls:", recalls)
+    assert recalls[2] >= recalls[1] - 1e-9
+    assert recalls[4] >= recalls[2] - 1e-9
+    assert recalls[4] > recalls[1], recalls
+    assert recalls[4] >= 0.6, recalls
+    emb.unpersist()
+
+
 def test_ivf_topk_recall_and_determinism(embeddings):
     from mwmbl_spark.operators.similarity import cosine_topk, ivf_topk, ivf_train
 
