@@ -553,6 +553,15 @@ class IndexBuilder:
         commit_partition(self.spark, base, part, -n_dead, 0, wall_ms, seq=seq)
         return part
 
+    def maybe_compact(self, max_fragments: int, vacuum: bool = True) -> str | None:
+        """Compact only when the live fragment count exceeds
+        ``max_fragments`` — the steady-state policy for continuous
+        ingestion: read amplification stays O(max_fragments) and
+        compaction cost amortizes over that many commits."""
+        if len(self._live()) <= max_fragments:
+            return None
+        return self.compact(vacuum=vacuum)
+
     def compact(self, vacuum: bool = True) -> str | None:
         """Rewrite all live fragments into ONE consolidated fragment:
         decode surviving postings (delete vectors applied), rebuild

@@ -43,9 +43,21 @@ def incremental_index_stream(
     checkpoint_path: str,
     max_files_per_trigger: int | None = None,
     schema_ddl: str = TRANSCRIPT_DDL,
+    mode: str = "append",
+    auto_compact_fragments: int | None = None,
 ):
     """Run an AvailableNow incremental build over a parquet source dir.
-    Returns after all available data is indexed and committed."""
+    Returns after all available data is indexed and committed.
+
+    ``mode="append"``: every micro-batch is new docs (fastest; a
+    re-crawled doc would duplicate). ``mode="upsert"``: micro-batches
+    flow through IndexBuilder.upsert — re-crawled docs REPLACE their
+    stored postings via delete vectors + exact stats deltas (the
+    reference's RMW-merge semantics, index_batches.py:78-90, now in the
+    streaming path too; pure-append batches degrade to one doc_index
+    anti-probe). ``auto_compact_fragments``: compact when the live
+    fragment count exceeds this bound — the steady-state policy that
+    keeps read amplification O(1) under a continuous stream."""
     builder = IndexBuilder(spark, index_cfg)
     reader = spark.readStream.schema(schema_ddl)
     if max_files_per_trigger:
@@ -60,16 +72,24 @@ def incremental_index_stream(
             return
         import time
 
-        t0 = time.perf_counter()
-        n_docs, n_postings = builder._build_partition(batch_df, part)
-        commit_partition(
-            spark,
-            index_cfg.path,
-            part,
-            n_docs,
-            n_postings,
-            int((time.perf_counter() - t0) * 1000),
-        )
+        if mode == "upsert":
+            builder.upsert(batch_df, name=part)
+        else:
+            t0 = time.perf_counter()
+            n_docs, n_postings = builder._build_partition(batch_df, part)
+            from mwmbl_spark.manifest import next_seq
+
+            commit_partition(
+                spark,
+                index_cfg.path,
+                part,
+                n_docs,
+                n_postings,
+                int((time.perf_counter() - t0) * 1000),
+                seq=next_seq(spark, index_cfg.path),
+            )
+        if auto_compact_fragments is not None:
+            builder.maybe_compact(auto_compact_fragments)
 
     q = (
         stream.writeStream.foreachBatch(process)

@@ -145,3 +145,60 @@ def test_streaming_curation_folds_edits(spark, tmp_path):
     rows2 = {r["url"]: r for r in current_pages(spark, store, seed).collect()}
     assert rows2["https://x.com"]["state"] is None  # un-approved survivor
     assert len(rows2) == 3
+
+
+def test_streaming_upsert_mode_replaces_recrawled_docs(spark, tmp_path):
+    """mode='upsert': a stream batch containing re-crawled docs REPLACES
+    their stored postings (reference RMW semantics in the streaming
+    path); auto_compact_fragments bounds the live fragment count."""
+    from pyspark.sql import functions as F
+
+    from mwmbl_spark.plans.build_index import IndexBuilder, IndexConfig
+
+    src = str(tmp_path / "u_src")
+    idx = str(tmp_path / "u_idx")
+    ckpt = str(tmp_path / "u_ckpt")
+    cfg = IndexConfig(path=idx, num_buckets=16, nsalt=4)
+
+    base = with_doc_id(synth_transcripts(spark, n_conv=20, turns_per_conv=4, seed=5))
+    base.write.mode("append").parquet(src)
+    builder = incremental_index_stream(spark, src, cfg, ckpt, mode="upsert")
+
+    # re-crawl a third of the docs with changed text + add fresh docs
+    updated = base.where(F.col("doc_id") % 3 == 1).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" streamed recrawl spark"))
+    )
+    fresh = with_doc_id(
+        synth_transcripts(spark, n_conv=5, turns_per_conv=4, seed=9).withColumn(
+            "conv_id", F.concat(F.lit("new-"), F.col("conv_id"))
+        )
+    )
+    updated.unionByName(fresh).write.mode("append").parquet(src)
+    builder = incremental_index_stream(
+        spark, src, cfg, ckpt, mode="upsert", auto_compact_fragments=1
+    )
+    # auto-compaction collapsed the fragment chain
+    assert len(builder._live()) == 1
+
+    # identical to a fresh single-shot build over the updated corpus
+    final = (
+        base.where(F.col("doc_id") % 3 != 1)
+        .unionByName(updated)
+        .unionByName(fresh)
+    )
+    fcfg = IndexConfig(
+        path=str(tmp_path / "u_fresh"), num_buckets=16, nsalt=4, n_src_partitions=2
+    )
+    fb = IndexBuilder(spark, fcfg)
+    fb.build(final)
+    qdf = spark.createDataFrame(
+        QUERIES + [(2, "streamed recrawl spark")], "query_id long, query string"
+    )
+
+    def res(b):
+        return [
+            (r["query_id"], r["doc_id"], round(r["score"], 9))
+            for r in b.query_topk(qdf, k=10).orderBy("query_id", "rank").collect()
+        ]
+
+    assert res(builder) == res(fb)
