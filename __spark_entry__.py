@@ -502,6 +502,18 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, ANN_QUERY_IDS, k=10)
 
 
+def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-bit LSH ANN (single-probe): the md5-derived hyperplanes are
+    deterministic and engine-portable, so the WHOLE approximate path —
+    projections, bucket assignment, bucket-mate scoring — is value-gated
+    against a DuckDB oracle stating the identical computation (the
+    multi-probe extension is recall-gated in pytest)."""
+    from mwmbl_spark.operators.similarity import lsh_bucket_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return lsh_bucket_topk(emb, ANN_QUERY_IDS, k=10, n_probe=1)
+
+
 def _docs_with_toks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, text, toks) with the tokenizer materialized behind the
     Arrow-UDF barrier (quality expressions reference it many times)."""
@@ -1188,6 +1200,41 @@ r AS (
 )
 SELECT query_id, vec_id, round(sim, 6) AS sim, rank FROM r WHERE rank <= 10"""
 
+# sign-bit LSH: bit j of the bucket = sign of <v, h_j>, h_j[i] = +-1 by
+# the parity of the md5-derived hash60(f"{j}:{i}") — identical in SQL.
+_LSH_PROJ = " + ".join(
+    f"""(CASE WHEN list_reduce(
+           list_transform(range(len(v)),
+             i -> v[i+1] * (CASE WHEN ('0x' || substr(md5('{j}:' || i::VARCHAR), 1, 15))::BIGINT % 2 = 1
+                            THEN 1.0 ELSE -1.0 END)),
+           (a, b) -> a + b) > 0 THEN {1 << j} ELSE 0 END)"""
+    for j in range(8)
+)
+
+ORACLE["lsh_topk"] = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+b AS (
+  SELECT vec_id, v, ({_LSH_PROJ})::INT AS bucket FROM e
+),
+q AS (
+  SELECT vec_id AS query_id, v AS qv, bucket AS q_bucket
+  FROM b WHERE vec_id IN ({", ".join(map(str, ANN_QUERY_IDS))})
+),
+s AS (
+  SELECT q.query_id, c.vec_id,
+         list_dot_product(c.v, q.qv)
+           / (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(q.qv, q.qv))) AS sim
+  FROM b c JOIN q ON c.bucket = q.q_bucket AND c.vec_id != q.query_id
+),
+r AS (
+  SELECT query_id, vec_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+  FROM s
+)
+SELECT query_id, vec_id, round(sim, 6) AS sim, rank FROM r WHERE rank <= 10"""
+
 _LANG_COUNTS = ",\n       ".join(
     "len(list_filter(toks, x -> x IN ({}))) AS c_{}".format(
         ", ".join(f"'{w}'" for w in words), lang
@@ -1848,6 +1895,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": _shipped(q_dedup_minhash),
         "simhash": _shipped(q_simhash),
         "embedding_topk": _shipped(q_embedding_topk),
+        "lsh_topk": _shipped(q_lsh_topk),
         "lang_id": _shipped(q_lang_id),
         "text_features": _shipped(q_text_features),
         "token_stats": _shipped(q_token_stats),

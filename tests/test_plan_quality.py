@@ -81,6 +81,39 @@ def test_postings_scan_prunes_columns(spark, built):
     ), probe[0]
 
 
+def test_upsert_path_plan_quality(spark, tmp_path_factory):
+    """The merge-on-read machinery must not cost the query plan its
+    scale properties: (a) bucket partition pruning survives the seq
+    column + delete-map broadcast on an upserted index; (b) the
+    dead-stats gather prunes its segment scan to the fragments that
+    hold superseded versions (src_part partition filter)."""
+    df = with_doc_id(synth_transcripts(spark, n_conv=12, turns_per_conv=3, seed=4))
+    cfg = IndexConfig(
+        path=str(tmp_path_factory.mktemp("upidx")), num_buckets=32, nsalt=4,
+        n_src_partitions=1,
+    )
+    b = IndexBuilder(spark, cfg)
+    b.build(df)
+    up = df.where(F.col("doc_id") % 3 == 0).select(
+        "doc_id", F.concat(F.col("text"), F.lit(" upd the spark")).alias("text")
+    )
+    b.upsert(up)
+    assert b.delete_map(), "fixture must exercise the delete path"
+    q = spark.createDataFrame([(0, "w0001 the")], "query_id long, query string")
+    plan = _explain(b.query_topk(q, k=5))
+    seg_scan = [
+        blk for blk in plan.split("\n\n")
+        if "segments" in blk and "PartitionFilters" in blk
+    ]
+    assert seg_scan and any("bucket" in blk and " IN " in blk for blk in seg_scan)
+    # (b): dead-stats gather scan is fragment-pruned
+    rows = b._superseded(df.select("doc_id"))
+    assert rows
+    dplan = _explain(b._dead_deltas(rows))
+    dscan = [blk for blk in dplan.split("\n\n") if "segments" in blk]
+    assert dscan and any("src_part" in blk for blk in dscan), dplan
+
+
 def test_ivf_assign_is_shuffle_free(spark):
     """IVF cluster assignment must keep every corpus row in its scan
     partition: no Exchange, no Window — the round-2 implementation

@@ -178,3 +178,22 @@ def test_compaction(spark, corpus, added, tmp_path):
     post = final.join(up2.select("doc_id"), "doc_id", "left_anti").unionByName(up2)
     fresh2 = _build(spark, post, tmp_path, "fresh_k2")
     assert _query(spark, live_b) == _query(spark, fresh2)
+
+
+def test_upsert_edge_probes(spark, corpus, added, tmp_path):
+    """Robustness on a mutated index: empty query, unknown term, and a
+    term whose ONLY holders were deleted all return 0 rows, no error."""
+    live_b = _build(spark, corpus, tmp_path, "base_e", parts=2)
+    live_b.upsert(_updated(corpus))
+    # 'refreshed' exists only in the upserted versions; delete them all
+    live_b.delete_docs(corpus.where(F.col("doc_id") % 6 == 3).select("doc_id"))
+    qdf = spark.createDataFrame(
+        [(0, ""), (1, "zzzznoterm"), (2, "refreshed corpus"), (3, "the spark")],
+        "query_id long, query string",
+    )
+    rows = live_b.query_topk(qdf, k=5).collect()
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert 0 not in by_q and 1 not in by_q and 2 not in by_q
+    assert len(by_q.get(3, [])) > 0  # untouched docs still found
