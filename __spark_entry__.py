@@ -608,6 +608,86 @@ def q_content_extract_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HTML_PRE = '<html><head><title>t</title><script>var x=1;</script></head><body><h2>Doc '
+_HTML_MID = '</h2><p>'
+_HTML_POST = '</p><div><a href="/nav">site nav</a></div></body></html>'
+
+
+def q_html_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stdlib HTML -> paragraph walk (justext ParagraphMaker twin,
+    operators/htmlparse.py) over deterministically synthesized pages:
+    heading + body paragraph + killed script + nav link. Value-gated on
+    (pos, md5(text), chars_in_links, dom_path) per paragraph against
+    the single-node twin (same CPython parser -> bit-exact)."""
+    from mwmbl_spark.operators.htmlparse import html_paragraphs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    h = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit(_HTML_PRE), F.col("doc_id").cast("string"), F.lit(_HTML_MID),
+            F.col("text"), F.lit(_HTML_POST),
+        ).alias("html"),
+    )
+    return html_paragraphs(h).select(
+        "doc_id", "pos", F.md5("text").alias("text_md5"),
+        "chars_in_links", "dom_path",
+    )
+
+
+_HTML_TWIN_CACHE: dict[str, str] | None = None
+
+
+def _twin_html_oracles() -> dict[str, str]:
+    """html_paragraphs oracle: the parser is pure CPython, so the
+    ground truth is the same function run single-node over the same
+    synthesized pages, embedded as literal rows (md5 of each
+    paragraph's text keeps the VALUES blob small)."""
+    global _HTML_TWIN_CACHE
+    if _HTML_TWIN_CACHE is not None:
+        return _HTML_TWIN_CACHE
+    import hashlib
+    import os
+    import sys
+
+    sf_dir = "/root/testdata/sf0.01"
+    if not os.path.exists(f"{sf_dir}/documents.parquet"):
+        _HTML_TWIN_CACHE = {}
+        return _HTML_TWIN_CACHE
+    repo_root = os.path.dirname(os.path.abspath(__file__))
+    if repo_root not in sys.path:
+        sys.path.insert(0, repo_root)
+    import duckdb
+
+    from mwmbl_spark.operators.htmlparse import html_to_paragraphs_py
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    con.close()
+    vals = []
+    for doc_id, text in rows:
+        html = f"{_HTML_PRE}{doc_id}{_HTML_MID}{text}{_HTML_POST}"
+        for i, p in enumerate(html_to_paragraphs_py(html)):
+            md5 = hashlib.md5(p["text"].encode("utf-8")).hexdigest()
+            vals.append(
+                f"({doc_id}, {i}, '{md5}', {p['chars_in_links']}, '{p['dom_path']}')"
+            )
+    if not vals:
+        _HTML_TWIN_CACHE = {}
+        return _HTML_TWIN_CACHE
+    _HTML_TWIN_CACHE = {
+        "html_paragraphs": (
+            "SELECT doc_id::BIGINT AS doc_id, pos::INT AS pos, text_md5, "
+            "chars_in_links::INT AS chars_in_links, dom_path "
+            f"FROM (VALUES {', '.join(vals)}) "
+            "t(doc_id, pos, text_md5, chars_in_links, dom_path)"
+        )
+    }
+    return _HTML_TWIN_CACHE
+
+
 def q_mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mwmbl_spark.multimodal import attach_fake_payload, decode_image_meta
 
@@ -1901,6 +1981,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": _shipped(q_token_stats),
         "fingerprint": _shipped(q_fingerprint),
         "content_extract_cf": _shipped(q_content_extract_cf),
+        "html_paragraphs": _shipped(q_html_paragraphs),
         "mm_decode": _shipped(q_mm_decode),
         "mm_resize": _shipped(q_mm_resize),
         "mm_frames": _shipped(q_mm_frames),
@@ -1919,9 +2000,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     out = dict(ORACLE)
-    try:
-        out.update(_twin_search_oracles())
-    except Exception:  # noqa: BLE001 — degrade to rows-only for these
-        # two entries rather than failing the whole correctness run
-        pass
+    for twin in (_twin_search_oracles, _twin_html_oracles):
+        try:
+            out.update(twin())
+        except Exception:  # noqa: BLE001 — degrade to rows-only for
+            # these entries rather than failing the whole correctness run
+            pass
     return out
