@@ -58,6 +58,19 @@ def _measure(spark, builder, reps: int) -> float:
     return statistics.median(walls)
 
 
+def _seg_rows(spark, builder) -> int:
+    """Deterministic read-amplification metric: segment rows the query
+    batch's terms touch across live fragments (wall clocks at this
+    corpus size sit inside VM noise; this count is exact)."""
+    from mwmbl_spark.operators.bm25 import query_terms
+    from mwmbl_spark.operators.segments import prune_segments
+
+    qdf = spark.createDataFrame(QUERIES, "query_id long, query string")
+    return prune_segments(
+        builder.segments(), query_terms(qdf), builder.cfg.num_buckets
+    ).count()
+
+
 def main() -> None:
     n_conv = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000
     cores = int(sys.argv[2]) if len(sys.argv) > 2 else 16
@@ -84,6 +97,7 @@ def main() -> None:
         commits = 1
         if commits in MEASURE_AT:
             out["points"]["1"] = {"frags": len(b._live()),
+                                  "seg_rows": _seg_rows(spark, b),
                                   "query_sec": round(_measure(spark, b, reps), 4)}
         upsert_walls = []
         for k in range(15):
@@ -100,6 +114,7 @@ def main() -> None:
                 out["points"][str(commits)] = {
                     "frags": len(b._live()),
                     "deleted_docs": int(sum(len(v[0]) for v in dm.values())),
+                    "seg_rows": _seg_rows(spark, b),
                     "query_sec": round(_measure(spark, b, reps), 4),
                 }
         out["upsert_sec_median"] = round(statistics.median(upsert_walls), 3)
@@ -109,6 +124,7 @@ def main() -> None:
         out["points"]["compacted"] = {
             "frags": len(b._live()),
             "deleted_docs": int(sum(len(v[0]) for v in b.delete_map().values())),
+            "seg_rows": _seg_rows(spark, b),
             "query_sec": round(_measure(spark, b, reps), 4),
         }
         print(json.dumps(out))

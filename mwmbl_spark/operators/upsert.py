@@ -110,6 +110,7 @@ def load_delete_map(index_path: str, live_seqs: dict[str, int]) -> DeleteMap:
             for s, doc in zip(t.column("salt").to_pylist(), t.column("doc_id").to_pylist()):
                 per_salt.setdefault(int(s), []).append((int(doc), seq))
     out: DeleteMap = {}
+    total = 0
     for s, pairs in per_salt.items():
         ids = np.array([p[0] for p in pairs], dtype=np.int64)
         seqs = np.array([p[1] for p in pairs], dtype=np.int64)
@@ -118,6 +119,15 @@ def load_delete_map(index_path: str, live_seqs: dict[str, int]) -> DeleteMap:
         first = np.ones(len(ids), dtype=bool)
         first[1:] = ids[1:] != ids[:-1]  # keep max seq per doc
         out[s] = (ids[first].astype(np.uint64), seqs[first])
+        total += int(first.sum())
+    if total > 10_000_000:
+        import logging
+
+        logging.getLogger("mwmbl_spark.upsert").warning(
+            "delete map holds %d superseded docs (~%d MB broadcast per "
+            "query batch) — run compact()/maybe_compact() to retire the "
+            "vectors", total, total * 16 // 1_000_000,
+        )
     return out
 
 
