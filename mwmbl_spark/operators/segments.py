@@ -214,25 +214,32 @@ def write_segments(segs: DataFrame, path: str) -> None:
 
 
 def prune_segments(
-    segs: DataFrame, terms_df: DataFrame, num_buckets: int = DEFAULT_NUM_BUCKETS
+    segs: DataFrame,
+    terms_df: DataFrame,
+    num_buckets: int = DEFAULT_NUM_BUCKETS,
+    buckets: list[int] | None = None,
 ) -> DataFrame:
-    """Bucket-pruned scan: filter on the (small, collected) bucket set of
-    the query terms — becomes a partition filter on the parquet scan —
+    """Bucket-pruned scan: filter on the (small) bucket set of the
+    query terms — becomes a partition filter on the parquet scan —
     then exact term membership via broadcast semi join. ``num_buckets``
     must match the value the segments were built with.
 
-    The bucket collect deliberately has NO distinct: deduping a
-    query-batch-sized list driver-side avoids a 32-partition exchange
-    whose scheduling costs ~1 s per batch (measured); the semi join
-    still deduplicates term membership exactly."""
-    buckets = sorted(
-        {
-            r["b"]
-            for r in terms_df.select(
-                bucket_of(F.col("term"), num_buckets).alias("b")
-            ).collect()
-        }
-    )
-    return segs.where(F.col("bucket").isin(buckets)).join(
+    ``buckets``: pass the precomputed bucket list (e.g. from the
+    driver-side xxhash64 twin, functions/xxhash.py) to skip the collect
+    job entirely — the serving fast path. When collected here, the
+    collect deliberately has NO distinct: deduping a query-batch-sized
+    list driver-side avoids a 32-partition exchange whose scheduling
+    costs ~1 s per batch (measured); the semi join still deduplicates
+    term membership exactly."""
+    if buckets is None:
+        buckets = sorted(
+            {
+                r["b"]
+                for r in terms_df.select(
+                    bucket_of(F.col("term"), num_buckets).alias("b")
+                ).collect()
+            }
+        )
+    return segs.where(F.col("bucket").isin(list(buckets))).join(
         F.broadcast(terms_df.select("term").distinct()), "term", "left_semi"
     )

@@ -359,11 +359,34 @@ def wand_topk(
     score, rank). Rank-identical to bm25.bm25_topk / the oracle.
     ``num_buckets`` must match the segment build's bucket count.
     ``deletes``: per-salt delete map for merge-on-read upserts
-    (operators/upsert.py); broadcast to executors when non-trivial."""
+    (operators/upsert.py); broadcast to executors when non-trivial.
+
+    ``queries`` may be a DataFrame (query_id, query) OR a plain
+    ``list[(query_id, query)]`` — the SERVING fast path: tokenization
+    and bucket pruning then run driver-side (tokenize_py + the
+    xxhash64 twin, both parity-gated), so the whole batch costs exactly
+    ONE Spark job (the kernel) instead of job-per-planning-step."""
     from mwmbl_spark import DEFAULT_NUM_BUCKETS
 
-    qt = query_terms(queries)
-    segs = prune_segments(segments, qt, num_buckets or DEFAULT_NUM_BUCKETS)
+    nb = num_buckets or DEFAULT_NUM_BUCKETS
+    if isinstance(queries, list):
+        from mwmbl_spark.functions.tokenize import tokenize_py
+        from mwmbl_spark.functions.xxhash import bucket_of_py
+
+        spark = segments.sparkSession
+        rows: list[tuple[int, str, int]] = []
+        terms_set: set[str] = set()
+        for qid, q in queries:
+            terms = list(dict.fromkeys(tokenize_py(q)))  # distinct, first-wins
+            for t in terms:
+                rows.append((int(qid), t, len(terms)))
+                terms_set.add(t)
+        qt = spark.createDataFrame(rows, "query_id long, term string, n_terms int")
+        buckets = sorted({bucket_of_py(t, nb) for t in terms_set})
+        segs = prune_segments(segments, qt, nb, buckets=buckets)
+    else:
+        qt = query_terms(queries)
+        segs = prune_segments(segments, qt, nb)
     joined = segs.join(F.broadcast(qt), "term").join(
         F.broadcast(stats.select("term", "df")), "term"
     )
@@ -410,6 +433,11 @@ def wand_topk_curated(
     against it broadcasts; the organic path is untouched wand_topk.
     Output: (query_id, doc_id, score, rank, curated)."""
     from mwmbl_spark.functions.tokenize import tokenize_expr
+
+    if isinstance(queries, list):
+        queries = segments.sparkSession.createDataFrame(
+            queries, "query_id long, query string"
+        )
 
     organic = wand_topk(
         segments, stats, queries, n_docs, avg_len,

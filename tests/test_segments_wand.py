@@ -119,3 +119,28 @@ def test_segments_parquet_roundtrip(built, spark, tmp_path):
         for r in out.where("query_id = 0").orderBy("rank").collect()
     ]
     assert [d for d, _ in got] == [d for d, _ in want]
+
+
+def test_query_list_fast_path_matches_dataframe(spark, tmp_path):
+    """wand_topk(list) — driver-side tokenize + xxhash bucket pruning —
+    must return exactly the DataFrame path's rows (the serving shape:
+    one Spark job per batch)."""
+    from mwmbl_spark.plans.build_index import IndexBuilder, IndexConfig
+    from mwmbl_spark.synth import synth_transcripts, with_doc_id
+
+    df = with_doc_id(synth_transcripts(spark, n_conv=15, turns_per_conv=4, seed=8))
+    cfg = IndexConfig(
+        path=str(tmp_path / "fastq"), num_buckets=16, nsalt=4, n_src_partitions=1
+    )
+    b = IndexBuilder(spark, cfg)
+    b.build(df)
+    qlist = [(0, "the spark"), (1, "w0001 w0002"), (2, ""), (3, "zzznoterm")]
+    qdf = spark.createDataFrame(qlist, "query_id long, query string")
+
+    def rows(out):
+        return [
+            (r["query_id"], r["doc_id"], round(r["score"], 9), r["rank"])
+            for r in out.orderBy("query_id", "rank").collect()
+        ]
+
+    assert rows(b.query_topk(qlist, k=5)) == rows(b.query_topk(qdf, k=5))

@@ -113,3 +113,25 @@ def test_tokenize_py_matches_reference_semantics(text):
 def test_bigram_count_bounds(n):
     toks = [f"w{i}" for i in range(n)]
     assert len(get_bigrams_py(10, toks)) == max(0, min(10, n - 1))
+
+
+def test_xxhash64_py_matches_spark(spark):
+    """Driver-side XXH64 twin must be bit-identical to F.xxhash64 (the
+    serving fast path derives segment buckets from it)."""
+    import random
+    import string
+
+    from pyspark.sql import functions as F
+
+    from mwmbl_spark.functions.xxhash import xxhash64_py
+
+    rng = random.Random(3)
+    cases = ["", "a", "spark", "w0001", "the spark data query", "…",
+             "héllo wörld", "x" * 31, "y" * 32, "z" * 33, "long " * 50]
+    cases += [
+        "".join(rng.choice(string.printable) for _ in range(rng.randint(0, 100)))
+        for _ in range(200)
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "s string")
+    got = {r["s"]: r["h"] for r in df.select("s", F.xxhash64("s").alias("h")).collect()}
+    assert all(got[c] == xxhash64_py(c) for c in cases)
