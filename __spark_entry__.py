@@ -886,6 +886,17 @@ def q_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return domain_link_graph(links.select("src_url", "dst_url"))
 
 
+def q_domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the J7 domain link graph (3 fixed
+    iterations) — the crawl-native replacement for the reference's
+    static 7,859-line domain-prior table (hn_top_domains_filtered.py);
+    feeds score_heuristic(domain_scores=...) via min-max normalization."""
+    from mwmbl_spark.operators.pagerank import domain_pagerank
+
+    out = domain_pagerank(q_link_graph(spark, sf_dir), n_iter=3)
+    return out.select("domain", F.round("rank", 6).alias("rank"))
+
+
 def q_new_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mwmbl_spark.operators.urls import new_urls_only
 
@@ -1545,6 +1556,48 @@ SELECT regexp_extract(src_url, '^https?://([^/]+)', 1) AS src_domain,
        count(*) AS n_links
 FROM links GROUP BY 1, 2"""
 
+def _pagerank_sql() -> str:
+    """3 unrolled power iterations over the link-graph CTE (the SAME
+    recursion domain_pagerank runs; damping constants embedded via
+    string casts — DuckDB's decimal-literal parse is not correctly
+    rounded, see the twin-oracle note)."""
+    base = (1.0 - 0.85)
+    cte = f"""
+WITH {_URL_SQL},
+n AS (SELECT count(*) AS n FROM urls),
+links AS (
+  SELECT a.url AS src_url, b.url AS dst_url
+  FROM urls a JOIN n ON true JOIN urls b ON b.doc_id = (a.doc_id * 7 + 1) % n.n
+),
+edges AS (
+  SELECT regexp_extract(src_url, '^https?://([^/]+)', 1) AS src_domain,
+         regexp_extract(dst_url, '^https?://([^/]+)', 1) AS dst_domain,
+         count(*) AS n_links
+  FROM links GROUP BY 1, 2
+),
+nodes AS (
+  SELECT DISTINCT domain FROM (
+    SELECT src_domain AS domain FROM edges
+    UNION ALL SELECT dst_domain FROM edges)
+),
+outw AS (SELECT src_domain, sum(n_links) AS w_out FROM edges GROUP BY 1),
+r0 AS (SELECT domain, CAST(1.0 AS DOUBLE) AS rank FROM nodes)"""
+    for k in range(1, 4):
+        cte += f""",
+r{k} AS (
+  SELECT nd.domain,
+         CAST('{base!r}' AS DOUBLE) + CAST('0.85' AS DOUBLE) * coalesce((
+           SELECT sum(p.rank * e.n_links / o.w_out)
+           FROM edges e
+           JOIN r{k - 1} p ON e.src_domain = p.domain
+           JOIN outw o ON e.src_domain = o.src_domain
+           WHERE e.dst_domain = nd.domain), 0) AS rank
+  FROM nodes nd)"""
+    return cte + "\nSELECT domain, round(rank, 6) AS rank FROM r3"
+
+
+ORACLE["domain_pagerank"] = _pagerank_sql()
+
 ORACLE["new_urls"] = f"""
 WITH {_URL_SQL}
 SELECT doc_id, url FROM urls
@@ -1988,6 +2041,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_tokens": _shipped(q_url_tokens),
         "frontier": _shipped(q_frontier),
         "link_graph": _shipped(q_link_graph),
+        "domain_pagerank": _shipped(q_domain_pagerank),
         "new_urls": _shipped(q_new_urls),
         "url_errors": _shipped(q_url_errors),
         "record_urls": _shipped(q_record_urls),
