@@ -128,19 +128,24 @@ def main() -> None:
 
     # q8 serving shape: term index prebuilt+persisted once per corpus
     # epoch; each batch pays expansion + retrieval + scoring only
-    from mwmbl_spark.plans.search import build_term_index, search, term_counts
+    # (setup outside timed(); guarded so a failure cannot eat the JSON)
+    try:
+        from mwmbl_spark.plans.search import build_term_index, search, term_counts
 
-    web_docs = entrymod._web_docs(spark, sf_dir)
-    s_index = build_term_index(web_docs).persist()
-    s_counts = term_counts(s_index).persist()
-    s_index.count(), s_counts.count()
-    timed(
-        "q8b_search_prepared_index",
-        lambda: search(
-            spark, web_docs, qdf, k=10, index=s_index, counts=s_counts
-        ).count(),
-    )
-    s_index.unpersist(), s_counts.unpersist()
+        web_docs = entrymod._web_docs(spark, sf_dir)
+        s_index = build_term_index(web_docs).persist()
+        s_counts = term_counts(s_index).persist()
+        s_index.count(), s_counts.count()
+        timed(
+            "q8b_search_prepared_index",
+            lambda: search(
+                spark, web_docs, qdf, k=10, index=s_index, counts=s_counts
+            ).count(),
+        )
+        s_index.unpersist(), s_counts.unpersist()
+    except Exception as exc:  # noqa: BLE001
+        print(f"BENCH ERROR q8b setup: {exc}", file=sys.stderr)
+        timings["q8b_search_prepared_index"] = -1.0
     timed("q10_upsert_batch", one_upsert)
     timed("q11_compact", lambda: builder.compact(), reps=1)
     timed("q12_wand_after_compact", lambda: builder.query_topk(qdf, k=10).count())
