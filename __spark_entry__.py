@@ -488,6 +488,21 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_near_duplicates(docs, threshold=0.35)
 
 
+def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup PAIRS resolved to connected components (doc_id ->
+    keep_id = component min): the drop-list a dedup pipeline actually
+    consumes — pairwise output alone keeps both members of an a-b-c
+    chain. Min-label propagation; oracle unrolls the same 8 rounds."""
+    from mwmbl_spark.operators.dedup import (
+        minhash_near_duplicates,
+        resolve_duplicate_groups,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = minhash_near_duplicates(docs, threshold=0.35)
+    return resolve_duplicate_groups(pairs, max_iter=8)
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mwmbl_spark.operators.dedup import simhash
 
@@ -1254,6 +1269,56 @@ jac AS (
   JOIN sh sb ON c.doc_b = sb.doc_id
 )
 SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard FROM jac WHERE jaccard >= 0.35"""
+
+# MATERIALIZED + join-aggregate per round: DuckDB inlines plain CTEs
+# per reference, which re-evaluates the whole minhash chain at every
+# unrolled level (measured minutes); materialization makes each level
+# one hash join + group-by over tiny label tables.
+_LABEL_UNROLL = "".join(
+    f""",
+l{k} AS MATERIALIZED (
+  SELECT p.doc_id, least(p.label, coalesce(m.nmin, p.label)) AS label
+  FROM l{k - 1} p
+  LEFT JOIN (
+    SELECT e.src AS doc_id, min(p2.label) AS nmin
+    FROM edges e JOIN l{k - 1} p2 ON e.dst = p2.doc_id
+    GROUP BY e.src
+  ) m ON p.doc_id = m.doc_id)"""
+    for k in range(1, 9)
+)
+
+ORACLE["dedup_groups"] = f"""
+WITH {_SHINGLE_SQL},
+sigs AS (
+  SELECT doc_id,
+         {_MH_COLS}
+  FROM sh
+),
+bands AS (
+  SELECT doc_id, unnest([{_BAND_KEYS}]) AS band_key FROM sigs
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b USING (band_key)
+  WHERE a.doc_id < b.doc_id
+),
+jac AS (
+  SELECT c.doc_a, c.doc_b,
+         len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+           / (len(sa.shingles) + len(sb.shingles)
+              - len(list_intersect(sa.shingles, sb.shingles)))::DOUBLE AS jaccard
+  FROM cand c
+  JOIN sh sa ON c.doc_a = sa.doc_id
+  JOIN sh sb ON c.doc_b = sb.doc_id
+),
+dpairs AS MATERIALIZED (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.35),
+edges AS MATERIALIZED (
+  SELECT doc_a AS src, doc_b AS dst FROM dpairs
+  UNION ALL SELECT doc_b AS src, doc_a AS dst FROM dpairs
+),
+nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+l0 AS MATERIALIZED (SELECT doc_id, doc_id AS label FROM nodes){_LABEL_UNROLL}
+SELECT doc_id, label AS keep_id FROM l8"""
 
 ORACLE["simhash"] = f"""
 WITH {_POST_SQL},
@@ -2026,6 +2091,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_url_stats": _shipped(q_index_url_stats),
         "dedup_exact": _shipped(q_dedup_exact),
         "dedup_minhash": _shipped(q_dedup_minhash),
+        "dedup_groups": _shipped(q_dedup_groups),
         "simhash": _shipped(q_simhash),
         "embedding_topk": _shipped(q_embedding_topk),
         "lsh_topk": _shipped(q_lsh_topk),

@@ -384,3 +384,80 @@ def simhash_near_duplicates(
     return pairs.select("doc_a", "doc_b", hamming.alias("hamming")).where(
         F.col("hamming") <= max_hamming
     )
+
+
+# ---------------------------------------------------------------------------
+# Pair resolution: near-dup PAIRS -> connected components -> drop list
+# ---------------------------------------------------------------------------
+
+def resolve_duplicate_groups(
+    pairs: DataFrame, max_iter: int = 8, converge: bool = True
+) -> DataFrame:
+    """(doc_a, doc_b) near-duplicate pairs -> (doc_id, keep_id):
+    transitive closure by iterative min-label propagation — every doc
+    adopts the minimum id among itself and its neighbours until
+    fixpoint, so ``keep_id`` is the component minimum (the same
+    keep-the-smallest convention as ``exact_duplicates``). A
+    deduplication pipeline needs this resolution step: pairwise output
+    alone can keep BOTH members of an a-b-c chain.
+
+    Per iteration: one self-join of the label table against the edge
+    list + a min aggregation — partial-agg shuffles, lineage cut with
+    an eager localCheckpoint (the ivf_train pattern). Convergence needs
+    O(component diameter) rounds; LSH near-dup components are
+    short chains in practice, and ``max_iter`` bounds adversarial
+    boilerplate webs (a cap this operator shares with the banded-join
+    stage; log what was left unconverged if you raise it).
+    ``converge=True`` stops early at the fixpoint (one small count per
+    round); False runs exactly ``max_iter`` rounds — the shape the
+    unrolled SQL oracle states."""
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id")).distinct()
+        .withColumn("label", F.col("doc_id"))
+    )
+    for _ in range(max_iter):
+        neigh_min = (
+            edges.join(labels, edges["dst"] == labels["doc_id"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neigh_min, labels["doc_id"] == neigh_min["src"], "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce("nmin", F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        if converge:
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "doc_id")
+                .where(F.col("n.label") != F.col("o.label"))
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                break
+        else:
+            labels = new_labels
+    return labels.select("doc_id", F.col("label").alias("keep_id"))
+
+
+def apply_dedup(
+    docs: DataFrame, groups: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Drop every non-canonical member: keep a doc unless the group
+    table maps it to a DIFFERENT keep_id. One anti-join against the
+    (small) loser list — the big side never shuffles."""
+    losers = groups.where(F.col("doc_id") != F.col("keep_id")).select("doc_id")
+    return docs.join(
+        F.broadcast(losers.withColumnRenamed("doc_id", id_col)), id_col, "left_anti"
+    )

@@ -68,3 +68,32 @@ def test_simhash_band_cap(boiler_docs):
     assert all(not (a < 50 and b < 50) for a, b in pairs)
     uncapped = simhash_near_duplicates(boiler_docs, max_hamming=20, band_cap=None)
     assert uncapped.where("doc_a < 50 and doc_b < 50").count() == 1225
+
+
+def test_resolve_duplicate_groups_transitive(spark):
+    """a-b-c chain collapses to one component with keep_id = min; two
+    disjoint components stay separate; apply_dedup keeps only canonicals."""
+    from mwmbl_spark.operators.dedup import apply_dedup, resolve_duplicate_groups
+
+    pairs = spark.createDataFrame(
+        [(2, 5), (5, 9), (20, 30)], "doc_a long, doc_b long"
+    )
+    groups = {
+        r["doc_id"]: r["keep_id"]
+        for r in resolve_duplicate_groups(pairs, max_iter=8).collect()
+    }
+    assert groups == {2: 2, 5: 2, 9: 2, 20: 20, 30: 20}
+    # exact max_iter (no early stop) gives the same fixpoint
+    groups2 = {
+        r["doc_id"]: r["keep_id"]
+        for r in resolve_duplicate_groups(pairs, max_iter=8, converge=False).collect()
+    }
+    assert groups2 == groups
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in (1, 2, 5, 9, 20, 30)], "doc_id long, text string"
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in apply_dedup(docs, resolve_duplicate_groups(pairs)).collect()
+    )
+    assert kept == [1, 2, 20]
