@@ -391,7 +391,8 @@ def simhash_near_duplicates(
 # ---------------------------------------------------------------------------
 
 def resolve_duplicate_groups(
-    pairs: DataFrame, max_iter: int = 8, converge: bool = True
+    pairs: DataFrame, max_iter: int = 8, converge: bool = True,
+    shortcut: bool = False,
 ) -> DataFrame:
     """(doc_a, doc_b) near-duplicate pairs -> (doc_id, keep_id):
     transitive closure by iterative min-label propagation — every doc
@@ -410,7 +411,20 @@ def resolve_duplicate_groups(
     stage; log what was left unconverged if you raise it).
     ``converge=True`` stops early at the fixpoint (one small count per
     round); False runs exactly ``max_iter`` rounds — the shape the
-    unrolled SQL oracle states."""
+    unrolled SQL oracle states.
+
+    ``shortcut=True`` adds a POINTER-JUMP after each propagation round
+    (label <- label-of-label, the hook+shortcut of Shiloach-Vishkin-style
+    CC): labels chase the component minimum through an exponentially
+    growing horizon, so convergence takes O(log diameter) rounds instead
+    of O(diameter) — one extra self-join per round, worth it whenever
+    components can be long chains (boilerplate webs). Default off: the
+    fixed-round unrolled oracle states the 1-hop recursion.
+
+    If ``max_iter`` is exhausted before the fixpoint (converge mode),
+    a WARNING logs how many labels were still moving — those components
+    got a non-minimal keep_id and ``apply_dedup`` would keep some
+    duplicates (the silent-exit gap VERDICT r3 flagged)."""
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).unionByName(
@@ -420,6 +434,7 @@ def resolve_duplicate_groups(
         edges.select(F.col("src").alias("doc_id")).distinct()
         .withColumn("label", F.col("doc_id"))
     )
+    last_changed: int | None = None
     for _ in range(max_iter):
         neigh_min = (
             edges.join(labels, edges["dst"] == labels["doc_id"])
@@ -434,20 +449,47 @@ def resolve_duplicate_groups(
                     "label"
                 ),
             )
-            .localCheckpoint(eager=True)
         )
+        if shortcut:
+            # label(v) <- min(label(v), label(label(v))): labels are doc
+            # ids, so one self-join resolves the label's own label.
+            lab2 = new_labels.select(
+                F.col("doc_id").alias("l_id"), F.col("label").alias("l_label")
+            )
+            new_labels = (
+                new_labels.join(
+                    lab2, new_labels["label"] == lab2["l_id"], "left"
+                )
+                .select(
+                    "doc_id",
+                    F.least(
+                        F.col("label"), F.coalesce("l_label", F.col("label"))
+                    ).alias("label"),
+                )
+            )
+        new_labels = new_labels.localCheckpoint(eager=True)
         if converge:
-            changed = (
+            last_changed = (
                 new_labels.alias("n")
                 .join(labels.alias("o"), "doc_id")
                 .where(F.col("n.label") != F.col("o.label"))
                 .count()
             )
             labels = new_labels
-            if changed == 0:
+            if last_changed == 0:
                 break
         else:
             labels = new_labels
+    if converge and last_changed:
+        import logging
+
+        logging.getLogger("mwmbl_spark.dedup").warning(
+            "resolve_duplicate_groups hit max_iter=%d with %d labels still "
+            "moving — components wider than the iteration budget keep a "
+            "non-minimal keep_id and apply_dedup will retain some "
+            "duplicates; raise max_iter or pass shortcut=True "
+            "(O(log diameter) convergence)", max_iter, last_changed,
+        )
     return labels.select("doc_id", F.col("label").alias("keep_id"))
 
 

@@ -73,12 +73,21 @@ def domain_pagerank(
     return ranks
 
 
-def normalized_domain_scores(ranks: DataFrame) -> dict[str, float]:
+def normalized_domain_scores(
+    ranks: DataFrame, top_n: int | None = None
+) -> dict[str, float]:
     """Min-max normalize (rank.py:168-179 semantics) and collect into
     the dict shape ``score_heuristic(domain_scores=...)`` and
     ``ltr_featurize`` consume. Driver-side by design: the heuristic
-    broadcasts this dict exactly like the reference's DOMAINS table;
-    collect only the head (e.g. top 100k domains) at web scale."""
+    broadcasts this dict exactly like the reference's DOMAINS table.
+    ``top_n`` collects only the head (highest-ranked domains,
+    deterministic domain tiebreak) — at web scale the full domain table
+    is ~1e8 rows and only the head carries prior signal; normalization
+    is then min-max over the COLLECTED head (the table the scorer sees),
+    matching the reference's behavior of normalizing over whatever
+    table it is given."""
+    if top_n is not None:
+        ranks = ranks.orderBy(F.desc("rank"), F.asc("domain")).limit(top_n)
     rows = ranks.collect()
     if not rows:
         return {}

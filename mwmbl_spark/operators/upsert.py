@@ -59,43 +59,64 @@ DeleteMap = dict[int, tuple[np.ndarray, np.ndarray]]  # salt -> (ids asc, seqs)
 # ---------------------------------------------------------------------------
 
 def write_delete_vector(
-    index_path: str, part: str, salts: list[int], doc_ids: list[int]
+    index_path: str,
+    part: str,
+    salts: list[int],
+    doc_ids: list[int],
+    seqs: list[int] | None = None,
 ) -> None:
     """Persist one fragment's delete vector ((salt, doc_id) rows,
     driver-side pyarrow — the vector is already in driver memory because
     the dead-stats gather broadcasts it). Readers only load vectors of
     COMMITTED fragments, so a crash before the manifest append leaves it
-    invisible (same protocol as segment data)."""
+    invisible (same protocol as segment data).
+
+    ``seqs``: optional PER-ROW delete seqs. An upsert's own vector kills
+    at the fragment's commit seq (omit ``seqs``); a minor compaction
+    carries forward the vectors of the fragments it merges, and those
+    rows MUST keep their ORIGINAL seq — re-tagged at the compacted
+    fragment's (larger) seq they would kill newer versions of the same
+    doc living in fragments the compaction did not touch."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     d = os.path.join(index_path, "deletes", f"src_part={part}")
     os.makedirs(d, exist_ok=True)
-    pq.write_table(
-        pa.table(
-            {
-                "salt": pa.array(salts, pa.int32()),
-                "doc_id": pa.array(doc_ids, pa.int64()),
-            }
-        ),
-        os.path.join(d, "part-0.parquet"),
-    )
+    cols = {
+        "salt": pa.array(salts, pa.int32()),
+        "doc_id": pa.array(doc_ids, pa.int64()),
+    }
+    if seqs is not None:
+        cols["seq"] = pa.array(seqs, pa.int64())
+    pq.write_table(pa.table(cols), os.path.join(d, "part-0.parquet"))
 
 
 def load_delete_map(index_path: str, live_seqs: dict[str, int]) -> DeleteMap:
     """Merge the delete vectors of live fragments into per-salt sorted
-    arrays (doc_id asc, max delete-seq per doc). A vector at seq S is
-    relevant only while some live fragment has seq < S — after a
-    compaction at seq C every survivor has seq >= C and all vectors
-    retire. Local paths read driver-side (vectors are small between
-    compactions); on a real cluster this is Iceberg delete-file
-    planning."""
+    arrays (doc_id asc, max delete-seq per doc). A row's delete seq is
+    its ``seq`` column when present (compaction-carried rows), else the
+    owning fragment's commit seq. A row at seq S is relevant only while
+    some live fragment has seq < S — after a FULL compaction at seq C
+    every survivor has seq >= C and all vectors retire (a fragment's
+    carried rows always have seq < the fragment's own seq, so the
+    per-fragment fast skip below stays valid). Local paths read
+    driver-side (vectors are small between compactions); on a real
+    cluster this is Iceberg delete-file planning."""
     import glob
 
     import pyarrow.parquet as pq
 
     if not live_seqs:
         return {}
+    if "://" in index_path and not index_path.startswith("file://"):
+        # silently returning {} here would resurrect superseded docs
+        # while everything else appears to work (ADVICE r3, medium)
+        raise NotImplementedError(
+            "load_delete_map reads delete vectors driver-side from the "
+            f"local filesystem; index path {index_path!r} is remote — "
+            "mount it locally or plan delete files with the cluster's "
+            "table format (Iceberg/Delta positional deletes)"
+        )
     min_live = min(live_seqs.values())
     per_salt: dict[int, list[tuple[int, int]]] = {}
     base = os.path.join(index_path.removeprefix("file://"), "deletes")
@@ -106,9 +127,17 @@ def load_delete_map(index_path: str, live_seqs: dict[str, int]) -> DeleteMap:
         if not os.path.isdir(d):
             continue
         for f in glob.glob(os.path.join(d, "*.parquet")):
-            t = pq.read_table(f, columns=["salt", "doc_id"])
-            for s, doc in zip(t.column("salt").to_pylist(), t.column("doc_id").to_pylist()):
-                per_salt.setdefault(int(s), []).append((int(doc), seq))
+            t = pq.read_table(f)
+            row_seqs = (
+                [int(x) for x in t.column("seq").to_pylist()]
+                if "seq" in t.schema.names
+                else [seq] * t.num_rows
+            )
+            for s, doc, rs in zip(
+                t.column("salt").to_pylist(), t.column("doc_id").to_pylist(), row_seqs
+            ):
+                if rs > min_live:
+                    per_salt.setdefault(int(s), []).append((int(doc), rs))
     out: DeleteMap = {}
     total = 0
     for s, pairs in per_salt.items():

@@ -109,7 +109,12 @@ class IndexBuilder:
         # globally monotonic), so re-committing/rebuilding an existing
         # src_part — same name set, new seq — invalidates correctly.
         self._stats_cache: tuple[tuple, DataFrame, int, float] | None = None
-        self._deletes_cache: tuple[tuple, dict] | None = None
+        # (live-key, delete map, sc.broadcast-or-None): the broadcast is
+        # created lazily and REUSED across query batches — one broadcast
+        # per index state, not per call (a long-running serving loop
+        # otherwise accumulates broadcasts in driver/executor memory,
+        # ADVICE r3) — and unpersisted when the live set changes.
+        self._deletes_cache: tuple[tuple, dict, object] | None = None
 
     def _live(self) -> dict[str, int]:
         from mwmbl_spark.manifest import partition_seqs
@@ -323,9 +328,24 @@ class IndexBuilder:
         key = tuple(sorted(live.items()))
         if self._deletes_cache is not None and self._deletes_cache[0] == key:
             return self._deletes_cache[1]
+        if self._deletes_cache is not None and self._deletes_cache[2] is not None:
+            self._deletes_cache[2].unpersist()  # stale index state
         dm = load_delete_map(self.cfg.path, live)
-        self._deletes_cache = (key, dm)
+        self._deletes_cache = (key, dm, None)
         return dm
+
+    def delete_broadcast(self):
+        """The delete map as a memoized SparkContext broadcast (None when
+        empty): one broadcast per index state, shared by every query
+        batch until an upsert/compaction invalidates it."""
+        dm = self.delete_map()  # refreshes/invalidates the cache entry
+        if not dm:
+            return None
+        key, cached_dm, bcast = self._deletes_cache
+        if bcast is None:
+            bcast = self.spark.sparkContext.broadcast(cached_dm)
+            self._deletes_cache = (key, cached_dm, bcast)
+        return bcast
 
     def doc_totals(self) -> tuple[int, int]:
         """(n_docs, sum_len) over committed partitions — includes
@@ -404,7 +424,7 @@ class IndexBuilder:
             k=k,
             mode=mode,
             num_buckets=self.cfg.num_buckets,
-            deletes=self.delete_map(),
+            deletes=self.delete_broadcast(),
         )
 
     # -- doc-level updates (merge-on-read; operators/upsert.py) ---------------

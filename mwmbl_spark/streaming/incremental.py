@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mwmbl_spark.manifest import commit_partition, committed_partitions
+from mwmbl_spark.manifest import commit_partition, ever_committed_partitions
 from mwmbl_spark.plans.build_index import IndexBuilder, IndexConfig
 
 TRANSCRIPT_DDL = (
@@ -66,7 +66,12 @@ def incremental_index_stream(
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         part = f"stream-{epoch_id}"
-        if part in committed_partitions(spark, index_cfg.path):
+        # EVER-committed, not live: after auto-compaction replaces a
+        # stream-N fragment, a checkpoint replay of epoch N must still
+        # be a no-op — its docs live on in the compacted fragment
+        # (re-indexing under a permanently-replaced name would waste the
+        # rebuild and orphan segment/stats dirs vacuum never removes)
+        if part in ever_committed_partitions(spark, index_cfg.path):
             return  # replayed epoch after restart: already committed
         if batch_df.isEmpty():
             return
