@@ -118,6 +118,32 @@ def main() -> None:
                     "query_sec": round(_measure(spark, b, reps), 4),
                 }
         out["upsert_sec_median"] = round(statistics.median(upsert_walls), 3)
+
+        # MINOR compaction first (the steady-state policy): merge only
+        # the smallest fragments back to a bound of 4 — cost must track
+        # the merged (update) postings, not the corpus. touched_frac is
+        # the deterministic cost metric: postings of merged fragments /
+        # postings of all live fragments.
+        from mwmbl_spark.manifest import live_fragment_sizes
+
+        pre_live = dict(b._live())
+        pre_sizes = live_fragment_sizes(spark, b.cfg.path)
+        t0 = time.perf_counter()
+        b.maybe_compact(max_fragments=4)
+        minor_sec = time.perf_counter() - t0
+        merged = set(pre_live) - set(b._live())
+        out["points"]["minor_compacted"] = {
+            "frags": len(b._live()),
+            "merged_frags": len(merged),
+            "touched_frac": round(
+                sum(pre_sizes[p] for p in merged) / max(1, sum(pre_sizes.values())), 4
+            ),
+            "minor_compact_sec": round(minor_sec, 3),
+            "deleted_docs": int(sum(len(v[0]) for v in b.delete_map().values())),
+            "seg_rows": _seg_rows(spark, b),
+            "query_sec": round(_measure(spark, b, reps), 4),
+        }
+
         t0 = time.perf_counter()
         b.compact()
         out["compact_sec"] = round(time.perf_counter() - t0, 3)

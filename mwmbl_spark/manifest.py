@@ -72,6 +72,7 @@ def _read_rows(spark: SparkSession, index_path: str) -> list[dict]:
             cols = {
                 "src_partition": t.column("src_partition").to_pylist(),
                 "status": t.column("status").to_pylist(),
+                "n_postings": t.column("n_postings").to_pylist() if "n_postings" in names else None,
                 "seq": t.column("seq").to_pylist() if "seq" in names else None,
                 "replaces": t.column("replaces").to_pylist() if "replaces" in names else None,
             }
@@ -80,6 +81,7 @@ def _read_rows(spark: SparkSession, index_path: str) -> list[dict]:
                     {
                         "src_partition": cols["src_partition"][i],
                         "status": cols["status"][i],
+                        "n_postings": int(cols["n_postings"][i] or 0) if cols["n_postings"] else 0,
                         "seq": int(cols["seq"][i]) if cols["seq"] else 0,
                         "replaces": (cols["replaces"][i] or "") if cols["replaces"] else "",
                     }
@@ -90,11 +92,12 @@ def _read_rows(spark: SparkSession, index_path: str) -> list[dict]:
         m = m.withColumn("seq", F.lit(0).cast("long"))
     if "replaces" not in m.columns:
         m = m.withColumn("replaces", F.lit("").cast("string"))
-    for r in m.select("src_partition", "status", "seq", "replaces").collect():
+    for r in m.select("src_partition", "status", "n_postings", "seq", "replaces").collect():
         rows.append(
             {
                 "src_partition": r["src_partition"],
                 "status": r["status"],
+                "n_postings": int(r["n_postings"] or 0),
                 "seq": int(r["seq"] or 0),
                 "replaces": r["replaces"] or "",
             }
@@ -116,6 +119,20 @@ def partition_seqs(spark: SparkSession, index_path: str) -> dict[str, int]:
         if r["replaces"]:
             replaced.update(p for p in r["replaces"].split(",") if p)
     return {p: s for p, s in seqs.items() if p not in replaced}
+
+
+def live_fragment_sizes(spark: SparkSession, index_path: str) -> dict[str, int]:
+    """LIVE fragments -> n_postings of their latest commit (the size
+    signal ``maybe_compact``'s binpack policy ranks on). Metadata-only —
+    no data files are touched."""
+    rows = [r for r in _read_rows(spark, index_path) if r["status"] == STATUS_INDEXED]
+    live = partition_seqs(spark, index_path)
+    sizes: dict[str, int] = {}
+    for r in rows:
+        part = r["src_partition"]
+        if live.get(part) == r["seq"]:
+            sizes[part] = abs(int(r["n_postings"]))
+    return {p: sizes.get(p, 0) for p in live}
 
 
 def committed_partitions(spark: SparkSession, index_path: str) -> set[str]:

@@ -160,6 +160,45 @@ def load_delete_map(index_path: str, live_seqs: dict[str, int]) -> DeleteMap:
     return out
 
 
+def load_fragment_vector_rows(
+    index_path: str, frag_seqs: dict[str, int]
+) -> list[tuple[int, int, int]]:
+    """Raw (salt, doc_id, effective_seq) delete rows of the given
+    fragments — NO min-live filtering, max seq kept per (salt, doc_id).
+    This is the carry-forward read of a minor compaction: the merged
+    fragments' vectors may still have to kill postings in fragments the
+    compaction does not touch, at their ORIGINAL seqs."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    if "://" in index_path and not index_path.startswith("file://"):
+        raise NotImplementedError(
+            "delete vectors are read driver-side from the local "
+            f"filesystem; index path {index_path!r} is remote"
+        )
+    best: dict[tuple[int, int], int] = {}
+    base = os.path.join(index_path.removeprefix("file://"), "deletes")
+    for part, seq in frag_seqs.items():
+        d = os.path.join(base, f"src_part={part}")
+        if not os.path.isdir(d):
+            continue
+        for f in glob.glob(os.path.join(d, "*.parquet")):
+            t = pq.read_table(f)
+            row_seqs = (
+                [int(x) for x in t.column("seq").to_pylist()]
+                if "seq" in t.schema.names
+                else [seq] * t.num_rows
+            )
+            for s, doc, rs in zip(
+                t.column("salt").to_pylist(), t.column("doc_id").to_pylist(), row_seqs
+            ):
+                key = (int(s), int(doc))
+                if rs > best.get(key, -1):
+                    best[key] = rs
+    return [(s, doc, rs) for (s, doc), rs in sorted(best.items())]
+
+
 def dead_mask(ids: np.ndarray, seq: int, entry: tuple[np.ndarray, np.ndarray] | None) -> np.ndarray | None:
     """Boolean KEEP mask for decoded ids of a fragment at ``seq``
     (None = keep all). A doc is dead here iff a delete vector with a
