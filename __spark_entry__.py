@@ -319,6 +319,55 @@ def q_search_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CAP_K = 8  # binding at sf0.01 (common terms hold ~10^2 docs)
+
+
+def _web_docs_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """_web_docs with a VARYING crawl-time score — the rank key the
+    per-term retrieval cap truncates by (constant scores would reduce
+    the cap to a doc_id head and leave the ranking path untested)."""
+    return _web_docs(spark, sf_dir).withColumn(
+        "score", F.lit(1.0) + (F.col("doc_id") % 7).cast("double") * F.lit(0.25)
+    )
+
+
+def q_search_candidates_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval with the A7 per-term posting cap (plans/search.
+    cap_term_index): each expanded term contributes only its top-K docs
+    by crawl-time score — the reference's one-page-per-term truncation
+    (indexer.py:128-158), the bound that keeps candidate volume flat as
+    the corpus grows. Completion counts stay UNCAPPED (true df)."""
+    from mwmbl_spark.plans.search import (
+        build_term_index,
+        cap_term_index,
+        expanded_terms,
+        query_meta,
+        term_counts,
+    )
+
+    docs = _web_docs_scored(spark, sf_dir)
+    index = build_term_index(docs)
+    capped = cap_term_index(index, docs.select("doc_id", "score"), _CAP_K)
+    retrieval = expanded_terms(query_meta(_queries_df(spark)), term_counts(index))
+    return (
+        capped.join(F.broadcast(retrieval), "term")
+        .select("query_id", "doc_id")
+        .distinct()
+    )
+
+
+def q_search_pipeline_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full search lifecycle with a BINDING per-term retrieval cap —
+    the at-scale serving shape (the 512 default never binds at sf0.01).
+    Twin-oracle gated like search_pipeline."""
+    from mwmbl_spark.plans.search import search
+
+    return search(
+        spark, _web_docs_scored(spark, sf_dir), _queries_df(spark), k=10,
+        term_doc_cap=_CAP_K,
+    )
+
+
 def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W5: MMR diversity re-rank of the search top-k (sequential greedy
     within a query, parallel across queries) — rows-only check."""
@@ -1821,6 +1870,28 @@ expanded AS (
 SELECT DISTINCT e.query_id, d.doc_id
 FROM expanded e JOIN dterms d USING (term)"""
 
+# same retrieval WITH-chain, but each term's posting list truncated to
+# its top-K docs by crawl-time score (plans/search.cap_term_index; the
+# reference's one-page-per-term truncation). Counts/completions stay on
+# the UNCAPPED index, mirroring the Spark side.
+ORACLE["search_candidates_capped"] = (
+    ORACLE["search_candidates"].rsplit("SELECT DISTINCT e.query_id", 1)[0]
+    + f""",
+dscored AS (
+  SELECT doc_id, 1.0 + (doc_id % 7) * 0.25 AS score FROM docs
+),
+capped AS (
+  SELECT term, doc_id FROM (
+    SELECT d.term, d.doc_id,
+           row_number() OVER (PARTITION BY d.term
+                              ORDER BY s.score DESC, d.doc_id) AS rn
+    FROM dterms d JOIN dscored s USING (doc_id))
+  WHERE rn <= {_CAP_K}
+)
+SELECT DISTINCT e.query_id, c.doc_id
+FROM expanded e JOIN capped c USING (term)"""
+)
+
 
 _TWIN_CACHE: dict[str, str] | None = None
 
@@ -1870,8 +1941,22 @@ def _twin_search_oracles() -> dict[str, str]:
     def esc(s: str) -> str:
         return s.replace("'", "''")
 
-    search_vals, mmr_vals = [], []
+    # the capped-pipeline twin runs over VARYING crawl-time scores (the
+    # cap's rank key; same expression as _web_docs_scored / the SQL)
+    docs_scored = [
+        {**d, "score": 1.0 + (d["doc_id"] % 7) * 0.25} for d in docs
+    ]
+
+    search_vals, mmr_vals, capped_vals = [], [], []
     for qid, q in QUERY_SET:
+        for crank, d in enumerate(
+            search_py(docs_scored, q, k=10, term_doc_cap=_CAP_K), 1
+        ):
+            capped_vals.append(
+                f"({qid}, {crank}, {d['doc_id']}, "
+                f"'{esc(d['title'])}', '{esc(d['url'])}', '{esc(d['extract'])}', "
+                f"NULL, CAST('{d['result_score']!r}' AS DOUBLE))"
+            )
         res = search_py(docs, q, k=10)
         ranked = [{**d, "rank": i} for i, d in enumerate(res, 1)]
         # floats go through a STRING cast: DuckDB parses bare decimal
@@ -1900,6 +1985,10 @@ def _twin_search_oracles() -> dict[str, str]:
     _TWIN_CACHE = {
         "search_pipeline": (
             f"SELECT {base_cols} FROM (VALUES {', '.join(search_vals)}) "
+            "t(query_id, rank, doc_id, title, url, extract, state, result_score)"
+        ),
+        "search_pipeline_capped": (
+            f"SELECT {base_cols} FROM (VALUES {', '.join(capped_vals)}) "
             "t(query_id, rank, doc_id, title, url, extract, state, result_score)"
         ),
         "mmr_rerank": (
@@ -2077,7 +2166,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "upsert_topk": _shipped(q_upsert_topk),
         "compacted_topk": _shipped(q_compacted_topk),
         "search_candidates": _shipped(q_search_candidates),
+        "search_candidates_capped": _shipped(q_search_candidates_capped),
         "search_pipeline": _shipped(q_search_pipeline),
+        "search_pipeline_capped": _shipped(q_search_pipeline_capped),
         "mmr_rerank": _shipped(q_mmr_rerank),
         "tfidf_reference": _shipped(q_tfidf_reference),
         "tfidf_features": _shipped(q_tfidf_features),

@@ -130,16 +130,26 @@ def main() -> None:
     # epoch; each batch pays expansion + retrieval + scoring only
     # (setup outside timed(); guarded so a failure cannot eat the JSON)
     try:
-        from mwmbl_spark.plans.search import build_term_index, search, term_counts
+        from mwmbl_spark.plans.search import (
+            build_term_index,
+            cap_term_index,
+            search,
+            term_counts,
+        )
 
         web_docs = entrymod._web_docs(spark, sf_dir)
-        s_index = build_term_index(web_docs).persist()
-        s_counts = term_counts(s_index).persist()
+        s_full = build_term_index(web_docs)
+        # serving shape: the A7 per-term cap is applied ONCE at index
+        # build (counts stay uncapped for completions); query batches
+        # pay expansion + bounded retrieval + scoring only
+        s_index = cap_term_index(s_full, web_docs, 512).persist()
+        s_counts = term_counts(s_full).persist()
         s_index.count(), s_counts.count()
         timed(
             "q8b_search_prepared_index",
             lambda: search(
-                spark, web_docs, qdf, k=10, index=s_index, counts=s_counts
+                spark, web_docs, qdf, k=10, index=s_index, counts=s_counts,
+                term_doc_cap=None,
             ).count(),
         )
         s_index.unpersist(), s_counts.unpersist()

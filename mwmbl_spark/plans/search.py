@@ -68,9 +68,41 @@ def build_term_index(docs: DataFrame) -> DataFrame:
     return toks.select("doc_id", F.explode(terms).alias("term"))
 
 
+def cap_term_index(index: DataFrame, doc_scores: DataFrame, k: int) -> DataFrame:
+    """A7: explicit per-term posting cap, rank-ordered by crawl-time
+    score. The reference's page store implicitly truncates each term's
+    postings to one 4 KiB page, docs stored best-first
+    (indexer.py:128-158, index_batches.py:176-201) — so a term's
+    retrieval set is its top items BY SCORE, not every holder. Without
+    this, candidate volume (and the scoring kernel fed by it) grows
+    linearly with the corpus: a stopword-adjacent term retrieves
+    millions of candidates per query at web scale (VERDICT r3 #2).
+
+    Apply at INDEX BUILD time, once per corpus epoch — the window
+    shuffles by term, which is build cost, not query cost; serving
+    passes the capped index into ``search(index=...)``. Spark plans the
+    rank filter as a map-side WindowGroupLimit (plan-asserted in
+    tests/test_plan_quality.py), so each shuffle partition carries at
+    most k rows per term into the final rank.
+
+    ``doc_scores``: (doc_id, score) — the crawl-time quality score, the
+    same rank key the reference stores pages by. Ties break by doc_id
+    for determinism."""
+    w = Window.partitionBy("term").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        index.join(doc_scores.select("doc_id", "score"), "doc_id")
+        .withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") <= k)
+        .select("term", "doc_id")
+    )
+
+
 def term_counts(index: DataFrame) -> DataFrame:
     """Completion source: term -> doc count (the crawl-terms CSV
-    analogue, completer.py:10-23)."""
+    analogue, completer.py:10-23). Derive from the UNCAPPED index:
+    completion ranking needs true document frequencies (the reference's
+    terms CSV counts every crawl occurrence), while the retrieval cap
+    only bounds the per-term candidate fan-out."""
     return index.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
 
 
@@ -115,6 +147,7 @@ def search(
     formatted: bool = False,
     index: DataFrame | None = None,
     counts: DataFrame | None = None,
+    term_doc_cap: int | None = 512,
 ) -> DataFrame:
     """docs: (doc_id, title, url, extract, score, state); queries:
     (query_id, query). Returns ranked results per query.
@@ -123,9 +156,19 @@ def search(
     its term counts — the SERVING shape, where the index is built once
     per corpus epoch and every query batch pays only expansion +
     retrieval + scoring. Left None, both derive from ``docs`` (the
-    cold end-to-end shape the bench's q8 measures)."""
+    cold end-to-end shape the bench's q8 measures).
+
+    ``term_doc_cap``: per-term retrieval cap (``cap_term_index``) —
+    each expanded term contributes at most this many candidates, ranked
+    by crawl-time score, mirroring the reference's one-4KiB-page-per-
+    term truncation (a page holds on the order of 10^2 items; 512 is a
+    generous parity default). None disables (exhaustive retrieval).
+    Pre-capped serving indexes should pass the cap they were built
+    with (the cap re-applies idempotently but costs a join)."""
     index = index if index is not None else build_term_index(docs)
     counts = counts if counts is not None else term_counts(index)
+    if term_doc_cap is not None:
+        index = cap_term_index(index, docs.select("doc_id", "score"), term_doc_cap)
     qmeta = query_meta(queries)
     retrieval = expanded_terms(qmeta, counts)
 

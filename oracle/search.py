@@ -36,10 +36,22 @@ def search_py(
     score_threshold: float = 0.0,
     domain_scores: dict[str, float] | None = None,
     n_completions: int = 3,
+    term_doc_cap: int | None = None,
 ) -> list[dict]:
     by_id = {d["doc_id"]: d for d in docs}
     index = build_term_index_py(docs)
     counts = {t: len(ds) for t, ds in index.items()}
+    if term_doc_cap is not None:
+        # A7 twin of plans/search.cap_term_index: per-term top-K by
+        # crawl-time score (desc), doc_id tiebreak; counts stay uncapped
+        index = {
+            t: set(
+                sorted(ds, key=lambda i: (-(by_id[i].get("score") or 0.0), i))[
+                    :term_doc_cap
+                ]
+            )
+            for t, ds in index.items()
+        }
 
     terms = tokenize_py(query)
     if not terms:

@@ -177,3 +177,19 @@ def test_curation_apply_broadcasts_and_skips_untouched_pages(spark):
     # the big side is never exchanged by a non-broadcast (hash) shuffle
     # except the window's own partitioning of TOUCHED pages
     assert "SortMergeJoin" not in plan
+
+
+def test_term_index_cap_uses_window_group_limit(spark):
+    """A7 cap: the per-term row_number filter must plan as a map-side
+    WindowGroupLimit — each shuffle partition forwards at most k rows
+    per term, so the cap costs O(k·terms) post-shuffle regardless of
+    posting-list skew."""
+    from mwmbl_spark.plans.search import build_term_index, cap_term_index
+
+    docs = spark.createDataFrame(
+        [(i, f"t {i}", f"https://d{i}.example.com/p", "body text", float(i), None)
+         for i in range(8)],
+        "doc_id long, title string, url string, extract string, score double, state int",
+    )
+    plan = _explain(cap_term_index(build_term_index(docs), docs, 4))
+    assert "WindowGroupLimit" in plan

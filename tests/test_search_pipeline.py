@@ -160,3 +160,46 @@ def test_format_result_reference_case():
         {"value": "Insist in ", "is_bold": False},
         {"value": "Bananas", "is_bold": True},
     ]
+
+
+def test_term_doc_cap_truncates_by_score(spark):
+    """A7: each term retrieves only its top-K docs by crawl-time score
+    (reference page truncation); counts for completions stay uncapped;
+    the capped Spark pipeline matches the capped twin."""
+    from pyspark.sql import functions as F
+
+    from mwmbl_spark.plans.search import (
+        build_term_index,
+        cap_term_index,
+        term_counts,
+    )
+
+    rows = [
+        (i, f"widget {i}", f"https://w{i}.example.com/widget",
+         f"widget text number {i}", float(20 - i), None)
+        for i in range(20)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, title string, url string, extract string, score double, state int"
+    )
+    index = build_term_index(docs)
+    capped = cap_term_index(index, docs.select("doc_id", "score"), 5)
+    got = sorted(
+        r["doc_id"] for r in capped.where(F.col("term") == "widget").collect()
+    )
+    assert got == [0, 1, 2, 3, 4]  # highest scores (20..16)
+    # completion counts derive from the UNCAPPED index: true df
+    cnt = {r["term"]: r["cnt"] for r in term_counts(index).collect()}
+    assert cnt["widget"] == 20
+
+    qdf = spark.createDataFrame([(0, "widget")], "query_id long, query string")
+    out = search(spark, docs, qdf, k=10, term_doc_cap=5)
+    keys = ["doc_id", "title", "url", "extract", "score", "state"]
+    want = [d["doc_id"] for d in search_py([dict(zip(keys, r)) for r in rows],
+                                           "widget", k=10, term_doc_cap=5)]
+    got_ids = [r["doc_id"] for r in out.orderBy("rank").collect()]
+    # top-5-by-score docs via the capped "widget" list, plus doc 9 via
+    # the "widget 9" prefix completion (the query is incomplete) — the
+    # cap bounds EACH term's fan-out, not the expansion union
+    assert got_ids == want
+    assert set(got_ids) == {0, 1, 2, 3, 4, 9}

@@ -5,7 +5,8 @@ compares row count, column names, and order-insensitive values against
 the matching ``oracle_sql()`` run through DuckDB (tables registered as
 views over the parquet files).
 
-Usage: python tools/check_contract.py [sf_dir]
+Usage: python tools/check_contract.py [sf_dir] [name ...]
+(optional names restrict the run to those contract entries)
 """
 
 from __future__ import annotations
@@ -40,7 +41,7 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
 
-def main(sf_dir: str) -> int:
+def main(sf_dir: str, only: list[str] | None = None) -> int:
     spark = get_spark("check-contract", cores=8, shuffle_partitions=8)
     con = duckdb.connect()
     for t in TABLES:
@@ -48,6 +49,8 @@ def main(sf_dir: str) -> int:
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
     qs = entrymod.queries()
+    if only:
+        qs = {n: f for n, f in qs.items() if n in only}
     oracles = entrymod.oracle_sql()
     failures = []
     for name, fn in qs.items():
@@ -91,4 +94,9 @@ def main(sf_dir: str) -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"))
+    sys.exit(
+        main(
+            sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01",
+            sys.argv[2:] or None,
+        )
+    )
