@@ -49,7 +49,7 @@ from mwmbl_spark.functions.codec import slice_block, vb_decode
 from mwmbl_spark.operators.segments import BLOCK_SIZE  # noqa: F401 (doc parity)
 
 DEAD_DELTA_SCHEMA = "term string, dead_df long, dead_cf long"
-DECODE_SCHEMA = "term string, salt int, doc_id long, tf long, doc_len long"
+DECODE_SCHEMA = "term string, salt int, doc_id long, tf long, doc_len long, seq long"
 
 DeleteMap = dict[int, tuple[np.ndarray, np.ndarray]]  # salt -> (ids asc, seqs)
 
@@ -231,12 +231,13 @@ def decode_segments(segs: DataFrame, delete_map: DeleteMap | None = None) -> Dat
 
     def gen(batches):
         for pdf in batches:
-            out = {k: [] for k in ("term", "salt", "doc_id", "tf", "doc_len")}
+            out = {k: [] for k in ("term", "salt", "doc_id", "tf", "doc_len", "seq")}
             for row in pdf.itertuples():
+                seq = int(getattr(row, "seq", 0))
                 ids = delta_decode_blocked(row.doc_ids, BLOCK_SIZE)
                 tf = vb_decode(row.tfs)
                 dl = vb_decode(row.doc_lens)
-                keep = dead_mask(ids, int(getattr(row, "seq", 0)), dm.get(int(row.salt)))
+                keep = dead_mask(ids, seq, dm.get(int(row.salt)))
                 if keep is not None:
                     ids, tf, dl = ids[keep], tf[keep], dl[keep]
                 if ids.size == 0:
@@ -246,6 +247,7 @@ def decode_segments(segs: DataFrame, delete_map: DeleteMap | None = None) -> Dat
                 out["doc_id"].append(ids.astype(np.int64))
                 out["tf"].append(tf.astype(np.int64))
                 out["doc_len"].append(dl.astype(np.int64))
+                out["seq"].append(np.full(ids.size, np.int64(seq)))
             if out["term"]:
                 yield pd.DataFrame({k: np.concatenate(v) for k, v in out.items()})
 
@@ -316,4 +318,31 @@ def dead_term_deltas(segs: DataFrame, latest: dict[int, dict[int, int]]) -> Data
     partial = segs.mapInPandas(gen, schema=DEAD_DELTA_SCHEMA)
     return partial.groupBy("term").agg(
         F.sum("dead_df").alias("dead_df"), F.sum("dead_cf").alias("dead_cf")
+    )
+
+
+def dead_term_deltas_df(segs: DataFrame, superseded: DataFrame) -> DataFrame:
+    """Fully DISTRIBUTED dead-stats gather for LARGE re-crawl batches
+    (the reference's worst case: every batch can re-crawl anything,
+    update_urls.py): no driver collect, no broadcast of the superseded
+    set. ``superseded``: (doc_id, seq, salt) rows of the latest alive
+    version of each re-crawled doc.
+
+    Shape: decode the affected fragments' postings (partition-parallel
+    mapInPandas, DECODE_SCHEMA carries the fragment seq), shuffle-join
+    them against the superseded rows on (doc_id, seq) — the seq match
+    guarantees only the fragment holding a doc's LATEST version
+    contributes, so chained upserts never double-subtract — and
+    partial-agg per term. Decoding whole fragments (vs the driver
+    path's block-sparse gather) is proportional to the affected
+    fragments, which a big re-crawl touches wholesale anyway; callers
+    pre-filter ``segs`` to the affected (src_part, salt) set."""
+    from pyspark.sql import functions as F
+
+    posts = decode_segments(segs, None).select("term", "doc_id", "tf", "seq")
+    hit = posts.join(
+        superseded.select("doc_id", "seq").distinct(), ["doc_id", "seq"], "left_semi"
+    )
+    return hit.groupBy("term").agg(
+        F.count(F.lit(1)).alias("dead_df"), F.sum("tf").alias("dead_cf")
     )

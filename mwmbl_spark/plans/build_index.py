@@ -470,6 +470,45 @@ class IndexBuilder:
             out.append(r)
         return out
 
+    def _delete_pairs_df(self) -> DataFrame | None:
+        """The merged delete map as (doc_id, del_seq) rows (None when
+        empty) — lets the distributed planning path apply the
+        already-dead exclusion as a join instead of a driver loop."""
+        dm = self.delete_map()
+        if not dm:
+            return None
+        import pandas as pd
+
+        frames = [
+            pd.DataFrame({"doc_id": ids.astype("int64"), "del_seq": seqs})
+            for ids, seqs in dm.values()
+        ]
+        return self.spark.createDataFrame(pd.concat(frames, ignore_index=True))
+
+    def _superseded_df(self, new_ids: DataFrame) -> DataFrame:
+        """DISTRIBUTED twin of ``_superseded``: the same
+        (doc_id, seq, doc_len, salt) relation as a DataFrame — nothing
+        reaches the driver. Used when |batch ∩ index| is too large to
+        collect (a full re-crawl epoch); the delete vector is then
+        written as a Spark job and dead stats gathered by shuffle join
+        (operators/upsert.dead_term_deltas_df)."""
+        old = self.doc_index().join(
+            new_ids.select("doc_id").distinct(), "doc_id", "left_semi"
+        )
+        latest = old.groupBy("doc_id").agg(
+            F.max("seq").alias("seq"),
+            F.max_by("doc_len", "seq").alias("doc_len"),
+            F.max_by("salt", "seq").alias("salt"),
+        )
+        dels = self._delete_pairs_df()
+        if dels is not None:
+            latest = (
+                latest.join(dels, "doc_id", "left")
+                .where(F.col("del_seq").isNull() | (F.col("del_seq") <= F.col("seq")))
+                .drop("del_seq")
+            )
+        return latest
+
     def _dead_deltas(self, rows: list) -> DataFrame:
         """Negative (term, df, cf) stats rows for the doc versions in
         ``rows`` — a block-sparse gather over ONLY the fragments/salts
@@ -493,16 +532,38 @@ class IndexBuilder:
             (-F.col("dead_cf")).cast("long").alias("cf"),
         )
 
-    def upsert(self, batch: DataFrame, name: str | None = None) -> str:
+    def upsert(
+        self,
+        batch: DataFrame,
+        name: str | None = None,
+        distributed: bool | None = None,
+        distributed_threshold: int = 200_000,
+    ) -> str:
         """Index a batch that may RE-CRAWL already-indexed docs: commits
         a new fragment (segments/stats/doc_stats/doc_index) plus a
         delete vector masking the superseded versions, and exact
         negative stats-deltas so query-time df/N/avgdl — and therefore
         scores — stay hash-identical to a fresh build over the updated
         corpus (reference RMW-merge semantics, index_batches.py:78-90,
-        without rewriting a single existing file)."""
+        without rewriting a single existing file).
+
+        Planning path: for BOUNDED updates (|batch ∩ index| <=
+        ``distributed_threshold``) the superseded rows are collected —
+        they are exactly the payload the delete vector and the
+        block-sparse dead-stats gather broadcast anyway. A large
+        re-crawl epoch instead takes the DISTRIBUTED path
+        (``distributed=True`` or auto above the threshold): superseded
+        rows stay a DataFrame, the delete vector is written as a Spark
+        job partitioned by salt, and dead stats come from a shuffle
+        join (operators/upsert.dead_term_deltas_df) — nothing
+        batch-sized ever reaches the driver. ``_last_planning`` records
+        which path ran and how many rows the driver collected (tested
+        in tests/test_upsert_distributed.py)."""
         from mwmbl_spark.manifest import commit_partition, next_seq
-        from mwmbl_spark.operators.upsert import write_delete_vector
+        from mwmbl_spark.operators.upsert import (
+            dead_term_deltas_df,
+            write_delete_vector,
+        )
 
         t0 = time.perf_counter()
         base = self.cfg.path
@@ -510,6 +571,7 @@ class IndexBuilder:
         part = name or f"u{seq}"
         p = build_postings_with_len(batch, include_empty_docs=True).persist()
         posts = p.where(F.col("term").isNotNull())
+        sup = None
         try:
             agg = posts.agg(
                 F.count(F.lit(1)).alias("np"), F.sum("tf").alias("s")
@@ -518,14 +580,54 @@ class IndexBuilder:
             n_new = self._write_doc_index(p, part)
             avg = sum_new / max(1, n_new)
             new_ids = self.spark.read.parquet(f"{base}/doc_index/src_part={part}")
-            dead = self._superseded(new_ids)
-            n_dead = len(dead)
-            sum_dead = sum(int(r["doc_len"]) for r in dead)
+
+            sup = self._superseded_df(new_ids).persist()
+            d_agg = sup.agg(
+                F.count(F.lit(1)).alias("n"), F.sum("doc_len").alias("s")
+            ).collect()[0]
+            n_dead, sum_dead = int(d_agg["n"]), int(d_agg["s"] or 0)
+            use_distributed = (
+                distributed
+                if distributed is not None
+                else n_dead > distributed_threshold
+            )
+
             stats_frag = term_stats(posts).select(
                 "term", F.col("df").cast("long"), F.col("cf").cast("long")
             )
-            if dead:
+            live = self._live()
+            if n_dead and use_distributed:
+                # fragments holding a latest superseded version (tiny
+                # distinct — bounded by the live fragment count)
+                seqs_needed = {
+                    int(r["seq"]) for r in sup.select("seq").distinct().collect()
+                }
+                parts_needed = [p_ for p_, s in live.items() if s in seqs_needed]
+                segs_aff = self.segments().where(
+                    F.col("src_part").cast("string").isin(parts_needed)
+                )
+                dd = dead_term_deltas_df(segs_aff, sup)
+                stats_frag = stats_frag.unionByName(
+                    dd.select(
+                        "term",
+                        (-F.col("dead_df")).cast("long").alias("df"),
+                        (-F.col("dead_cf")).cast("long").alias("cf"),
+                    )
+                )
+                self._last_planning = {
+                    "mode": "distributed", "n_dead": n_dead,
+                    "rows_collected": len(seqs_needed),
+                }
+            elif n_dead:
+                dead = sup.collect()
                 stats_frag = stats_frag.unionByName(self._dead_deltas(dead))
+                self._last_planning = {
+                    "mode": "driver", "n_dead": n_dead, "rows_collected": n_dead,
+                }
+            else:
+                self._last_planning = {
+                    "mode": "append", "n_dead": 0, "rows_collected": 0,
+                }
             segs = build_segments(
                 posts, None, stats_frag, n_new, avg, self.cfg.num_buckets, self.cfg.nsalt
             )
@@ -534,7 +636,16 @@ class IndexBuilder:
             _write_doc_stats(
                 f"{base}/doc_stats/src_part={part}", n_new - n_dead, sum_new - sum_dead
             )
-            if dead:
+            if n_dead and use_distributed:
+                (
+                    sup.select(
+                        F.col("salt").cast("int").alias("salt"), "doc_id"
+                    )
+                    .repartition(max(1, self.cfg.nsalt // 2), "salt")
+                    .write.mode("overwrite")
+                    .parquet(f"{base}/deletes/src_part={part}")
+                )
+            elif n_dead:
                 write_delete_vector(
                     base, part,
                     [int(r["salt"]) for r in dead],
@@ -545,6 +656,8 @@ class IndexBuilder:
                 self.spark, base, part, n_new, n_postings, wall_ms, seq=seq
             )
         finally:
+            if sup is not None:
+                sup.unpersist(blocking=True)
             p.unpersist(blocking=True)
         return part
 
