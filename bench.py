@@ -126,6 +126,25 @@ def main() -> None:
         lambda: builder.query_topk(list(entrymod.QUERY_SET), k=10).count(),
     )
 
+    # curated serving fast path: driver-side curation probe + the
+    # organic one-job list path (curation dim passed as a plain list)
+    try:
+        from mwmbl_spark.operators.wand import wand_topk_curated
+
+        c_stats, c_n, c_avg = builder.cached_global_stats()
+        timed(
+            "q2c_wand_curated_fastpath",
+            lambda: wand_topk_curated(
+                builder.segments(), c_stats, list(entrymod.QUERY_SET),
+                list(entrymod._WAND_CURATIONS), c_n, c_avg, k=10,
+                num_buckets=builder.cfg.num_buckets,
+                deletes=builder.delete_broadcast(),
+            ).count(),
+        )
+    except Exception as exc:  # noqa: BLE001
+        print(f"BENCH ERROR q2c setup: {exc}", file=sys.stderr)
+        timings["q2c_wand_curated_fastpath"] = -1.0
+
     # q8 serving shape: term index prebuilt+persisted once per corpus
     # epoch; each batch pays expansion + retrieval + scoring only
     # (setup outside timed(); guarded so a failure cannot eat the JSON)

@@ -431,12 +431,21 @@ def wand_topk_curated(
 
     The curation table is a small editorial dimension — every join
     against it broadcasts; the organic path is untouched wand_topk.
-    Output: (query_id, doc_id, score, rank, curated)."""
+    Output: (query_id, doc_id, score, rank, curated).
+
+    ``queries`` may be a plain ``list[(query_id, query)]`` — the
+    SERVING fast path: the organic half runs wand_topk's one-job list
+    path, and the curation probe resolves DRIVER-side (tokenize_py on
+    the queries against the collected editorial dim — ``curations`` may
+    itself be a list of (term, position, doc_id, state) tuples to skip
+    even that collect), so the whole batch still costs exactly ONE
+    Spark job; pinned rows ride a local relation into the final plan."""
     from mwmbl_spark.functions.tokenize import tokenize_expr
 
     if isinstance(queries, list):
-        queries = segments.sparkSession.createDataFrame(
-            queries, "query_id long, query string"
+        return _wand_topk_curated_list(
+            segments, stats, queries, curations, n_docs, avg_len,
+            k=k, mode=mode, num_buckets=num_buckets, deletes=deletes,
         )
 
     organic = wand_topk(
@@ -483,3 +492,89 @@ def wand_topk_curated(
         )
         .where(F.col("rank") <= k)
     )
+
+
+def _wand_topk_curated_list(
+    segments: DataFrame,
+    stats: DataFrame,
+    queries: list,
+    curations,
+    n_docs: int,
+    avg_len: float,
+    k: int = 10,
+    mode: str = "disjunctive",
+    num_buckets: int | None = None,
+    deletes=None,
+) -> DataFrame:
+    """Serving fast path of wand_topk_curated (list-shaped batch):
+    semantics identical to the DataFrame path (pytest-gated equal in
+    tests/test_segments_wand.py), but the curation probe — exact-term
+    match of each query's joined tokens against the editorial dim —
+    runs driver-side, the pinned rows and exclusion set enter the plan
+    as local relations, and the organic half takes wand_topk's one-job
+    list path. The rank arithmetic (pinned first at
+    MAX_CURATED_SCORE - position, organic shifted by the pinned count,
+    dedup against pinned doc_ids) is the reference's
+    ``deduplicate(curated_items + ordered_results)`` shape
+    (rank.py:289-293,318-320; views.py:404 score convention)."""
+    from mwmbl_spark.functions.tokenize import tokenize_py
+
+    spark = segments.sparkSession
+    if not isinstance(curations, list):
+        # tiny editorial dimension (reference: a curations DB table) —
+        # collect once; serving callers pass the list and skip the job
+        curations = [
+            (r["term"], int(r["position"]), int(r["doc_id"]),
+             None if r["state"] is None else int(r["state"]))
+            for r in curations.collect()
+        ]
+    cur_by_term: dict[str, list[tuple[int, int]]] = {}
+    for term, pos, doc, state in curations:
+        if state is None:
+            continue
+        cur_by_term.setdefault(term, []).append((int(pos), int(doc)))
+
+    pinned_rows: list[tuple[int, int, float, int]] = []
+    n_cur: dict[int, int] = {}
+    for qid, q in queries:
+        entries = sorted(cur_by_term.get(" ".join(tokenize_py(q)), []))
+        for i, (pos, doc) in enumerate(entries, 1):
+            pinned_rows.append((int(qid), doc, MAX_CURATED_SCORE - pos, i))
+        if entries:
+            n_cur[int(qid)] = len(entries)
+
+    organic = wand_topk(
+        segments, stats, queries, n_docs, avg_len,
+        k=k, mode=mode, num_buckets=num_buckets, deletes=deletes,
+    )
+    org = organic
+    if pinned_rows:
+        excl = spark.createDataFrame(
+            [(q, d) for q, d, _, _ in pinned_rows], "query_id long, doc_id long"
+        )
+        org = org.join(F.broadcast(excl), ["query_id", "doc_id"], "left_anti")
+    if n_cur:
+        shift_map = F.create_map(
+            *[x for qid, n in n_cur.items() for x in (F.lit(qid), F.lit(n))]
+        )
+        shift = F.coalesce(
+            F.element_at(shift_map, F.col("query_id")), F.lit(0)
+        )
+    else:
+        shift = F.lit(0)
+    wo = Window.partitionBy("query_id").orderBy("rank")
+    org_ranked = org.select(
+        "query_id", "doc_id", "score",
+        (F.row_number().over(wo) + shift).alias("rank"),
+        F.lit(0).alias("curated"),
+    )
+    if pinned_rows:
+        cur_df = spark.createDataFrame(
+            pinned_rows, "query_id long, doc_id long, score double, rank int"
+        ).withColumn("curated", F.lit(1))
+        out = cur_df.select(
+            "query_id", "doc_id", "score", "rank", "curated"
+        ).unionByName(org_ranked)
+    else:
+        out = org_ranked
+    return out.where(F.col("rank") <= k)

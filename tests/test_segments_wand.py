@@ -144,3 +144,60 @@ def test_query_list_fast_path_matches_dataframe(spark, tmp_path):
         ]
 
     assert rows(b.query_topk(qlist, k=5)) == rows(b.query_topk(qdf, k=5))
+
+
+def test_curated_list_fast_path_matches_dataframe(spark, tmp_path):
+    """wand_topk_curated(list) — driver-side curation probe + the
+    organic one-job list path — must return exactly the DataFrame
+    path's rows, with curations passed as a DataFrame or a plain
+    list."""
+    from mwmbl_spark.operators.wand import wand_topk_curated
+    from mwmbl_spark.plans.build_index import IndexBuilder, IndexConfig
+    from mwmbl_spark.synth import synth_transcripts, with_doc_id
+
+    df = with_doc_id(synth_transcripts(spark, n_conv=15, turns_per_conv=4, seed=8))
+    cfg = IndexConfig(
+        path=str(tmp_path / "fastc"), num_buckets=16, nsalt=4, n_src_partitions=1
+    )
+    b = IndexBuilder(spark, cfg)
+    b.build(df)
+    some_ids = [r["doc_id"] for r in df.limit(4).collect()]
+    curs = [
+        ("the spark", 0, some_ids[0], 8),
+        ("the spark", 1, some_ids[1], 7),
+        ("the spark", 2, some_ids[2], None),  # NULL state: not curated
+        ("w0001 w0002", 0, some_ids[3], 9),
+        ("zzz qqq", 0, some_ids[0], 7),  # matches no query
+    ]
+    cur_df = spark.createDataFrame(
+        curs, "term string, position int, doc_id long, state int"
+    )
+    qlist = [(0, "the spark"), (1, "w0001 w0002"), (2, "w0003")]
+    qdf = spark.createDataFrame(qlist, "query_id long, query string")
+    stats, n_docs, avg_len = b.cached_global_stats()
+
+    def rows(out):
+        return sorted(
+            (r["query_id"], r["doc_id"], round(r["score"], 9), r["rank"],
+             r["curated"])
+            for r in out.collect()
+        )
+
+    want = rows(wand_topk_curated(
+        b.segments(), stats, qdf, cur_df, n_docs, avg_len, k=5, num_buckets=16
+    ))
+    got_df_dim = rows(wand_topk_curated(
+        b.segments(), stats, qlist, cur_df, n_docs, avg_len, k=5, num_buckets=16
+    ))
+    got_list_dim = rows(wand_topk_curated(
+        b.segments(), stats, qlist, curs, n_docs, avg_len, k=5, num_buckets=16
+    ))
+    assert got_df_dim == want
+    assert got_list_dim == want
+    # pinned docs really are first, in curation order
+    by_q = {}
+    for qid, doc, _, rank, curated in want:
+        by_q.setdefault(qid, []).append((rank, doc, curated))
+    assert sorted(by_q[0])[0] == (1, some_ids[0], 1)
+    assert sorted(by_q[0])[1] == (2, some_ids[1], 1)
+    assert sorted(by_q[1])[0] == (1, some_ids[3], 1)
