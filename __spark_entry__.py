@@ -269,6 +269,49 @@ def q_compacted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STREAM_BUILDERS: dict = {}
+
+
+def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental build (SURVEY §2.8) as a value-gated
+    contract: the corpus arrives as TWO micro-batch epochs through
+    Structured Streaming (AvailableNow + checkpoint resume across two
+    runs) in UPSERT mode — epoch 2 re-crawls every doc_id%10==3 — and
+    the streamed-then-queried index must return BM25 top-10 identical
+    to plain SQL over the final corpus state (same oracle family as
+    upsert_topk). This is the reference's batch-status polling loop
+    (background.py:38-47, process_batch.py:12-33) re-expressed with
+    Spark owning the bookkeeping."""
+    import tempfile
+
+    from mwmbl_spark.plans.build_index import IndexBuilder, IndexConfig
+    from mwmbl_spark.streaming.incremental import incremental_index_stream
+
+    key = (id(spark), sf_dir)
+    b = _STREAM_BUILDERS.get(key)
+    if b is None:
+        t = _docs_as_transcripts(spark, sf_dir)
+        root = tempfile.mkdtemp(prefix="mwmbl_stream_idx_")
+        src, ckpt = f"{root}/src", f"{root}/ckpt"
+        cfg = IndexConfig(path=f"{root}/idx", num_buckets=32, nsalt=8)
+        # epoch 1: the full corpus; run the stream to completion
+        t.coalesce(1).write.mode("append").parquet(src)
+        incremental_index_stream(spark, src, cfg, ckpt, mode="upsert")
+        # epoch 2: re-crawled versions arrive later; the SAME checkpoint
+        # picks up only the new file (resume) and upserts it
+        t.where(F.col("doc_id") % 10 == 3).select(
+            "conv_id", "turn_idx", "role",
+            F.concat(F.col("text"), F.lit(" stream refreshed")).alias("text"),
+            "tool", "ts", "doc_id",
+        ).coalesce(1).write.mode("append").parquet(src)
+        b = incremental_index_stream(spark, src, cfg, ckpt, mode="upsert")
+        _STREAM_BUILDERS[key] = b
+    out = b.query_topk(_queries_df(spark), k=10)
+    return out.select(
+        "query_id", "doc_id", F.round("score", 6).alias("score"), "rank"
+    )
+
+
 def _web_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents dressed as web docs (title/url/extract/score/state)."""
     return spark.read.parquet(f"{sf_dir}/documents.parquet").select(
@@ -1222,6 +1265,17 @@ FROM total, fof""",
 # compaction must preserve the ranking bit for bit — same oracle
 ORACLE["compacted_topk"] = ORACLE["upsert_topk"]
 
+# streamed-then-queried index == plain BM25 over the final corpus state
+# (epoch 2 re-crawled every doc_id%10==3 through the streaming upsert)
+ORACLE["stream_topk"] = _bm25_sql("", src="stream_docs", prelude="""
+stream_docs AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 = 3 THEN text || ' stream refreshed'
+              ELSE text END AS text
+  FROM documents
+),
+""")
+
 _WAND_CUR_VALUES = ", ".join(
     f"('{t}', {p}, {d}, {'NULL' if s is None else s})"
     for t, p, d, s in _WAND_CURATIONS
@@ -2165,6 +2219,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wand_curated": _shipped(q_wand_curated),
         "upsert_topk": _shipped(q_upsert_topk),
         "compacted_topk": _shipped(q_compacted_topk),
+        "stream_topk": _shipped(q_stream_topk),
         "search_candidates": _shipped(q_search_candidates),
         "search_candidates_capped": _shipped(q_search_candidates_capped),
         "search_pipeline": _shipped(q_search_pipeline),
