@@ -85,6 +85,23 @@ def main() -> None:
     results["speedup"] = round(
         results["finditer_r2"]["sec"] / results["split_r3"]["sec"], 2
     )
+
+    # domain-prior memo (VERDICT r3 #1): a realistic 100k-domain table
+    # (the size domain_pagerank feeds in) must not be rescanned per
+    # candidate — with the _TableNorm memo the large-table run stays at
+    # the no-table run's speed instead of O(candidates x |table|)
+    big_table = {f"d{i}.example.org": float(i % 1000) for i in range(100_000)}
+    big_table.update({d: 500.0 for d in DOMAINS})
+    t0 = time.perf_counter()
+    acc = 0.0
+    for terms, title, url, extract, score, state in cands:
+        acc += score_result_py(terms, title, url, extract, score, state, True, big_table)
+    results["split_r3_domains_100k"] = {
+        "sec": round(time.perf_counter() - t0, 3), "checksum": round(acc, 6)
+    }
+    results["domain_memo_overhead"] = round(
+        results["split_r3_domains_100k"]["sec"] / results["split_r3"]["sec"], 2
+    )
     print(json.dumps({"metric": "heuristic kernel 50k candidates", "n": n, **results}))
 
 
