@@ -63,16 +63,31 @@ def logistic_baseline(x: np.ndarray) -> np.ndarray:
 
 
 def load_xgboost_model(path: str) -> Callable[[np.ndarray], np.ndarray]:
+    """Load an XGBoost model (JSON or UBJSON — the reference's
+    ``model.xgb`` artifact shape) via the DEPENDENCY-FREE reader
+    (functions/xgb_model.py): a model trained by the reference's Rust
+    pipeline (mwmbl/tinysearchengine/ltr.py:83-230) drops straight into
+    ``ltr_rank``/``LtrPipeline`` without the xgboost package. When
+    xgboost IS installed, it is preferred (covers exotic boosters the
+    native reader rejects) and the native reader is the fallback."""
     try:
         import xgboost as xgb
-    except ImportError as e:  # container has no xgboost
-        raise NotImplementedError(
-            "xgboost is not available in this environment; pass any "
-            "predict(ndarray)->ndarray callable (e.g. logistic_baseline)"
-        ) from e
-    booster = xgb.Booster()
-    booster.load_model(path)
-    return lambda x: booster.predict(xgb.DMatrix(x, feature_names=FEATURE_NAMES))
+
+        booster = xgb.Booster()
+        booster.load_model(path)
+        return lambda x: booster.predict(
+            xgb.DMatrix(x, feature_names=FEATURE_NAMES)
+        )
+    except ImportError:
+        from mwmbl_spark.functions.xgb_model import load_xgb_model
+
+        model = load_xgb_model(path)
+        if model.feature_names and list(model.feature_names) != FEATURE_NAMES:
+            raise ValueError(
+                "model feature_names do not match the 50-feature LTR "
+                "order (features.rs:18-103)"
+            )
+        return model
 
 
 class LtrPipeline:
