@@ -854,6 +854,34 @@ class IndexBuilder:
                 )
                 if rs > min_remaining
             ]
+            if carried and keep:
+                # prune against the untouched fragments' doc_index: a
+                # carried row only matters if its doc still has postings
+                # in an untouched fragment OLDER than the row's seq (the
+                # kernel's masking rule, dead_mask). Docs that were
+                # INSERTED by one merged fragment and re-upserted by
+                # another leave rows that can kill nothing outside the
+                # merged set — without this check they accumulate
+                # forever (the doc_index is the slim one-row-per-doc
+                # sidecar, so the scan is doc-count-, not
+                # posting-count-, proportional)
+                cdf = self.spark.createDataFrame(
+                    carried, "salt int, doc_id long, rs long"
+                )
+                di_keep = di.where(
+                    F.col("src_part").cast("string").isin(list(keep))
+                ).select("doc_id", "seq")
+                surv = (
+                    di_keep.join(
+                        F.broadcast(cdf),
+                        (di_keep["doc_id"] == cdf["doc_id"])
+                        & (di_keep["seq"] < cdf["rs"]),
+                    )
+                    .select(cdf["salt"], cdf["doc_id"], cdf["rs"])
+                    .distinct()
+                    .collect()
+                )
+                carried = sorted((r["salt"], r["doc_id"], r["rs"]) for r in surv)
             if carried:
                 write_delete_vector(
                     base, part,

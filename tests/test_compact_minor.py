@@ -187,3 +187,46 @@ def test_minor_compact_merges_delete_only_fragments(spark, corpus, tmp_path):
     )
     fresh = _build(spark, final, tmp_path, "m4f")
     assert _query(spark, b) == _query(spark, fresh)
+
+
+def test_minor_compact_prunes_dead_carried_vector_rows(spark, corpus, tmp_path):
+    """Docs INSERTED by one merged fragment and re-upserted by another
+    leave delete rows that can kill nothing outside the merged set;
+    the carry-forward must prune them against the untouched fragments'
+    doc_index instead of accumulating them forever. Rows that mask
+    base-fragment versions must survive the same prune."""
+    import numpy as np
+
+    b = _build(spark, corpus, tmp_path, "m5")
+    added = with_doc_id(
+        synth_transcripts(spark, n_conv=5, turns_per_conv=3, seed=99).withColumn(
+            "conv_id", F.concat(F.lit("new-"), F.col("conv_id"))
+        )
+    ).cache()
+    u1 = b.upsert(added)  # pure insert: no vector of its own
+    base_upd = _upd(corpus, 6, 3, "y")
+    added_upd = added.withColumn(
+        "text", F.concat(F.col("text"), F.lit(" refreshed corpus z"))
+    )
+    u2 = b.upsert(added_upd.unionByName(base_upd))
+
+    c = b.compact(parts=[u1, u2])
+    assert c is not None
+
+    added_ids = {r["doc_id"] for r in added.select("doc_id").collect()}
+    base_upd_ids = {r["doc_id"] for r in base_upd.select("doc_id").collect()}
+    masked = {
+        int(d)
+        for ids, _seqs in b.delete_map().values()
+        for d in np.asarray(ids, dtype=np.int64).tolist()
+    }
+    assert masked & added_ids == set()        # pruned: nothing to kill outside
+    assert base_upd_ids <= masked             # kept: base versions still masked
+
+    final = (
+        corpus.where(F.col("doc_id") % 6 != 3)
+        .unionByName(base_upd)
+        .unionByName(added_upd)
+    )
+    fresh = _build(spark, final, tmp_path, "m5f")
+    assert _query(spark, b) == _query(spark, fresh)
