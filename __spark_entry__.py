@@ -411,6 +411,23 @@ def q_search_pipeline_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RERANK_N = 12  # binding at sf0.01 under _CAP_K retrieval (> k=10)
+
+
+def q_search_pipeline_reranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage serving pipeline: A7-capped retrieval, JVM-side
+    stage-1 cut to the top ``_RERANK_N`` candidates per query by
+    (curated-first, matched-term count, crawl-time score), CPython
+    heuristic kernel only as the re-ranker [plans/search.py
+    search(rerank_n=...)]. Binding at sf0.01; twin-oracle gated."""
+    from mwmbl_spark.plans.search import search
+
+    return search(
+        spark, _web_docs_scored(spark, sf_dir), _queries_df(spark), k=10,
+        term_doc_cap=_CAP_K, rerank_n=_RERANK_N,
+    )
+
+
 def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W5: MMR diversity re-rank of the search top-k (sequential greedy
     within a query, parallel across queries) — rows-only check."""
@@ -2001,13 +2018,24 @@ def _twin_search_oracles() -> dict[str, str]:
         {**d, "score": 1.0 + (d["doc_id"] % 7) * 0.25} for d in docs
     ]
 
-    search_vals, mmr_vals, capped_vals = [], [], []
+    search_vals, mmr_vals, capped_vals, reranked_vals = [], [], [], []
     for qid, q in QUERY_SET:
         for crank, d in enumerate(
             search_py(docs_scored, q, k=10, term_doc_cap=_CAP_K), 1
         ):
             capped_vals.append(
                 f"({qid}, {crank}, {d['doc_id']}, "
+                f"'{esc(d['title'])}', '{esc(d['url'])}', '{esc(d['extract'])}', "
+                f"NULL, CAST('{d['result_score']!r}' AS DOUBLE))"
+            )
+        for rrank, d in enumerate(
+            search_py(
+                docs_scored, q, k=10, term_doc_cap=_CAP_K, rerank_n=_RERANK_N
+            ),
+            1,
+        ):
+            reranked_vals.append(
+                f"({qid}, {rrank}, {d['doc_id']}, "
                 f"'{esc(d['title'])}', '{esc(d['url'])}', '{esc(d['extract'])}', "
                 f"NULL, CAST('{d['result_score']!r}' AS DOUBLE))"
             )
@@ -2043,6 +2071,10 @@ def _twin_search_oracles() -> dict[str, str]:
         ),
         "search_pipeline_capped": (
             f"SELECT {base_cols} FROM (VALUES {', '.join(capped_vals)}) "
+            "t(query_id, rank, doc_id, title, url, extract, state, result_score)"
+        ),
+        "search_pipeline_reranked": (
+            f"SELECT {base_cols} FROM (VALUES {', '.join(reranked_vals)}) "
             "t(query_id, rank, doc_id, title, url, extract, state, result_score)"
         ),
         "mmr_rerank": (
@@ -2224,6 +2256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_candidates_capped": _shipped(q_search_candidates_capped),
         "search_pipeline": _shipped(q_search_pipeline),
         "search_pipeline_capped": _shipped(q_search_pipeline_capped),
+        "search_pipeline_reranked": _shipped(q_search_pipeline_reranked),
         "mmr_rerank": _shipped(q_mmr_rerank),
         "tfidf_reference": _shipped(q_tfidf_reference),
         "tfidf_features": _shipped(q_tfidf_features),

@@ -171,6 +171,16 @@ def main() -> None:
                 term_doc_cap=None,
             ).count(),
         )
+        # q8c: two-stage serving — same prepared index, JVM-side
+        # stage-1 cut to the top-100 candidates per query, CPython
+        # heuristic kernel only as the re-ranker (search(rerank_n=...))
+        timed(
+            "q8c_search_reranked",
+            lambda: search(
+                spark, web_docs, qdf, k=10, index=s_index, counts=s_counts,
+                term_doc_cap=None, rerank_n=100,
+            ).count(),
+        )
         s_index.unpersist(), s_counts.unpersist()
     except Exception as exc:  # noqa: BLE001
         print(f"BENCH ERROR q8b setup: {exc}", file=sys.stderr)

@@ -148,6 +148,7 @@ def search(
     index: DataFrame | None = None,
     counts: DataFrame | None = None,
     term_doc_cap: int | None = 512,
+    rerank_n: int | None = None,
 ) -> DataFrame:
     """docs: (doc_id, title, url, extract, score, state); queries:
     (query_id, query). Returns ranked results per query.
@@ -164,7 +165,24 @@ def search(
     term truncation (a page holds on the order of 10^2 items; 512 is a
     generous parity default). None disables (exhaustive retrieval).
     Pre-capped serving indexes should pass the cap they were built
-    with (the cap re-applies idempotently but costs a join)."""
+    with (the cap re-applies idempotently but costs a join).
+
+    ``rerank_n``: two-stage serving mode. The heuristic scorer is a
+    CPython kernel (the stateful distinct-match bookkeeping of
+    rank.py:182-201 does not vectorize, which is why the reference
+    ported it to Rust); with the A7 cap it still scores
+    cap x |expanded terms| candidates per query. Set ``rerank_n`` to
+    first cut each query's candidates to its top-N JVM-side — ranked by
+    (curated-first, matched expanded-term count desc, crawl-time score
+    desc, doc_id) — and run the kernel only as a RE-RANKER over those.
+    The first stage is pure built-in expressions (count_distinct + one
+    WindowGroupLimit rank filter, plan-asserted), so the Python-kernel
+    cost per query becomes O(rerank_n) regardless of corpus or term
+    fan-out. Curated docs sort first in the stage-1 window (they are
+    pinned ahead of every organic result in the final ranking anyway,
+    rank.py:289-293), so they are never cut unless a single query
+    carries more than ``rerank_n`` curated docs. None (default) scores
+    every candidate — the exact reference pipeline."""
     index = index if index is not None else build_term_index(docs)
     counts = counts if counts is not None else term_counts(index)
     if term_doc_cap is not None:
@@ -172,12 +190,44 @@ def search(
     qmeta = query_meta(queries)
     retrieval = expanded_terms(qmeta, counts)
 
-    candidates = (
-        index.join(F.broadcast(retrieval), "term")
-        .select("query_id", "doc_id")
-        .distinct()
-        .join(docs.select(*DOC_COLS), "doc_id")
-        .join(qmeta.select("query_id", "terms", "is_complete"), "query_id")
+    matched = index.join(F.broadcast(retrieval), "term")
+    if rerank_n is None:
+        pairs = matched.select("query_id", "doc_id").distinct()
+    else:
+        # stage 1: per-(query, doc) matched-term count is the same
+        # shuffle .distinct() would pay; the rank filter then keeps the
+        # window map-side-limited (WindowGroupLimit)
+        stage1 = (
+            matched.groupBy("query_id", "doc_id")
+            .agg(F.count_distinct("term").alias("_n_match"))
+            .join(
+                docs.select(
+                    "doc_id",
+                    F.col("score").alias("_cscore"),
+                    F.col("state").alias("_cstate"),
+                ),
+                "doc_id",
+            )
+        )
+        # coalesce: isin() is NULL (not false) for NULL states, and
+        # desc_nulls_last would order the NULL-state group after every
+        # 0-flag doc regardless of match count
+        curated_first = F.coalesce(
+            F.col("_cstate").isin(list(CURATED_STATES)).cast("int"), F.lit(0)
+        )
+        w1 = Window.partitionBy("query_id").orderBy(
+            F.desc(curated_first),
+            F.desc("_n_match"),
+            F.desc_nulls_last("_cscore"),
+            F.asc("doc_id"),
+        )
+        pairs = (
+            stage1.withColumn("_r1", F.row_number().over(w1))
+            .where(F.col("_r1") <= rerank_n)
+            .select("query_id", "doc_id")
+        )
+    candidates = pairs.join(docs.select(*DOC_COLS), "doc_id").join(
+        qmeta.select("query_id", "terms", "is_complete"), "query_id"
     )
     # scoring with the original query terms and the QUERY'S OWN
     # is_complete flag (rank.py:280-283 passes q.endswith(' ') into

@@ -37,6 +37,7 @@ def search_py(
     domain_scores: dict[str, float] | None = None,
     n_completions: int = 3,
     term_doc_cap: int | None = None,
+    rerank_n: int | None = None,
 ) -> list[dict]:
     by_id = {d["doc_id"]: d for d in docs}
     index = build_term_index_py(docs)
@@ -65,6 +66,24 @@ def search_py(
     cand_ids = set()
     for t in retrieval:
         cand_ids |= index.get(t, set())
+
+    if rerank_n is not None:
+        # two-stage twin of plans/search.py: stage-1 cut by
+        # (curated-first, matched expanded-term count desc, crawl-time
+        # score desc, doc_id asc); null score sorts last (Spark's
+        # desc_nulls_last)
+        def _stage1_key(doc_id):
+            d = by_id[doc_id]
+            n = sum(1 for t in retrieval if doc_id in index.get(t, set()))
+            sc = d.get("score")
+            return (
+                int(d.get("state") not in CURATED_STATES),
+                -n,
+                float("inf") if sc is None else -sc,
+                doc_id,
+            )
+
+        cand_ids = set(sorted(cand_ids, key=_stage1_key)[:rerank_n])
 
     scored = []
     for doc_id in cand_ids:

@@ -193,3 +193,20 @@ def test_term_index_cap_uses_window_group_limit(spark):
     )
     plan = _explain(cap_term_index(build_term_index(docs), docs, 4))
     assert "WindowGroupLimit" in plan
+
+
+def test_rerank_stage1_uses_window_group_limit(spark):
+    """Two-stage serving mode: the stage-1 per-query candidate cut must
+    plan as a map-side WindowGroupLimit so at most rerank_n rows per
+    query survive each shuffle partition before the final rank — the
+    bound that keeps the Python re-rank kernel O(rerank_n) per query."""
+    from mwmbl_spark.plans.search import search
+
+    docs = spark.createDataFrame(
+        [(i, f"t {i}", f"https://d{i}.example.com/p", "body text", float(i), None)
+         for i in range(8)],
+        "doc_id long, title string, url string, extract string, score double, state int",
+    )
+    queries = spark.createDataFrame([(0, "body text")], "query_id long, query string")
+    plan = _explain(search(spark, docs, queries, k=3, rerank_n=2))
+    assert "WindowGroupLimit" in plan

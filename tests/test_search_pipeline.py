@@ -203,3 +203,67 @@ def test_term_doc_cap_truncates_by_score(spark):
     # cap bounds EACH term's fan-out, not the expansion union
     assert got_ids == want
     assert set(got_ids) == {0, 1, 2, 3, 4, 9}
+
+
+# --- two-stage re-rank serving mode (search(rerank_n=...)) -------------------
+
+def test_rerank_matches_python_twin(spark, docs_df):
+    """Binding stage-1 cut: Spark two-stage pipeline == twin for every
+    query, including prefix-completion expansion and curation."""
+    qdf = spark.createDataFrame(QUERIES, "query_id long, query string")
+    out = search(spark, docs_df, qdf, k=5, rerank_n=3)
+    got: dict[int, list[int]] = {qid: [] for qid, _ in QUERIES}
+    for r in out.orderBy("query_id", "rank").collect():
+        got[r["query_id"]].append(r["doc_id"])
+    for qid, q in QUERIES:
+        want = [d["doc_id"] for d in search_py(_docs_as_dicts(), q, k=5, rerank_n=3)]
+        assert got[qid] == want, f"query {q!r}: {got[qid]} != {want}"
+
+
+def test_rerank_non_binding_equals_exact(spark, docs_df):
+    """A stage-1 budget wider than any candidate set reduces to the
+    exact single-stage pipeline."""
+    qdf = spark.createDataFrame(QUERIES, "query_id long, query string")
+    exact = search(spark, docs_df, qdf, k=5).orderBy("query_id", "rank").collect()
+    wide = (
+        search(spark, docs_df, qdf, k=5, rerank_n=10_000)
+        .orderBy("query_id", "rank")
+        .collect()
+    )
+    assert [tuple(r) for r in exact] == [tuple(r) for r in wide]
+
+
+def test_rerank_curated_survives_cut(spark, docs_df):
+    """Curated docs sort first in the stage-1 window: even a budget of
+    1 keeps the curated doc (it is pinned first in the final ranking)."""
+    qdf = spark.createDataFrame([(0, "spark tuning")], "query_id long, query string")
+    rows = search(spark, docs_df, qdf, k=5, rerank_n=1).orderBy("rank").collect()
+    assert rows and rows[0]["doc_id"] == 4
+
+
+def test_rerank_null_state_ties_with_noncurated(spark):
+    """A NULL state and a non-curated non-null state (e.g. FROM_USER=2)
+    are the same stage-1 flag: the cut must rank them by match count /
+    crawl score, not push the NULL-state group last (isin() is NULL,
+    not false, for NULL inputs)."""
+    rows = [
+        # null-state doc matches both query terms; state-2 doc only one
+        (0, "alpha beta", "https://a.example.com/x", "alpha beta text", 1.0, None),
+        (1, "alpha only", "https://b.example.com/y", "alpha text", 5.0, 2),
+        (2, "alpha too", "https://c.example.com/z", "alpha words", 5.0, 2),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, title string, url string, extract string, score double, state int"
+    )
+    qdf = spark.createDataFrame([(0, "alpha beta ")], "query_id long, query string")
+    got = [
+        r["doc_id"]
+        for r in search(spark, docs, qdf, k=3, rerank_n=1).orderBy("rank").collect()
+    ]
+    keys = ["doc_id", "title", "url", "extract", "score", "state"]
+    want = [
+        d["doc_id"]
+        for d in search_py([dict(zip(keys, r)) for r in rows], "alpha beta ", k=3,
+                           rerank_n=1)
+    ]
+    assert got == want == [0]
