@@ -72,6 +72,10 @@ def test_ltr_rank_orders_by_model(spark):
     assert ids == want
 
 
-def test_xgboost_gated():
-    with pytest.raises(NotImplementedError):
+def test_xgboost_loader_no_longer_gated():
+    """Round 4 replaced the xgboost-absent NotImplementedError gate with
+    the dependency-free reader (functions/xgb_model.py, full coverage in
+    tests/test_xgb_model.py): a missing file is now an ordinary
+    FileNotFoundError, not a capability gap."""
+    with pytest.raises(FileNotFoundError):
         load_xgboost_model("/nonexistent.model")
