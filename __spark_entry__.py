@@ -638,6 +638,22 @@ def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bucket_topk(emb, ANN_QUERY_IDS, k=10, n_probe=1)
 
 
+def q_pq_refine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (ADC + exact refine) with a corpus-
+    covering shortlist — the probe-all analogue: the whole PQ machinery
+    (deterministic per-subspace Lloyd, shuffle-free encode, broadcast
+    LUT ADC scoring, exact re-rank in cosine_topk's expression order)
+    must reproduce the brute-force baseline bit for bit against the
+    same DuckDB oracle. The recall value of a BINDING shortlist is
+    pytest-gated (tests/test_training_ops.py)."""
+    from mwmbl_spark.operators.similarity import pq_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return pq_topk(
+        emb, ANN_QUERY_IDS, k=10, m=8, k_codes=16, n_iters=2, refine=10**6
+    )
+
+
 def _docs_with_toks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, text, toks) with the tokenizer materialized behind the
     Arrow-UDF barrier (quality expressions reference it many times)."""
@@ -1487,6 +1503,11 @@ _LSH_PROJ = " + ".join(
     for j in range(8)
 )
 
+# PQ with a corpus-covering refine shortlist reduces exactly to the
+# brute-force cosine ranking (and its refine stage reuses cosine_topk's
+# expression order), so it shares the baseline's oracle verbatim
+ORACLE["pq_refine_topk"] = ORACLE["embedding_topk"]
+
 ORACLE["lsh_topk"] = f"""
 WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
@@ -2274,6 +2295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": _shipped(q_simhash),
         "embedding_topk": _shipped(q_embedding_topk),
         "lsh_topk": _shipped(q_lsh_topk),
+        "pq_refine_topk": _shipped(q_pq_refine_topk),
         "lang_id": _shipped(q_lang_id),
         "text_features": _shipped(q_text_features),
         "token_stats": _shipped(q_token_stats),

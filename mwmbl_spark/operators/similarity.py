@@ -21,6 +21,10 @@ to matching buckets via a shuffle-free broadcast semi join on bucket id.
   centroids and queries, so the corpus shuffles exactly once per
   training iteration (groupBy cluster) and never at query time beyond
   the candidate top-k window.
+
+- ``pq_topk`` (+ ``pq_train``/``pq_encode``): the memory-compression
+  scale path — product quantization with asymmetric distance
+  computation and optional exact refine; see the PQ section below.
 """
 
 from __future__ import annotations
@@ -324,6 +328,263 @@ def ivf_topk(
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", F.round("sim", 6).alias("sim"), "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) with asymmetric distance computation — the
+# memory-compression scale path (Jégou/Douze/Schmid, "Product
+# Quantization for Nearest Neighbor Search", TPAMI 2011; public method).
+#
+# The corpus is L2-normalized, each d-dim vector split into ``m``
+# subvectors, and each subvector replaced by the id of its nearest
+# codeword from a per-subspace codebook (k-means in L2) — m small ints
+# instead of d floats (d=1024 float32 -> m=8 bytes is 512x). Queries
+# stay exact: per query a m x k lookup table of
+# <query-subvector, codeword> dot products is precomputed driver-side
+# (tiny: m*k doubles per query), and a vector's approximate cosine is
+# the sum of m table lookups — a pure JVM expression over the codes
+# column, scan-proportional, no shuffle before the final top-k window.
+# ``refine`` re-scores the ADC top candidates with exact cosine (the
+# standard ADC+refine serving shape: the codes column prunes, the
+# original vectors — fetched for only refine*|queries| rows — decide).
+# ---------------------------------------------------------------------------
+
+
+def _unit(vec: Column) -> Column:
+    """L2-normalize (zero vectors pass through): cosine == dot on the
+    normalized corpus, which is what ADC approximates additively."""
+    n = F.sqrt(_dot(vec, vec))
+    return F.when(n > 0, F.transform(vec, lambda x: x / n)).otherwise(vec)
+
+
+def _collect_codebook(codebooks: DataFrame) -> list[list[list[float]]]:
+    """-> cbl[sub_id][cid] = codeword (dense, validated)."""
+    by: dict[int, dict[int, list[float]]] = {}
+    for r in codebooks.collect():
+        by.setdefault(int(r["sub_id"]), {})[int(r["cid"])] = [float(x) for x in r["cw"]]
+    return [[by[s][c] for c in sorted(by[s])] for s in sorted(by)]
+
+
+def _nearest_code(sv: Column, sub_cb: list[list[float]]) -> Column:
+    """Nearest codeword id for one STATIC subspace: argmin L2 ==
+    argmax (<sv, cw> - |cw|^2/2); codeword half-norms fold into the
+    plan literal, ties break to the smallest cid (struct max on
+    (score, -cid), the _ivf_assign convention)."""
+    cw_lit = F.array(*[F.array(*[F.lit(x) for x in cw]) for cw in sub_cb])
+    hn_lit = F.array(*[F.lit(0.5 * sum(x * x for x in cw)) for cw in sub_cb])
+    scores = F.zip_with(cw_lit, hn_lit, lambda cw, hn: _dot(sv, cw) - hn)
+    best = F.array_max(
+        F.zip_with(
+            scores,
+            F.sequence(F.lit(0), F.lit(len(sub_cb) - 1)),
+            lambda s, i: F.struct(s.alias("score"), (-i).alias("ncid")),
+        )
+    )
+    return (-best["ncid"]).cast("int")
+
+
+def pq_train(
+    embeddings: DataFrame,
+    m: int = 8,
+    k_codes: int = 16,
+    n_iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-subspace deterministic Lloyd -> (sub_id, cid, cw
+    array<double>). Seeds = the ``k_codes`` hash-smallest vectors'
+    subvectors (the ivf_train convention: data-independent, no RNG,
+    identical on any partitioning). One train per corpus epoch; the
+    per-iteration shuffle is the refit groupBy over m*N subvector rows.
+    """
+    corpus = embeddings.select(
+        F.col(id_col).alias("vec_id"), _unit(_to64(F.col(vec_col))).alias("v")
+    )
+    first = corpus.select(F.size("v").alias("d")).first()
+    if first is None:
+        raise ValueError("pq_train: empty embeddings input")
+    d = int(first["d"])
+    if d % m:
+        raise ValueError(f"pq_train: dim {d} not divisible by m={m}")
+    sub = d // m
+    subs = corpus.select(
+        "vec_id",
+        F.posexplode(
+            F.array(*[F.slice("v", i * sub + 1, sub) for i in range(m)])
+        ).alias("sub_id", "sv"),
+    )
+    seeds = (
+        corpus.select("vec_id")
+        .withColumn("h", hash60(F.col("vec_id").cast("string")))
+        .orderBy("h", "vec_id")
+        .limit(k_codes)
+        .select(
+            "vec_id",
+            (F.row_number().over(Window.orderBy("h", "vec_id")) - 1).alias("cid"),
+        )
+    )
+    cb = subs.join(F.broadcast(seeds), "vec_id").select(
+        "sub_id", "cid", F.col("sv").alias("cw")
+    ).localCheckpoint(eager=True)
+    for _ in range(n_iters):
+        cbl = _collect_codebook(cb)
+        # dynamic subspace index (the row carries sub_id): F.get into the
+        # nested literal; scoring otherwise identical to _nearest_code
+        cb_lit = F.array(
+            *[F.array(*[F.array(*[F.lit(x) for x in cw]) for cw in s]) for s in cbl]
+        )
+        hn_lit = F.array(
+            *[F.array(*[F.lit(0.5 * sum(x * x for x in cw)) for cw in s]) for s in cbl]
+        )
+        scores = F.zip_with(
+            F.get(cb_lit, F.col("sub_id")),
+            F.get(hn_lit, F.col("sub_id")),
+            lambda cw, hn: _dot(F.col("sv"), cw) - hn,
+        )
+        best = F.array_max(
+            F.zip_with(
+                scores,
+                F.sequence(F.lit(0), F.lit(len(cbl[0]) - 1)),
+                lambda s, i: F.struct(s.alias("score"), (-i).alias("ncid")),
+            )
+        )
+        assigned = subs.select(
+            "sub_id", "sv", (-best["ncid"]).cast("int").alias("cid")
+        )
+        refit = (
+            assigned.select("sub_id", "cid", F.posexplode("sv").alias("pos", "x"))
+            .groupBy("sub_id", "cid", "pos")
+            .agg(F.avg("x").alias("mu"))
+            .groupBy("sub_id", "cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "mu"))),
+                    lambda s: s["mu"],
+                ).alias("cw")
+            )
+        )
+        cb = (
+            cb.select("sub_id", "cid", F.col("cw").alias("cw_old"))
+            .join(refit, ["sub_id", "cid"], "left")
+            .select("sub_id", "cid", F.coalesce("cw", "cw_old").alias("cw"))
+            .localCheckpoint(eager=True)  # cut per-iteration lineage
+        )
+    return cb
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebooks: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """-> (vec_id, codes array<int>): all m codes computed in ONE
+    per-row expression over static slices — no explode, no shuffle
+    (plan-asserted in tests); at scale this is the column you persist
+    next to (or instead of) the raw vectors."""
+    cbl = _collect_codebook(codebooks)
+    m = len(cbl)
+    sub = len(cbl[0][0])
+    corpus = embeddings.select(
+        F.col(id_col).alias("vec_id"), _unit(_to64(F.col(vec_col))).alias("v")
+    )
+    codes = [
+        _nearest_code(F.slice("v", i * sub + 1, sub), cbl[i]) for i in range(m)
+    ]
+    return corpus.select("vec_id", F.array(*codes).alias("codes"))
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    m: int = 8,
+    k_codes: int = 16,
+    n_iters: int = 3,
+    refine: int | None = None,
+    codebooks: DataFrame | None = None,
+    codes: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via PQ/ADC, same output shape as cosine_topk.
+
+    Per query the m x k lookup table of subspace dot products is
+    computed driver-side and broadcast; a corpus vector's approximate
+    cosine is sum(lut[sub_id][codes[sub_id]]) — one zip_with+aggregate
+    over the codes column. ``refine=None`` returns ADC estimates as
+    ``sim``; ``refine=R`` re-scores each query's ADC top-R with exact
+    cosine (joining original vectors for only R*|queries| rows) and
+    returns exact sims — recall then depends only on the true neighbors
+    reaching the ADC top-R, the standard two-stage serving shape.
+    Pass pre-trained ``codebooks`` (+ pre-encoded ``codes``) in
+    production: train/encode once per corpus epoch, probe per batch."""
+    cb = codebooks if codebooks is not None else pq_train(
+        embeddings, m, k_codes, n_iters, id_col, vec_col
+    )
+    cbl = _collect_codebook(cb)
+    m = len(cbl)
+    sub = len(cbl[0][0])
+    codes_df = codes if codes is not None else pq_encode(embeddings, cb, id_col, vec_col)
+    corpus = embeddings.select(
+        F.col(id_col).alias("vec_id"), _unit(_to64(F.col(vec_col))).alias("v")
+    )
+    qrows = corpus.where(F.col("vec_id").isin(query_ids)).collect()
+    spark = embeddings.sparkSession
+    luts = []
+    for r in qrows:
+        q = [float(x) for x in r["v"]]
+        lut = [
+            [
+                sum(a * b for a, b in zip(q[i * sub : (i + 1) * sub], cw))
+                for cw in cbl[i]
+            ]
+            for i in range(m)
+        ]
+        luts.append((int(r["vec_id"]), lut))
+    qdf = spark.createDataFrame(luts, "query_id long, lut array<array<double>>")
+    pairs = codes_df.crossJoin(F.broadcast(qdf)).where(
+        F.col("vec_id") != F.col("query_id")
+    )
+    approx = F.aggregate(
+        F.zip_with(F.col("codes"), F.col("lut"), lambda c, row: F.get(row, c)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = pairs.select("query_id", "vec_id", approx.alias("adc_sim"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("adc_sim"), F.asc("vec_id"))
+    shortlist = scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= (refine if refine is not None else k)
+    )
+    if refine is None:
+        return shortlist.where(F.col("rank") <= k).select(
+            "query_id", "vec_id", F.round("adc_sim", 6).alias("sim"), "rank"
+        )
+    # exact re-rank over the ORIGINAL float vectors through cosine_sim —
+    # the same expression (and summation order) as cosine_topk, so a
+    # corpus-covering shortlist reproduces the brute-force baseline bit
+    # for bit (tests + the pq_refine_topk contract rely on this)
+    raw = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("emb")
+    )
+    qvec = raw.where(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
+    )
+    exact = (
+        shortlist.select("query_id", "vec_id")
+        .join(raw, "vec_id")
+        .join(F.broadcast(qvec), "query_id")
+        .select(
+            "query_id", "vec_id",
+            cosine_sim(F.col("emb"), F.col("q_emb")).alias("sim"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
         .where(F.col("rank") <= k)
         .select("query_id", "vec_id", F.round("sim", 6).alias("sim"), "rank")
     )

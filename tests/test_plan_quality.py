@@ -210,3 +210,21 @@ def test_rerank_stage1_uses_window_group_limit(spark):
     queries = spark.createDataFrame([(0, "body text")], "query_id long, query string")
     plan = _explain(search(spark, docs, queries, k=3, rerank_n=2))
     assert "WindowGroupLimit" in plan
+
+
+def test_pq_encode_is_shuffle_free(spark):
+    """PQ encoding must stay a per-row projection (static slices +
+    literal codebooks): no Exchange, no Window — the codes column is
+    computed in the scan stage at any corpus size."""
+    import numpy as np
+
+    from mwmbl_spark.operators.similarity import pq_encode, pq_train
+
+    rng = np.random.default_rng(3)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in rng.normal(size=8)]) for i in range(32)],
+        "vec_id long, embedding array<float>",
+    )
+    cb = pq_train(emb, m=2, k_codes=4, n_iters=1)
+    plan = _explain(pq_encode(emb, cb))
+    assert "Exchange" not in plan and "Window" not in plan

@@ -249,3 +249,57 @@ def test_ivf_topk_recall_and_determinism(embeddings):
         centroids=cents,
     )
     assert {(r["query_id"], r["vec_id"]) for r in full.collect()} == exact
+
+
+# --- product quantization (ADC + refine) -------------------------------------
+
+def test_pq_encode_shape_and_determinism(embeddings):
+    from mwmbl_spark.operators.similarity import pq_encode, pq_train
+
+    cb = pq_train(embeddings, m=4, k_codes=4, n_iters=2)
+    codes = {r["vec_id"]: list(r["codes"]) for r in pq_encode(embeddings, cb).collect()}
+    assert all(len(c) == 4 for c in codes.values())
+    assert all(0 <= x < 4 for c in codes.values() for x in c)
+    # the perturbed twin encodes identically to its source at 0.01 noise
+    assert codes[8] == codes[0]
+    # retrain from scratch: bit-identical codebook and codes
+    cb2 = pq_train(embeddings, m=4, k_codes=4, n_iters=2)
+    codes2 = {r["vec_id"]: list(r["codes"]) for r in pq_encode(embeddings, cb2).collect()}
+    assert codes == codes2
+
+
+def test_pq_refine_all_recovers_exact(embeddings):
+    """ADC shortlist covering the whole corpus + exact refine must equal
+    the brute-force baseline exactly (the probe-all analogue)."""
+    from mwmbl_spark.operators.similarity import cosine_topk, pq_topk
+
+    exact = {
+        (r["query_id"], r["rank"], r["vec_id"])
+        for r in cosine_topk(embeddings, query_ids=[0, 1, 2], k=5).collect()
+    }
+    got = {
+        (r["query_id"], r["rank"], r["vec_id"])
+        for r in pq_topk(
+            embeddings, query_ids=[0, 1, 2], k=5, m=4, k_codes=4, n_iters=2,
+            refine=100,
+        ).collect()
+    }
+    assert got == exact
+
+
+def test_pq_adc_finds_twin(embeddings):
+    """Default two-stage shape: the near-duplicate must reach the ADC
+    shortlist and win the exact re-rank."""
+    from mwmbl_spark.operators.similarity import pq_topk
+
+    out = pq_topk(
+        embeddings, query_ids=[0], k=3, m=4, k_codes=4, n_iters=2, refine=6
+    ).orderBy("rank").collect()
+    assert out and out[0]["vec_id"] == 8 and out[0]["sim"] > 0.999
+
+
+def test_pq_dim_validation(embeddings):
+    from mwmbl_spark.operators.similarity import pq_train
+
+    with pytest.raises(ValueError):
+        pq_train(embeddings, m=5)  # 16 % 5 != 0
