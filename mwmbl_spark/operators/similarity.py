@@ -368,18 +368,49 @@ def _collect_codebook(codebooks: DataFrame) -> list[list[list[float]]]:
     return [[by[s][c] for c in sorted(by[s])] for s in sorted(by)]
 
 
-def _nearest_code(sv: Column, sub_cb: list[list[float]]) -> Column:
-    """Nearest codeword id for one STATIC subspace: argmin L2 ==
-    argmax (<sv, cw> - |cw|^2/2); codeword half-norms fold into the
-    plan literal, ties break to the smallest cid (struct max on
-    (score, -cid), the _ivf_assign convention)."""
-    cw_lit = F.array(*[F.array(*[F.lit(x) for x in cw]) for cw in sub_cb])
-    hn_lit = F.array(*[F.lit(0.5 * sum(x * x for x in cw)) for cw in sub_cb])
-    scores = F.zip_with(cw_lit, hn_lit, lambda cw, hn: _dot(sv, cw) - hn)
+def _flat_codebook(cbl: list[list[list[float]]]):
+    """The whole codebook as ONE numpy-backed array literal (plus the
+    matching half-norm literal): a single Literal node each, however
+    large m*k*d grows. Building the codebook from m*k*d individual
+    F.lit/F.array nodes costs tens of seconds of Catalyst/codegen per
+    plan (measured flat in data size — pure compile cost); the flat
+    form compiles in milliseconds. Layout: codeword (s, c) occupies
+    flat[(s*k + c)*sub : +sub]."""
+    import numpy as np
+
+    k = len(cbl[0])
+    sub = len(cbl[0][0])
+    flat = np.array([x for s in cbl for cw in s for x in cw], dtype=np.float64)
+    hn = np.array(
+        [0.5 * sum(x * x for x in cw) for s in cbl for cw in s], dtype=np.float64
+    )
+    return F.lit(flat), F.lit(hn), k, sub
+
+
+def _nearest_code(
+    sv: Column, sub_idx: int, flat_lit: Column, hn_lit: Column,
+    k: int, sub: int,
+) -> Column:
+    """Nearest codeword id within STATIC subspace ``sub_idx``: argmin
+    L2 == argmax (<sv, cw> - |cw|^2/2); ties break to the smallest cid
+    (struct max on (score, -cid), the _ivf_assign convention).
+    Codewords come from the flat literal via constant-foldable slices —
+    the expression tree stays tiny at any codebook size, per-row work
+    is k dots, and assignment needs no join, shuffle, or window. Keep
+    the index static: a per-row (Column) index defeats constant folding
+    and was measured ~7x slower."""
+    idx = F.lit(sub_idx)
+    scores = F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda j: _dot(
+            sv, F.slice(flat_lit, ((idx * k + j) * sub + 1).cast("int"), sub)
+        )
+        - F.get(hn_lit, ((idx * k) + j).cast("int")),
+    )
     best = F.array_max(
         F.zip_with(
             scores,
-            F.sequence(F.lit(0), F.lit(len(sub_cb) - 1)),
+            F.sequence(F.lit(0), F.lit(k - 1)),
             lambda s, i: F.struct(s.alias("score"), (-i).alias("ncid")),
         )
     )
@@ -430,30 +461,27 @@ def pq_train(
         "sub_id", "cid", F.col("sv").alias("cw")
     ).localCheckpoint(eager=True)
     for _ in range(n_iters):
-        cbl = _collect_codebook(cb)
-        # dynamic subspace index (the row carries sub_id): F.get into the
-        # nested literal; scoring otherwise identical to _nearest_code
-        cb_lit = F.array(
-            *[F.array(*[F.array(*[F.lit(x) for x in cw]) for cw in s]) for s in cbl]
+        flat_lit, hn_lit, k_, sub_ = _flat_codebook(_collect_codebook(cb))
+        # assignment with STATIC subspace indices (the encode shape):
+        # constant-foldable slice offsets into the flat literal are
+        # ~7x faster per row than the dynamic sub_id form (measured —
+        # dynamic indexing defeats constant folding and re-slices the
+        # codebook literal per comparison); codes and subvectors then
+        # explode together for the refit
+        codes_arr = F.array(
+            *[
+                _nearest_code(
+                    F.slice("v", i * sub + 1, sub), i, flat_lit, hn_lit, k_, sub_
+                )
+                for i in range(m)
+            ]
         )
-        hn_lit = F.array(
-            *[F.array(*[F.lit(0.5 * sum(x * x for x in cw)) for cw in s]) for s in cbl]
-        )
-        scores = F.zip_with(
-            F.get(cb_lit, F.col("sub_id")),
-            F.get(hn_lit, F.col("sub_id")),
-            lambda cw, hn: _dot(F.col("sv"), cw) - hn,
-        )
-        best = F.array_max(
-            F.zip_with(
-                scores,
-                F.sequence(F.lit(0), F.lit(len(cbl[0]) - 1)),
-                lambda s, i: F.struct(s.alias("score"), (-i).alias("ncid")),
-            )
-        )
-        assigned = subs.select(
-            "sub_id", "sv", (-best["ncid"]).cast("int").alias("cid")
-        )
+        slices_arr = F.array(*[F.slice("v", i * sub + 1, sub) for i in range(m)])
+        assigned = corpus.select(
+            F.posexplode(
+                F.arrays_zip(codes_arr.alias("cid"), slices_arr.alias("sv"))
+            ).alias("sub_id", "z")
+        ).select("sub_id", F.col("z.cid").alias("cid"), F.col("z.sv").alias("sv"))
         refit = (
             assigned.select("sub_id", "cid", F.posexplode("sv").alias("pos", "x"))
             .groupBy("sub_id", "cid", "pos")
@@ -487,12 +515,13 @@ def pq_encode(
     next to (or instead of) the raw vectors."""
     cbl = _collect_codebook(codebooks)
     m = len(cbl)
-    sub = len(cbl[0][0])
+    flat_lit, hn_lit, k_, sub = _flat_codebook(cbl)
     corpus = embeddings.select(
         F.col(id_col).alias("vec_id"), _unit(_to64(F.col(vec_col))).alias("v")
     )
     codes = [
-        _nearest_code(F.slice("v", i * sub + 1, sub), cbl[i]) for i in range(m)
+        _nearest_code(F.slice("v", i * sub + 1, sub), i, flat_lit, hn_lit, k_, sub)
+        for i in range(m)
     ]
     return corpus.select("vec_id", F.array(*codes).alias("codes"))
 
