@@ -654,6 +654,23 @@ def q_pq_refine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivfpq_refine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ (IVFADC, residual-coded) ANN with every coarse list probed
+    and a corpus-covering refine shortlist — the probe-all analogue: the
+    full machinery (coarse Lloyd on the unit sphere, residual codebooks,
+    broadcast per-probe offsets + residual-LUT ADC, exact re-rank in
+    cosine_topk's expression order) must reproduce the brute-force
+    baseline bit for bit. Binding probe/refine recall is pytest-gated
+    (tests/test_training_ops.py)."""
+    from mwmbl_spark.operators.similarity import ivfpq_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ivfpq_topk(
+        emb, ANN_QUERY_IDS, k=10, n_centroids=8, n_probe=8, m=8,
+        k_codes=16, n_iters=2, refine=10**6,
+    )
+
+
 def _docs_with_toks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, text, toks) with the tokenizer materialized behind the
     Arrow-UDF barrier (quality expressions reference it many times)."""
@@ -1508,6 +1525,9 @@ _LSH_PROJ = " + ".join(
 # expression order), so it shares the baseline's oracle verbatim
 ORACLE["pq_refine_topk"] = ORACLE["embedding_topk"]
 
+# IVF-PQ with probe-all + corpus-covering refine reduces the same way
+ORACLE["ivfpq_refine_topk"] = ORACLE["embedding_topk"]
+
 ORACLE["lsh_topk"] = f"""
 WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
@@ -2296,6 +2316,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": _shipped(q_embedding_topk),
         "lsh_topk": _shipped(q_lsh_topk),
         "pq_refine_topk": _shipped(q_pq_refine_topk),
+        "ivfpq_refine_topk": _shipped(q_ivfpq_refine_topk),
         "lang_id": _shipped(q_lang_id),
         "text_features": _shipped(q_text_features),
         "token_stats": _shipped(q_token_stats),

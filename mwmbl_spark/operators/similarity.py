@@ -207,43 +207,32 @@ def ivf_train(
     """Deterministic distributed Lloyd iterations -> (cid, centroid
     array<double>). Seeds = the ``n_centroids`` vectors with the
     smallest md5-derived id hash (data-independent, reproducible —
-    no RNG, same centroids on any cluster / partitioning)."""
-    seeds = (
-        embeddings.select(
-            F.col(id_col).alias("vec_id"), _to64(F.col(vec_col)).alias("c")
-        )
-        .withColumn("h", hash60(F.col("vec_id").cast("string")))
-        .orderBy("h", "vec_id")
-        .limit(n_centroids)
-    )
-    cents = seeds.select(
-        (F.row_number().over(Window.orderBy("h", "vec_id")) - 1).alias("cid"), "c"
-    )
+    no RNG, same centroids on any cluster / partitioning). Each
+    iteration is ONE Arrow pass emitting per-partition (sum, count)
+    partials + an O(C*partitions) driver reduce — no shuffle (see
+    _arrow_lloyd_partials; assignment argmaxes cosine, i.e. dot
+    against L2-normalized centroids, the _ivf_assign convention;
+    refit means stay unnormalized)."""
+    import numpy as np
+
     corpus = embeddings.select(
         F.col(id_col).alias("vec_id"), _to64(F.col(vec_col)).alias("v")
     )
+    seed_rows = (
+        corpus.withColumn("h", hash60(F.col("vec_id").cast("string")))
+        .orderBy("h", "vec_id")
+        .limit(n_centroids)
+        .collect()
+    )
+    cbl = [[[float(x) for x in r["v"]] for r in seed_rows]]  # m=1, sub=d
+    vcol = corpus.select("v").localCheckpoint(eager=True)
     for _ in range(n_iters):
-        assigned = _ivf_assign(corpus, cents)
-        refit = (
-            assigned.select("cid", F.posexplode("v").alias("pos", "x"))
-            .groupBy("cid", "pos")
-            .agg(F.avg("x").alias("m"))
-            .groupBy("cid")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
-                    lambda s: s["m"],
-                ).alias("c")
-            )
-        )
-        # empty clusters keep their previous centroid
-        cents = (
-            cents.select("cid", F.col("c").alias("c_old"))
-            .join(refit, "cid", "left")
-            .select("cid", F.coalesce("c", "c_old").alias("c"))
-            .localCheckpoint(eager=True)  # cut the per-iteration lineage
-        )
-    return cents
+        rows = _arrow_lloyd_partials(vcol, np.array(cbl), "cos").collect()
+        cbl = _reduce_partials(rows, cbl)
+    vcol.unpersist(blocking=True)
+    return embeddings.sparkSession.createDataFrame(
+        [(c, cw) for c, cw in enumerate(cbl[0])], "cid int, c array<double>"
+    )
 
 
 def _ivf_assign(corpus: DataFrame, cents: DataFrame) -> DataFrame:
@@ -360,6 +349,91 @@ def _unit(vec: Column) -> Column:
     return F.when(n > 0, F.transform(vec, lambda x: x / n)).otherwise(vec)
 
 
+def _arrow_lloyd_partials(corpus: DataFrame, cb_np, metric: str) -> DataFrame:
+    """One Lloyd iteration's assignment + per-partition partial sums in a
+    single Arrow pass — the map-side combine shape MLlib's KMeans uses
+    (treeAggregate of per-partition (sum, count) pairs), here as
+    mapInPandas so the inner loop is numpy matmuls instead of N*d
+    exploded rows through two shuffled groupBys (the first-cut refit:
+    ~15 s/iteration at 20k x 64-d; this path is sub-second).
+
+    ``corpus`` must have a single ``v`` array<double> column; ``cb_np``
+    is the (m, k, sub) float64 codebook (m=1, sub=d for IVF).
+    ``metric``: 'l2' assigns by argmax(<sv, cw> - |cw|^2/2) — nearest-
+    in-L2, the PQ convention; 'cos' assigns by argmax(<v, cw/|cw|>) —
+    the _ivf_assign convention (row norm drops out of the argmax). Ties
+    break to the smallest cid (np.argmax first-max == the struct-max
+    (score, -cid) convention of the expression paths).
+
+    Output: (pid, sub_id, cid, s array<double>, n long) partial sums —
+    at most m*k rows per partition, so the driver-side reduce in
+    ``_reduce_partials`` is O(m*k*partitions), never O(N).
+    """
+    import numpy as np
+
+    m, k, sub = cb_np.shape
+    if metric == "cos":
+        norms = np.sqrt(np.einsum("mks,mks->mk", cb_np, cb_np))
+        cb_assign = cb_np / np.where(norms > 0, norms, 1.0)[:, :, None]
+        hn = np.zeros((m, k))
+    else:
+        cb_assign = cb_np
+        hn = 0.5 * np.einsum("mks,mks->mk", cb_np, cb_np)
+
+    def gen(it):
+        import pandas as pd
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        s_acc = np.zeros((m, k, sub))
+        n_acc = np.zeros((m, k), dtype=np.int64)
+        for pdf in it:
+            if not len(pdf):
+                continue
+            vr = np.stack(pdf["v"].to_numpy()).reshape(len(pdf), m, sub)
+            scores = np.einsum("nms,mks->nmk", vr, cb_assign) - hn[None]
+            cids = scores.argmax(axis=2)  # (n, m); first max = smallest cid
+            for i in range(m):
+                onehot = cids[:, i, None] == np.arange(k)[None, :]
+                s_acc[i] += onehot.T.astype(np.float64) @ vr[:, i, :]
+                n_acc[i] += onehot.sum(axis=0)
+        rows = [
+            (pid, i, c, s_acc[i, c].tolist(), int(n_acc[i, c]))
+            for i in range(m)
+            for c in range(k)
+            if n_acc[i, c]
+        ]
+        yield pd.DataFrame(rows, columns=["pid", "sub_id", "cid", "s", "n"])
+
+    return corpus.mapInPandas(
+        gen, schema="pid int, sub_id int, cid int, s array<double>, n long"
+    )
+
+
+def _reduce_partials(rows, cbl: list[list[list[float]]]) -> list[list[list[float]]]:
+    """Fold the tiny partial-sum frame into new codewords driver-side.
+    Partials are summed in sorted (sub_id, cid, pid) order so the float
+    accumulation order — hence the trained codebook — is deterministic
+    for a given input partitioning. Empty clusters keep their previous
+    codeword (the expression path's coalesce(cw, cw_old) convention)."""
+    acc: dict[tuple[int, int], tuple[list[float], int]] = {}
+    for r in sorted(rows, key=lambda r: (r["sub_id"], r["cid"], r["pid"])):
+        key = (int(r["sub_id"]), int(r["cid"]))
+        if key in acc:
+            s, n = acc[key]
+            acc[key] = ([a + b for a, b in zip(s, r["s"])], n + int(r["n"]))
+        else:
+            acc[key] = ([float(x) for x in r["s"]], int(r["n"]))
+    return [
+        [
+            [x / acc[(i, c)][1] for x in acc[(i, c)][0]] if (i, c) in acc else cw
+            for c, cw in enumerate(subspace)
+        ]
+        for i, subspace in enumerate(cbl)
+    ]
+
+
 def _collect_codebook(codebooks: DataFrame) -> list[list[list[float]]]:
     """-> cbl[sub_id][cid] = codeword (dense, validated)."""
     by: dict[int, dict[int, list[float]]] = {}
@@ -424,15 +498,23 @@ def pq_train(
     n_iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    normalize: bool = True,
 ) -> DataFrame:
     """Per-subspace deterministic Lloyd -> (sub_id, cid, cw
     array<double>). Seeds = the ``k_codes`` hash-smallest vectors'
     subvectors (the ivf_train convention: data-independent, no RNG,
-    identical on any partitioning). One train per corpus epoch; the
-    per-iteration shuffle is the refit groupBy over m*N subvector rows.
-    """
+    identical on any partitioning). One train per corpus epoch; each
+    iteration is ONE Arrow pass over the corpus emitting per-partition
+    (sum, count) partials plus an O(m*k*partitions) driver reduce — no
+    per-iteration shuffle at all (see _arrow_lloyd_partials).
+    ``normalize=False`` trains on the raw vectors — the IVF-PQ residual
+    path, where the input is already a residual in unit-sphere space."""
+    import numpy as np
+
+    vexpr = _to64(F.col(vec_col))
     corpus = embeddings.select(
-        F.col(id_col).alias("vec_id"), _unit(_to64(F.col(vec_col))).alias("v")
+        F.col(id_col).alias("vec_id"),
+        (_unit(vexpr) if normalize else vexpr).alias("v"),
     )
     first = corpus.select(F.size("v").alias("d")).first()
     if first is None:
@@ -441,66 +523,27 @@ def pq_train(
     if d % m:
         raise ValueError(f"pq_train: dim {d} not divisible by m={m}")
     sub = d // m
-    subs = corpus.select(
-        "vec_id",
-        F.posexplode(
-            F.array(*[F.slice("v", i * sub + 1, sub) for i in range(m)])
-        ).alias("sub_id", "sv"),
-    )
-    seeds = (
-        corpus.select("vec_id")
-        .withColumn("h", hash60(F.col("vec_id").cast("string")))
+    seed_rows = (
+        corpus.withColumn("h", hash60(F.col("vec_id").cast("string")))
         .orderBy("h", "vec_id")
         .limit(k_codes)
-        .select(
-            "vec_id",
-            (F.row_number().over(Window.orderBy("h", "vec_id")) - 1).alias("cid"),
-        )
+        .collect()
     )
-    cb = subs.join(F.broadcast(seeds), "vec_id").select(
-        "sub_id", "cid", F.col("sv").alias("cw")
-    ).localCheckpoint(eager=True)
+    cbl = [
+        [[float(x) for x in r["v"][i * sub : (i + 1) * sub]] for r in seed_rows]
+        for i in range(m)
+    ]
+    # materialize the normalized corpus once: every iteration re-scans
+    # it, and at web scale train runs on a bounded sample anyway
+    vcol = corpus.select("v").localCheckpoint(eager=True)
     for _ in range(n_iters):
-        flat_lit, hn_lit, k_, sub_ = _flat_codebook(_collect_codebook(cb))
-        # assignment with STATIC subspace indices (the encode shape):
-        # constant-foldable slice offsets into the flat literal are
-        # ~7x faster per row than the dynamic sub_id form (measured —
-        # dynamic indexing defeats constant folding and re-slices the
-        # codebook literal per comparison); codes and subvectors then
-        # explode together for the refit
-        codes_arr = F.array(
-            *[
-                _nearest_code(
-                    F.slice("v", i * sub + 1, sub), i, flat_lit, hn_lit, k_, sub_
-                )
-                for i in range(m)
-            ]
-        )
-        slices_arr = F.array(*[F.slice("v", i * sub + 1, sub) for i in range(m)])
-        assigned = corpus.select(
-            F.posexplode(
-                F.arrays_zip(codes_arr.alias("cid"), slices_arr.alias("sv"))
-            ).alias("sub_id", "z")
-        ).select("sub_id", F.col("z.cid").alias("cid"), F.col("z.sv").alias("sv"))
-        refit = (
-            assigned.select("sub_id", "cid", F.posexplode("sv").alias("pos", "x"))
-            .groupBy("sub_id", "cid", "pos")
-            .agg(F.avg("x").alias("mu"))
-            .groupBy("sub_id", "cid")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "mu"))),
-                    lambda s: s["mu"],
-                ).alias("cw")
-            )
-        )
-        cb = (
-            cb.select("sub_id", "cid", F.col("cw").alias("cw_old"))
-            .join(refit, ["sub_id", "cid"], "left")
-            .select("sub_id", "cid", F.coalesce("cw", "cw_old").alias("cw"))
-            .localCheckpoint(eager=True)  # cut per-iteration lineage
-        )
-    return cb
+        rows = _arrow_lloyd_partials(vcol, np.array(cbl), "l2").collect()
+        cbl = _reduce_partials(rows, cbl)
+    vcol.unpersist(blocking=True)
+    return embeddings.sparkSession.createDataFrame(
+        [(i, c, cw) for i, s in enumerate(cbl) for c, cw in enumerate(s)],
+        "sub_id int, cid int, cw array<double>",
+    )
 
 
 def pq_encode(
@@ -508,6 +551,7 @@ def pq_encode(
     codebooks: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    normalize: bool = True,
 ) -> DataFrame:
     """-> (vec_id, codes array<int>): all m codes computed in ONE
     per-row expression over static slices — no explode, no shuffle
@@ -516,8 +560,10 @@ def pq_encode(
     cbl = _collect_codebook(codebooks)
     m = len(cbl)
     flat_lit, hn_lit, k_, sub = _flat_codebook(cbl)
+    vexpr = _to64(F.col(vec_col))
     corpus = embeddings.select(
-        F.col(id_col).alias("vec_id"), _unit(_to64(F.col(vec_col))).alias("v")
+        F.col(id_col).alias("vec_id"),
+        (_unit(vexpr) if normalize else vexpr).alias("v"),
     )
     codes = [
         _nearest_code(F.slice("v", i * sub + 1, sub), i, flat_lit, hn_lit, k_, sub)
@@ -592,10 +638,22 @@ def pq_topk(
         return shortlist.where(F.col("rank") <= k).select(
             "query_id", "vec_id", F.round("adc_sim", 6).alias("sim"), "rank"
         )
-    # exact re-rank over the ORIGINAL float vectors through cosine_sim —
-    # the same expression (and summation order) as cosine_topk, so a
-    # corpus-covering shortlist reproduces the brute-force baseline bit
-    # for bit (tests + the pq_refine_topk contract rely on this)
+    return _exact_rerank(shortlist, embeddings, query_ids, k, id_col, vec_col)
+
+
+def _exact_rerank(
+    shortlist: DataFrame,
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Exact re-rank of a (query_id, vec_id) shortlist over the ORIGINAL
+    float vectors through cosine_sim — the same expression (and
+    summation order) as cosine_topk, so a corpus-covering shortlist
+    reproduces the brute-force baseline bit for bit (tests + the
+    pq_refine_topk / ivfpq_refine_topk contracts rely on this)."""
     raw = embeddings.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("emb")
     )
@@ -617,3 +675,168 @@ def pq_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "vec_id", F.round("sim", 6).alias("sim"), "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ (IVFADC) — coarse quantizer + product quantization of RESIDUALS
+# (Jégou/Douze/Schmid, TPAMI 2011, §III; public method). The coarse
+# centroid absorbs the vector's position on the sphere, the PQ codebook
+# only has to model the (much lower-energy) residual v - c(v), so the
+# same m bytes/vector buy materially better ADC fidelity than plain PQ
+# on unclustered data. Query-time: probe the n_probe nearest coarse
+# lists; within a list, approx <q, v> = <q, c> (per-probe constant,
+# computed driver-side) + sum_i lut_q[i][code_i] (shared residual LUT).
+# The corpus-side plan is identical in shape to pq_topk's: a broadcast
+# probe frame joined on the tiny cid key, one scan over the codes
+# column, no shuffle before the final per-query top-k window.
+# ---------------------------------------------------------------------------
+
+
+def _residuals(unit_corpus: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, cid, r): residual of each unit vector against its
+    assigned coarse centroid (assignment = cosine argmax, the
+    _ivf_assign convention; the residual reference point is the RAW
+    mean centroid, matching the query-side offset <q, c>)."""
+    assigned = _ivf_assign(unit_corpus, cents)
+    return assigned.join(F.broadcast(cents), "cid").select(
+        "vec_id", "cid", F.zip_with("v", "c", lambda a, b: a - b).alias("r")
+    )
+
+
+def _unit_corpus(embeddings: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    return embeddings.select(
+        F.col(id_col).alias("vec_id"), _unit(_to64(F.col(vec_col))).alias("v")
+    )
+
+
+def ivfpq_train(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    m: int = 8,
+    k_codes: int = 16,
+    n_iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """-> (centroids, residual codebooks). The coarse quantizer trains
+    on the L2-normalized corpus (so centroids live where the cosine
+    geometry is); the PQ codebooks train on residuals with
+    normalize=False (a residual is a displacement, not a direction —
+    re-normalizing it would destroy the decomposition)."""
+    unit = _unit_corpus(embeddings, id_col, vec_col)
+    cents = ivf_train(unit, n_centroids, n_iters, id_col="vec_id", vec_col="v")
+    resid = _residuals(unit, cents)
+    cb = pq_train(
+        resid, m, k_codes, n_iters, id_col="vec_id", vec_col="r", normalize=False
+    )
+    return cents, cb
+
+
+def ivfpq_encode(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """-> (vec_id, cid, codes array<int>): coarse list id + m residual
+    codes, all per-row expressions over a broadcast centroid join —
+    no shuffle (the pq_encode static-slice shape)."""
+    cbl = _collect_codebook(codebooks)
+    m = len(cbl)
+    flat_lit, hn_lit, k_, sub = _flat_codebook(cbl)
+    resid = _residuals(_unit_corpus(embeddings, id_col, vec_col), centroids)
+    codes = [
+        _nearest_code(F.slice("r", i * sub + 1, sub), i, flat_lit, hn_lit, k_, sub)
+        for i in range(m)
+    ]
+    return resid.select("vec_id", "cid", F.array(*codes).alias("codes"))
+
+
+def ivfpq_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    k_codes: int = 16,
+    n_iters: int = 3,
+    refine: int | None = None,
+    centroids: DataFrame | None = None,
+    codebooks: DataFrame | None = None,
+    codes: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via IVFADC, same output shape as cosine_topk.
+
+    Driver-side per query (all tiny): the m x k residual LUT, and the
+    per-probe constant <q, c> for the n_probe coarse centroids nearest
+    by cosine (desc, cid asc — the ivf_topk probe convention). The
+    broadcast probe frame joins the codes column on cid, so only probed
+    lists are scored; ``refine=R`` re-ranks the ADC top-R exactly via
+    _exact_rerank (probe-all + corpus-covering R reproduces the
+    brute-force baseline bit for bit — the ivfpq_refine_topk contract).
+    Pass pre-trained ``centroids``/``codebooks`` (+ ``codes``) in
+    production: train/encode per corpus epoch, probe per batch."""
+    import math
+
+    if centroids is None or codebooks is None:
+        centroids, codebooks = ivfpq_train(
+            embeddings, n_centroids, m, k_codes, n_iters, id_col, vec_col
+        )
+    codes_df = (
+        codes
+        if codes is not None
+        else ivfpq_encode(embeddings, centroids, codebooks, id_col, vec_col)
+    )
+    cbl = _collect_codebook(codebooks)
+    m = len(cbl)
+    sub = len(cbl[0][0])
+    cvecs = [
+        (int(r["cid"]), [float(x) for x in r["c"]])
+        for r in sorted(centroids.collect(), key=lambda r: int(r["cid"]))
+    ]
+    unit = _unit_corpus(embeddings, id_col, vec_col)
+    qrows = unit.where(F.col("vec_id").isin(query_ids)).collect()
+    probe_rows = []
+    for r in qrows:
+        q = [float(x) for x in r["v"]]
+        lut = [
+            [
+                sum(a * b for a, b in zip(q[i * sub : (i + 1) * sub], cw))
+                for cw in cbl[i]
+            ]
+            for i in range(m)
+        ]
+        sims = []
+        for cid, c in cvecs:
+            dot = sum(a * b for a, b in zip(q, c))
+            n = math.sqrt(sum(x * x for x in c))
+            sims.append((dot / n if n > 0 else 0.0, cid, dot))
+        sims.sort(key=lambda t: (-t[0], t[1]))
+        for _, cid, dot in sims[:n_probe]:
+            probe_rows.append((int(r["vec_id"]), cid, dot, lut))
+    qdf = embeddings.sparkSession.createDataFrame(
+        probe_rows,
+        "query_id long, cid int, offset double, lut array<array<double>>",
+    )
+    pairs = codes_df.join(F.broadcast(qdf), "cid").where(
+        F.col("vec_id") != F.col("query_id")
+    )
+    approx = F.col("offset") + F.aggregate(
+        F.zip_with(F.col("codes"), F.col("lut"), lambda c, row: F.get(row, c)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = pairs.select("query_id", "vec_id", approx.alias("adc_sim"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("adc_sim"), F.asc("vec_id"))
+    shortlist = scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= (refine if refine is not None else k)
+    )
+    if refine is None:
+        return shortlist.where(F.col("rank") <= k).select(
+            "query_id", "vec_id", F.round("adc_sim", 6).alias("sim"), "rank"
+        )
+    return _exact_rerank(shortlist, embeddings, query_ids, k, id_col, vec_col)
