@@ -671,6 +671,17 @@ def q_ivfpq_refine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (sign-bucket LSH pruning +
+    exact cosine >= 0.3): the whole path — md5-derived hyperplane
+    buckets, within-bucket self-join, threshold filter — is value-gated
+    against a DuckDB oracle stating the identical computation."""
+    from mwmbl_spark.operators.similarity import embedding_near_duplicates
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_near_duplicates(emb, threshold=0.3)
+
+
 def _docs_with_toks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, text, toks) with the tokenizer materialized behind the
     Arrow-UDF barrier (quality expressions reference it many times)."""
@@ -1552,6 +1563,21 @@ r AS (
 )
 SELECT query_id, vec_id, round(sim, 6) AS sim, rank FROM r WHERE rank <= 10"""
 
+ORACLE["dedup_embedding"] = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+b AS (
+  SELECT vec_id, v, ({_LSH_PROJ})::INT AS bucket FROM e
+),
+p AS (
+  SELECT a.vec_id AS doc_a, c.vec_id AS doc_b,
+         list_dot_product(a.v, c.v)
+           / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v))) AS sim
+  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+)
+SELECT doc_a, doc_b, round(sim, 6) AS sim FROM p WHERE sim >= 0.3"""
+
 _LANG_COUNTS = ",\n       ".join(
     "len(list_filter(toks, x -> x IN ({}))) AS c_{}".format(
         ", ".join(f"'{w}'" for w in words), lang
@@ -2317,6 +2343,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_topk": _shipped(q_lsh_topk),
         "pq_refine_topk": _shipped(q_pq_refine_topk),
         "ivfpq_refine_topk": _shipped(q_ivfpq_refine_topk),
+        "dedup_embedding": _shipped(q_dedup_embedding),
         "lang_id": _shipped(q_lang_id),
         "text_features": _shipped(q_text_features),
         "token_stats": _shipped(q_token_stats),

@@ -840,3 +840,50 @@ def ivfpq_topk(
             "query_id", "vec_id", F.round("adc_sim", 6).alias("sim"), "rank"
         )
     return _exact_rerank(shortlist, embeddings, query_ids, k, id_col, vec_col)
+
+
+def embedding_near_duplicates(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bits: int = N_HYPERPLANE_BITS,
+    bucket_cap: int | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (doc_a, doc_b, sim) for
+    same-sign-bucket vector pairs with cosine >= threshold — the
+    embedding-space sibling of minhash_near_duplicates, with the same
+    output shape so pairs pipe straight into resolve_duplicate_groups /
+    apply_dedup.
+
+    The deterministic sign-bucket (md5-derived hyperplanes, shared with
+    lsh_bucket_topk) prunes the quadratic pair space to within-bucket
+    self-joins: one shuffle of (id, vector, bucket) on the bucket key,
+    ~N^2/2^n_bits candidate pairs instead of N^2. Near-duplicates agree
+    on high-|projection| planes with probability -> 1, so recall loss
+    concentrates on borderline pairs (split-plane near-ties) — raise
+    n_bits with corpus size (2^n_bits ~ N/target_bucket) and/or run
+    multiple plane families unioned if the threshold is low.
+    ``bucket_cap`` reuses cap_bands: degenerate buckets (e.g. the
+    all-zeros embedding) are dropped WITH a logged count, never
+    silently."""
+    bucketed = embeddings.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(vec_col).alias("emb"),
+        _sign_bucket(F.col(vec_col), n_bits).alias("band_key"),
+    )
+    if bucket_cap is not None:
+        from mwmbl_spark.operators.dedup import cap_bands
+
+        bucketed = cap_bands(bucketed, bucket_cap)
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    pairs = a.join(b, "band_key").where(F.col("a.doc_id") < F.col("b.doc_id"))
+    sim = cosine_sim(F.col("a.emb"), F.col("b.emb"))
+    return (
+        pairs.where(sim >= F.lit(threshold))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(sim, 6).alias("sim"),
+        )
+    )

@@ -413,3 +413,31 @@ def test_ivfpq_residual_coding_cuts_adc_error_vs_plain_pq(spark):
     )
     assert ivfpq_mae < pq_mae * 0.8, (ivfpq_mae, pq_mae)
     assert ivfpq_mae < 0.07
+
+
+def test_embedding_near_duplicates_finds_twins(embeddings):
+    """The four perturbed twins (8..11 of 0..3, 0.01 noise) share their
+    source's sign bucket with overwhelming probability and sit at
+    cosine ~1; every other fixture pair is far below 0.99."""
+    from mwmbl_spark.operators.similarity import embedding_near_duplicates
+
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in embedding_near_duplicates(embeddings, threshold=0.99).collect()
+    }
+    assert pairs == {(0, 8), (1, 9), (2, 10), (3, 11)}
+
+
+def test_embedding_near_duplicates_pipes_into_group_resolution(embeddings):
+    """The pair shape matches minhash_near_duplicates', so embedding
+    pairs feed resolve_duplicate_groups unchanged: each twin collapses
+    to a group keeping the smallest id."""
+    from mwmbl_spark.operators.dedup import resolve_duplicate_groups
+    from mwmbl_spark.operators.similarity import embedding_near_duplicates
+
+    pairs = embedding_near_duplicates(embeddings, threshold=0.99)
+    groups = {
+        (r["doc_id"], r["keep_id"])
+        for r in resolve_duplicate_groups(pairs).collect()
+    }
+    assert {(8, 0), (9, 1), (10, 2), (11, 3)} <= groups
