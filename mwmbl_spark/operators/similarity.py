@@ -609,17 +609,20 @@ def pq_topk(
     )
     qrows = corpus.where(F.col("vec_id").isin(query_ids)).collect()
     spark = embeddings.sparkSession
+    # LUTs for the whole query batch in one einsum: (Q, m, sub) x
+    # (m, k, sub) -> (Q, m, k). Driver cost is a dense matmul, not a
+    # Python loop — flat to 10k+ query batches.
+    import numpy as np
+
+    cb_np = np.array(cbl, dtype=np.float64)
     luts = []
-    for r in qrows:
-        q = [float(x) for x in r["v"]]
-        lut = [
-            [
-                sum(a * b for a, b in zip(q[i * sub : (i + 1) * sub], cw))
-                for cw in cbl[i]
-            ]
-            for i in range(m)
+    if qrows:
+        qm = np.stack([np.asarray(r["v"], dtype=np.float64) for r in qrows])
+        lut_all = np.einsum("qms,mks->qmk", qm.reshape(len(qrows), m, sub), cb_np)
+        luts = [
+            (int(r["vec_id"]), lut_all[qi].tolist())
+            for qi, r in enumerate(qrows)
         ]
-        luts.append((int(r["vec_id"]), lut))
     qdf = spark.createDataFrame(luts, "query_id long, lut array<array<double>>")
     pairs = codes_df.crossJoin(F.broadcast(qdf)).where(
         F.col("vec_id") != F.col("query_id")
@@ -780,7 +783,7 @@ def ivfpq_topk(
     brute-force baseline bit for bit — the ivfpq_refine_topk contract).
     Pass pre-trained ``centroids``/``codebooks`` (+ ``codes``) in
     production: train/encode per corpus epoch, probe per batch."""
-    import math
+    import numpy as np
 
     if centroids is None or codebooks is None:
         centroids, codebooks = ivfpq_train(
@@ -800,24 +803,28 @@ def ivfpq_topk(
     ]
     unit = _unit_corpus(embeddings, id_col, vec_col)
     qrows = unit.where(F.col("vec_id").isin(query_ids)).collect()
+    # whole-batch driver math as dense matmuls (flat to 10k+ queries):
+    # residual LUTs (Q, m, k) by einsum, centroid dots (Q, C) by GEMM;
+    # probe order = cosine desc, cid asc (centroids sorted by cid above,
+    # so stable argsort on -cosine lands ties on the smaller cid)
     probe_rows = []
-    for r in qrows:
-        q = [float(x) for x in r["v"]]
-        lut = [
-            [
-                sum(a * b for a, b in zip(q[i * sub : (i + 1) * sub], cw))
-                for cw in cbl[i]
-            ]
-            for i in range(m)
-        ]
-        sims = []
-        for cid, c in cvecs:
-            dot = sum(a * b for a, b in zip(q, c))
-            n = math.sqrt(sum(x * x for x in c))
-            sims.append((dot / n if n > 0 else 0.0, cid, dot))
-        sims.sort(key=lambda t: (-t[0], t[1]))
-        for _, cid, dot in sims[:n_probe]:
-            probe_rows.append((int(r["vec_id"]), cid, dot, lut))
+    if qrows:
+        cb_np = np.array(cbl, dtype=np.float64)
+        cmat = np.array([c for _, c in cvecs], dtype=np.float64)
+        cnorm = np.linalg.norm(cmat, axis=1)
+        cnorm_safe = np.where(cnorm > 0, cnorm, 1.0)
+        qm = np.stack([np.asarray(r["v"], dtype=np.float64) for r in qrows])
+        lut_all = np.einsum("qms,mks->qmk", qm.reshape(len(qrows), m, sub), cb_np)
+        dots = qm @ cmat.T  # (Q, C) offsets <q, c_raw>
+        csim = np.where(cnorm > 0, dots / cnorm_safe, 0.0)
+        order = np.argsort(-csim, axis=1, kind="stable")
+        for qi, r in enumerate(qrows):
+            lut = lut_all[qi].tolist()
+            for ci in order[qi, :n_probe]:
+                cid = cvecs[int(ci)][0]
+                probe_rows.append(
+                    (int(r["vec_id"]), cid, float(dots[qi, ci]), lut)
+                )
     qdf = embeddings.sparkSession.createDataFrame(
         probe_rows,
         "query_id long, cid int, offset double, lut array<array<double>>",
