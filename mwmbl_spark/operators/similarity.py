@@ -728,10 +728,15 @@ def ivfpq_train(
     re-normalizing it would destroy the decomposition)."""
     unit = _unit_corpus(embeddings, id_col, vec_col)
     cents = ivf_train(unit, n_centroids, n_iters, id_col="vec_id", vec_col="v")
-    resid = _residuals(unit, cents)
+    # materialize residuals ONCE: pq_train fires several actions (dim
+    # check, seed collect, corpus checkpoint) and each would otherwise
+    # re-evaluate the C-way argmax + centroid join lineage over the
+    # whole corpus
+    resid = _residuals(unit, cents).localCheckpoint(eager=True)
     cb = pq_train(
         resid, m, k_codes, n_iters, id_col="vec_id", vec_col="r", normalize=False
     )
+    resid.unpersist(blocking=True)
     return cents, cb
 
 
