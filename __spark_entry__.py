@@ -739,6 +739,34 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repeated-n-gram quality signals (explode + two
+    partial-agg'd hash aggregations; operators/repetition.py)."""
+    from mwmbl_spark.operators.repetition import repetition_features
+
+    return repetition_features(_docs_with_toks(spark, sf_dir))
+
+
+def q_conversation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation rollup over the transcript grain."""
+    from mwmbl_spark.operators.conversations import conversation_stats
+
+    return conversation_stats(_docs_as_transcripts(spark, sf_dir))
+
+
+def q_training_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supervised (context, target) pairs cut from turn sequences;
+    both assistant and tool targets so the contract exercises
+    multi-turn context assembly and frame ordering."""
+    from mwmbl_spark.operators.conversations import training_pairs
+
+    return training_pairs(
+        _docs_as_transcripts(spark, sf_dir),
+        context_window=3,
+        target_roles=("assistant", "tool"),
+    )
+
+
 def _doc_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic paragraph table derived from documents: 15-token
     chunks with synthetic link-chars and dom paths (the DOM walk itself
@@ -1659,6 +1687,85 @@ SELECT doc_id,
             ELSE 0 END::BIGINT AS fingerprint
 FROM contrib"""
 
+ORACLE["repetition"] = f"""
+WITH {_TOK_SQL},
+grams AS (
+  SELECT doc_id, 2 AS n, g.gram AS gram
+  FROM tok, unnest(CASE WHEN len(toks) >= 2
+      THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+      ELSE []::VARCHAR[] END) AS g(gram)
+  UNION ALL
+  SELECT doc_id, 3 AS n, g.gram AS gram
+  FROM tok, unnest(CASE WHEN len(toks) >= 3
+      THEN list_transform(range(1, len(toks) - 1),
+                          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+      ELSE []::VARCHAR[] END) AS g(gram)
+),
+per AS (SELECT doc_id, n, gram, count(*) AS cnt FROM grams GROUP BY 1, 2, 3),
+agg AS (
+  SELECT doc_id,
+         sum(CASE WHEN n = 2 THEN cnt ELSE 0 END) AS n2,
+         max(CASE WHEN n = 2 THEN cnt END) AS t2,
+         sum(CASE WHEN n = 2 AND cnt > 1 THEN cnt ELSE 0 END) AS d2,
+         sum(CASE WHEN n = 3 THEN cnt ELSE 0 END) AS n3,
+         max(CASE WHEN n = 3 THEN cnt END) AS t3,
+         sum(CASE WHEN n = 3 AND cnt > 1 THEN cnt ELSE 0 END) AS d3
+  FROM per GROUP BY doc_id
+)
+SELECT t.doc_id,
+       coalesce(n2, 0)::BIGINT AS n_bigrams,
+       round(coalesce(t2::DOUBLE / nullif(n2, 0), 0.0), 6) AS top_bigram_frac,
+       round(coalesce(d2::DOUBLE / nullif(n2, 0), 0.0), 6) AS dup_bigram_frac,
+       coalesce(n3, 0)::BIGINT AS n_trigrams,
+       round(coalesce(t3::DOUBLE / nullif(n3, 0), 0.0), 6) AS top_trigram_frac,
+       round(coalesce(d3::DOUBLE / nullif(n3, 0), 0.0), 6) AS dup_trigram_frac
+FROM tok t LEFT JOIN agg USING (doc_id)"""
+
+# transcript reshape twin of sources/transcripts.transcripts_from_documents
+# (conv_id/turn_idx/role are pure integer arithmetic on doc_id; ts is
+# base + doc_id minutes, so the span is a doc_id difference)
+_TRANSCRIPT_SQL = """
+t AS (
+  SELECT doc_id,
+         'conv-' || (doc_id // 4)::VARCHAR AS conv_id,
+         (doc_id % 4)::INT AS turn_idx,
+         CASE WHEN doc_id % 4 = 3 THEN 'tool'
+              WHEN (doc_id % 4) % 2 = 0 THEN 'user'
+              ELSE 'assistant' END AS role,
+         text
+  FROM documents
+)"""
+
+ORACLE["conversation_stats"] = f"""
+WITH {_TOK_SQL},
+{_TRANSCRIPT_SQL}
+SELECT conv_id,
+       count(*)::BIGINT AS n_turns,
+       sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END)::BIGINT AS n_user_turns,
+       sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)::BIGINT AS n_assistant_turns,
+       sum(CASE WHEN role = 'tool' THEN 1 ELSE 0 END)::BIGINT AS n_tool_turns,
+       sum(len(toks))::BIGINT AS n_tokens,
+       (max(doc_id) - min(doc_id))::BIGINT AS span_minutes
+FROM t JOIN tok USING (doc_id)
+GROUP BY conv_id"""
+
+ORACLE["training_pairs"] = f"""
+WITH {_TRANSCRIPT_SQL},
+pairs AS (
+  SELECT a.doc_id, a.conv_id, a.turn_idx,
+         string_agg(c.role || ': ' || c.text, ' [SEP] ' ORDER BY c.turn_idx)
+           AS context,
+         count(*)::INT AS n_context_turns
+  FROM t a
+  JOIN t c ON a.conv_id = c.conv_id
+          AND c.turn_idx BETWEEN a.turn_idx - 3 AND a.turn_idx - 1
+  WHERE a.role IN ('assistant', 'tool')
+  GROUP BY a.doc_id, a.conv_id, a.turn_idx
+)
+SELECT p.doc_id, p.conv_id, p.turn_idx, p.context,
+       t.text AS target, p.n_context_turns
+FROM pairs p JOIN t USING (doc_id)"""
+
 _CP_LIST = "[" + ", ".join(str(p) for p in [0.285, 0.157, 0.110, 0.080, 0.072, 0.051, 0.040, 0.032, 0.028, 0.025]) + "]"
 
 ORACLE["ndcg"] = f"""
@@ -2348,6 +2455,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_features": _shipped(q_text_features),
         "token_stats": _shipped(q_token_stats),
         "fingerprint": _shipped(q_fingerprint),
+        "repetition": _shipped(q_repetition),
+        "conversation_stats": _shipped(q_conversation_stats),
+        "training_pairs": _shipped(q_training_pairs),
         "content_extract_cf": _shipped(q_content_extract_cf),
         "html_paragraphs": _shipped(q_html_paragraphs),
         "mm_decode": _shipped(q_mm_decode),

@@ -1,0 +1,99 @@
+"""Gopher-style repetition signals for training-corpus curation.
+
+The reference carries no repetition analytics (its only text analytics
+are the stopword sets and tf-idf features,
+/root/reference/mwmbl/tinysearchengine/rank.py:81-122); these implement
+the standard repeated-n-gram quality filters of the public Gopher
+(Rae et al. 2021, arXiv:2112.11446, appendix A1.1) / C4 lineage as
+distributed aggregations over the documents table:
+
+- ``top_{bi,tri}gram_frac`` — count of the document's most frequent
+  n-gram over its total n-gram count. (Gopher weights by characters;
+  the occurrence-count form keeps the DuckDB oracle exact and the
+  filter semantics equivalent — both spike on boilerplate.)
+- ``dup_{bi,tri}gram_frac`` — fraction of n-gram occurrences whose
+  gram occurs more than once in the document.
+
+Plan shape (the 100 TB lens): ONE explode of tagged n-grams, then two
+hash aggregations — (doc_id, n, gram) then (doc_id) with conditional
+aggregates instead of a pivot — both with map-side partial
+aggregation. No window, no self-join, no Python at the Spark boundary.
+The final left join (broadcast-eligible agg side only at toy scale;
+co-partitioned on doc_id otherwise) restores gram-free docs with
+zeroed signals so the output covers every input row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def ngrams_expr(toks: Column, n: int) -> Column:
+    """All order-``n`` token grams as space-joined strings.
+
+    Guarded: ``sequence(1, size-n+1)`` DESCENDS when size < n (Spark
+    auto-steps -1 for start > stop), which would fabricate grams from
+    out-of-range ``element_at`` nulls — short docs return [] instead.
+    """
+    seq = F.sequence(F.lit(1), F.size(toks) - n + 1)
+    gram = lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)])  # noqa: E731
+    return F.when(F.size(toks) >= n, F.transform(seq, gram)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def repetition_features(
+    docs: DataFrame, id_col: str = "doc_id", toks_col: str = "toks"
+) -> DataFrame:
+    """(doc_id, n_bigrams, top_bigram_frac, dup_bigram_frac,
+    n_trigrams, top_trigram_frac, dup_trigram_frac) per document.
+
+    Fractions are 0.0 for documents with no grams of that order; all
+    fractions rounded to 6 decimals (single-division float, stable
+    across engines).
+    """
+    toks = F.col(toks_col)
+
+    def _tag(n: int):
+        # NB: a second lambda arg (even a default) makes F.transform pass
+        # the element INDEX into it — capture n via closure instead
+        return lambda g: F.struct(F.lit(n).alias("n"), g.alias("gram"))
+
+    tagged = F.concat(*[F.transform(ngrams_expr(toks, n), _tag(n)) for n in (2, 3)])
+    base = docs.select(F.col(id_col).alias("doc_id"))
+    per = (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(tagged).alias("g"))
+        .groupBy("doc_id", F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    n_col, cnt = F.col("n"), F.col("cnt")
+    agg = per.groupBy("doc_id").agg(
+        *[
+            c
+            for n in (2, 3)
+            for c in (
+                F.sum(F.when(n_col == n, cnt).otherwise(F.lit(0))).alias(f"n{n}"),
+                F.max(F.when(n_col == n, cnt)).alias(f"t{n}"),
+                F.sum(
+                    F.when((n_col == n) & (cnt > 1), cnt).otherwise(F.lit(0))
+                ).alias(f"d{n}"),
+            )
+        ]
+    )
+
+    def frac(num: Column, den: Column) -> Column:
+        return F.round(
+            F.coalesce(num.cast("double") / F.when(den > 0, den), F.lit(0.0)), 6
+        )
+
+    out = base.join(agg, "doc_id", "left")
+    return out.select(
+        "doc_id",
+        F.coalesce(F.col("n2"), F.lit(0)).cast("long").alias("n_bigrams"),
+        frac(F.col("t2"), F.col("n2")).alias("top_bigram_frac"),
+        frac(F.col("d2"), F.col("n2")).alias("dup_bigram_frac"),
+        F.coalesce(F.col("n3"), F.lit(0)).cast("long").alias("n_trigrams"),
+        frac(F.col("t3"), F.col("n3")).alias("top_trigram_frac"),
+        frac(F.col("d3"), F.col("n3")).alias("dup_trigram_frac"),
+    )
