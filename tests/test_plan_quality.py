@@ -228,3 +228,34 @@ def test_pq_encode_is_shuffle_free(spark):
     cb = pq_train(emb, m=2, k_codes=4, n_iters=1)
     plan = _explain(pq_encode(emb, cb))
     assert "Exchange" not in plan and "Window" not in plan
+
+
+def test_repetition_aggs_are_partial(spark):
+    """Both repetition aggregations must combine map-side (partial_
+    count / partial_sum before each Exchange) and no Window may appear
+    — at 100 TB an un-combined gram explode would shuffle every
+    occurrence row."""
+    from mwmbl_spark.functions.tokenize import tokenize_pd
+    from mwmbl_spark.operators.repetition import repetition_features
+
+    docs = with_doc_id(
+        synth_transcripts(spark, n_conv=10, turns_per_conv=4, seed=5)
+    ).select("doc_id", tokenize_pd(F.col("text")).alias("toks"))
+    plan = _explain(repetition_features(docs))
+    assert "partial_count" in plan and "partial_sum" in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_training_pairs_single_shuffle(spark):
+    """training_pairs is one Exchange on conv_id feeding a ROWS-bounded
+    running window — a second shuffle or an unbounded frame is a plan
+    regression."""
+    from mwmbl_spark.operators.conversations import training_pairs
+    from mwmbl_spark.synth import synth_transcripts as synth
+
+    t = with_doc_id(synth(spark, n_conv=10, turns_per_conv=6, seed=6))
+    plan = _explain(training_pairs(t, context_window=3))
+    import re
+
+    assert len(re.findall(r"^\(\d+\) \w*Exchange", plan, re.M)) == 1, plan
+    assert "specifiedwindowframe(RowFrame, -3, -1)" in plan, plan
