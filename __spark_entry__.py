@@ -747,6 +747,41 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_features(_docs_with_toks(spark, sf_dir))
 
 
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Bernoulli corpus sample (pure filter, no shuffle)."""
+    from mwmbl_spark.operators.sampling import hash_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return hash_sample(docs, 0.3).select("doc_id")
+
+
+def q_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota (hash-shuffled top-cap; WindowGroupLimit plan)."""
+    from mwmbl_spark.operators.sampling import quota_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return quota_sample(docs, "source", cap=8).select("doc_id", "source")
+
+
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-smoothed language mixture (alpha=0.5 -> sqrt, which
+    IEEE rounds correctly on both engines)."""
+    from mwmbl_spark.operators.sampling import temperature_mix
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return temperature_mix(docs, "lang", alpha=0.5).select("doc_id", "lang")
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget concat-then-chunk packing (integer-exact)."""
+    from mwmbl_spark.operators.sampling import pack_sequences
+
+    docs = _docs_with_toks(spark, sf_dir).select(
+        "doc_id", F.size("toks").alias("n_tokens")
+    )
+    return pack_sequences(docs, max_tokens=256, n_shards=8)
+
+
 def q_conversation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-conversation rollup over the transcript grain."""
     from mwmbl_spark.operators.conversations import conversation_stats
@@ -1721,6 +1756,60 @@ SELECT t.doc_id,
        round(coalesce(d3::DOUBLE / nullif(n3, 0), 0.0), 6) AS dup_trigram_frac
 FROM tok t LEFT JOIN agg USING (doc_id)"""
 
+# hash-unit twin of operators/sampling._hash_unit (md5 60-bit prefix on
+# a 1e-6 grid; DuckDB / on integers is float division like Spark's)
+def _hash_unit_sql(key: str, salt: str = "") -> str:
+    return (
+        f"(('0x' || substr(md5({key}::VARCHAR || '{salt}'), 1, 15))::BIGINT"
+        " % 1000000) / 1000000"
+    ) if salt else (
+        f"(('0x' || substr(md5({key}::VARCHAR), 1, 15))::BIGINT % 1000000) / 1000000"
+    )
+
+
+ORACLE["hash_sample"] = f"""
+SELECT doc_id FROM documents
+WHERE {_hash_unit_sql('doc_id')} < 0.3"""
+
+ORACLE["quota_sample"] = f"""
+WITH ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+             ORDER BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 1000000,
+                      doc_id) AS rn
+  FROM documents
+)
+SELECT doc_id, source FROM ranked WHERE rn <= 8"""
+
+ORACLE["temperature_mix"] = f"""
+WITH counts AS (SELECT lang, count(*)::BIGINT AS n FROM documents GROUP BY lang),
+tot AS (SELECT sum(sqrt(n::DOUBLE)) AS sum_w, sum(n)::DOUBLE AS n_total FROM counts),
+rates AS (
+  SELECT lang, least(1.0, sqrt(n::DOUBLE) / sum_w * n_total / n::DOUBLE) AS keep_rate
+  FROM counts CROSS JOIN tot
+)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN rates USING (lang)
+WHERE {_hash_unit_sql('d.doc_id')} < keep_rate"""
+
+ORACLE["pack_sequences"] = f"""
+WITH {_TOK_SQL},
+d AS (
+  SELECT doc_id, len(toks)::INT AS n_tokens,
+         ((('0x' || substr(md5(doc_id::VARCHAR || 'shard'), 1, 15))::BIGINT
+           % 1000000) % 8)::INT AS shard
+  FROM tok
+),
+c AS (
+  SELECT doc_id, n_tokens, shard,
+         coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cum
+  FROM d
+)
+SELECT doc_id, n_tokens, shard,
+       cum // 256 AS seq_id, cum % 256 AS tok_offset
+FROM c"""
+
 # transcript reshape twin of sources/transcripts.transcripts_from_documents
 # (conv_id/turn_idx/role are pure integer arithmetic on doc_id; ts is
 # base + doc_id minutes, so the span is a doc_id difference)
@@ -2456,6 +2545,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": _shipped(q_token_stats),
         "fingerprint": _shipped(q_fingerprint),
         "repetition": _shipped(q_repetition),
+        "hash_sample": _shipped(q_hash_sample),
+        "quota_sample": _shipped(q_quota_sample),
+        "temperature_mix": _shipped(q_temperature_mix),
+        "pack_sequences": _shipped(q_pack_sequences),
         "conversation_stats": _shipped(q_conversation_stats),
         "training_pairs": _shipped(q_training_pairs),
         "content_extract_cf": _shipped(q_content_extract_cf),

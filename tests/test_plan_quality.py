@@ -259,3 +259,15 @@ def test_training_pairs_single_shuffle(spark):
 
     assert len(re.findall(r"^\(\d+\) \w*Exchange", plan, re.M)) == 1, plan
     assert "specifiedwindowframe(RowFrame, -3, -1)" in plan, plan
+
+
+def test_quota_sample_uses_window_group_limit(spark):
+    """The per-group cap must lower to a map-side WindowGroupLimit so
+    each input partition forwards at most `cap` rows per group."""
+    from mwmbl_spark.operators.sampling import quota_sample
+
+    df = spark.createDataFrame(
+        [(i, f"g{i % 3}") for i in range(60)], "doc_id long, grp string"
+    )
+    plan = _explain(quota_sample(df, "grp", cap=5))
+    assert "WindowGroupLimit" in plan and "Partial" in plan, plan
