@@ -216,6 +216,38 @@ def main() -> None:
     timed("q11_compact", lambda: builder.compact(), reps=1)
     timed("q12_wand_after_compact", lambda: builder.query_topk(qdf, k=10).count())
 
+    # q13: the composed training-data curation sweep — repetition
+    # filters -> temperature language mixing -> per-source quota ->
+    # token-budget packing, one pass over the documents table
+    try:
+        from mwmbl_spark.functions.tokenize import tokenize_pd
+        from mwmbl_spark.operators.repetition import repetition_features
+        from mwmbl_spark.operators.sampling import (
+            pack_sequences,
+            quota_sample,
+            temperature_mix,
+        )
+
+        cdocs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "lang", "source", tokenize_pd(F.col("text")).alias("toks")
+        )
+
+        def curation_sweep():
+            rep = repetition_features(cdocs).where(
+                (F.col("dup_bigram_frac") < 0.5) & (F.col("top_trigram_frac") < 0.3)
+            )
+            keep = cdocs.join(rep.select("doc_id"), "doc_id").select(
+                "doc_id", "lang", "source", F.size("toks").alias("n_tokens")
+            )
+            mixed = temperature_mix(keep, "lang", alpha=0.5)
+            capped = quota_sample(mixed, "source", cap=max(50, n_docs // 40))
+            return pack_sequences(capped, max_tokens=512, n_shards=32).count()
+
+        timed("q13_corpus_curation", curation_sweep)
+    except Exception as exc:  # noqa: BLE001
+        print(f"BENCH ERROR q13 setup: {exc}", file=sys.stderr)
+        timings["q13_corpus_curation"] = -1.0
+
     build_s = timings.get("q1_index_build", -1.0)
     total = round(sum(v for k, v in timings.items() if v > 0 and k in CORE), 4)
     print(
