@@ -747,6 +747,16 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_features(_docs_with_toks(spark, sf_dir))
 
 
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-lineage perplexity-proxy: mean per-token unigram log-prob
+    under the corpus's own distribution (operators/lm_quality.py)."""
+    from mwmbl_spark.operators.lm_quality import unigram_logprob
+    from mwmbl_spark.operators.postings import build_postings
+
+    p = build_postings(_docs_as_transcripts(spark, sf_dir))
+    return unigram_logprob(p)
+
+
 def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic Bernoulli corpus sample (pure filter, no shuffle)."""
     from mwmbl_spark.operators.sampling import hash_sample
@@ -1767,6 +1777,19 @@ def _hash_unit_sql(key: str, salt: str = "") -> str:
     )
 
 
+ORACLE["unigram_logprob"] = f"""
+WITH {_POST_SQL},
+cf AS (SELECT term, sum(tf)::BIGINT AS cf FROM post GROUP BY term),
+tot AS (SELECT sum(cf)::DOUBLE AS total FROM cf),
+s AS (
+  SELECT p.doc_id,
+         sum(p.tf)::BIGINT AS doc_len,
+         sum(p.tf * ln(cf.cf / t.total)) AS lp
+  FROM post p JOIN cf USING (term) CROSS JOIN tot t
+  GROUP BY p.doc_id
+)
+SELECT doc_id, doc_len, round(lp / doc_len, 6) AS logprob_per_token FROM s"""
+
 ORACLE["hash_sample"] = f"""
 SELECT doc_id FROM documents
 WHERE {_hash_unit_sql('doc_id')} < 0.3"""
@@ -2545,6 +2568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": _shipped(q_token_stats),
         "fingerprint": _shipped(q_fingerprint),
         "repetition": _shipped(q_repetition),
+        "unigram_logprob": _shipped(q_unigram_logprob),
         "hash_sample": _shipped(q_hash_sample),
         "quota_sample": _shipped(q_quota_sample),
         "temperature_mix": _shipped(q_temperature_mix),
