@@ -747,6 +747,39 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_features(_docs_with_toks(spark, sf_dir))
 
 
+_STREAM_DEDUP_OUT: dict[tuple, str] = {}
+
+
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup across two AvailableNow epochs with a
+    shared checkpoint: epoch 1 is the corpus (plus nothing new), epoch
+    2 re-sends a subset under fresh doc_ids — cross-epoch state must
+    suppress every re-send, so the final sink holds exactly one row per
+    distinct text. Projected to the text hash: which doc_id survives an
+    in-batch duplicate group is execution-order-dependent; the
+    first-seen TEXT set is not."""
+    import tempfile
+
+    from mwmbl_spark.shipping import ensure_shipped
+    from mwmbl_spark.streaming.dedup_stream import exact_dedup_stream
+
+    ensure_shipped(spark)
+    key = (id(spark), sf_dir)
+    out = _STREAM_DEDUP_OUT.get(key)
+    if out is None:
+        root = tempfile.mkdtemp(prefix="mwmbl_stream_dedup_")
+        src, out, ckpt = f"{root}/src", f"{root}/out", f"{root}/ckpt"
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        docs.coalesce(1).write.mode("append").parquet(src)
+        exact_dedup_stream(spark, src, out, ckpt)
+        docs.where(F.col("doc_id") % 10 == 3).withColumn(
+            "doc_id", F.col("doc_id") + 1_000_000
+        ).coalesce(1).write.mode("append").parquet(src)
+        exact_dedup_stream(spark, src, out, ckpt)
+        _STREAM_DEDUP_OUT[key] = out
+    return spark.read.parquet(out).select(F.md5("text").alias("text_hash"))
+
+
 def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-lineage perplexity-proxy: mean per-token unigram log-prob
     under the corpus's own distribution (operators/lm_quality.py)."""
@@ -1777,6 +1810,9 @@ def _hash_unit_sql(key: str, salt: str = "") -> str:
     )
 
 
+ORACLE["stream_dedup"] = """
+SELECT DISTINCT md5(text) AS text_hash FROM documents"""
+
 ORACLE["unigram_logprob"] = f"""
 WITH {_POST_SQL},
 cf AS (SELECT term, sum(tf)::BIGINT AS cf FROM post GROUP BY term),
@@ -2569,6 +2605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": _shipped(q_fingerprint),
         "repetition": _shipped(q_repetition),
         "unigram_logprob": _shipped(q_unigram_logprob),
+        "stream_dedup": _shipped(q_stream_dedup),
         "hash_sample": _shipped(q_hash_sample),
         "quota_sample": _shipped(q_quota_sample),
         "temperature_mix": _shipped(q_temperature_mix),
