@@ -747,6 +747,37 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_features(_docs_with_toks(spark, sf_dir))
 
 
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub + audit counts over documents with deterministic
+    synthetic PII injected (the corpus itself is clean); byte-identical
+    redaction is gated via the md5 of the scrubbed text."""
+    from mwmbl_spark.functions.redact import pii_counts, redact_pii_expr
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    injected = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit(" mail user@example.com")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 7 == 0, F.lit(" host 192.168.0.1")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 11 == 0, F.lit(" card 4111111111111111")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 13 == 0, F.lit(" tel +4915112345678 or 555-123-4567")).otherwise(F.lit("")),
+    )
+    d = docs.select("doc_id", injected.alias("t"))
+    counts = pii_counts(F.col("t"))
+    return d.select(
+        "doc_id",
+        F.md5(redact_pii_expr(F.col("t"))).alias("redacted_hash"),
+        *[v.alias(k) for k, v in counts.items()],
+    )
+
+
+def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test assignment hashed on conv_id."""
+    from mwmbl_spark.operators.sampling import assign_split
+
+    t = _docs_as_transcripts(spark, sf_dir)
+    return assign_split(t, "conv_id").select("doc_id", "conv_id", "split")
+
+
 _STREAM_DEDUP_OUT: dict[tuple, str] = {}
 
 
@@ -1813,6 +1844,59 @@ def _hash_unit_sql(key: str, salt: str = "") -> str:
 ORACLE["stream_dedup"] = """
 SELECT DISTINCT md5(text) AS text_hash FROM documents"""
 
+
+def _pii_sql() -> str:
+    """Staged-regex oracle generated FROM functions/redact.PII_RULES, so
+    pattern text and application order cannot drift from the operator."""
+    from mwmbl_spark.functions.redact import PII_RULES
+
+    inj = """inj AS (
+  SELECT doc_id, text
+    || CASE WHEN doc_id % 5 = 0 THEN ' mail user@example.com' ELSE '' END
+    || CASE WHEN doc_id % 7 = 0 THEN ' host 192.168.0.1' ELSE '' END
+    || CASE WHEN doc_id % 11 = 0 THEN ' card 4111111111111111' ELSE '' END
+    || CASE WHEN doc_id % 13 = 0 THEN ' tel +4915112345678 or 555-123-4567' ELSE '' END
+    AS t
+  FROM documents)"""
+    ctes, prev = [inj], "inj"
+    for i, (name, pat, repl) in enumerate(PII_RULES):
+        p = pat.replace("'", "''")
+        carry = "".join(f", n_{n}" for n, _, _ in PII_RULES[:i])
+        ctes.append(
+            f"s{i} AS (SELECT doc_id{carry},"
+            f" len(regexp_extract_all(t, '{p}')) AS n_{name},"
+            f" regexp_replace(t, '{p}', '{repl}', 'g') AS t FROM {prev})"
+        )
+        prev = f"s{i}"
+    names = ", ".join(f"n_{n}" for n, _, _ in PII_RULES)
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT doc_id, md5(t) AS redacted_hash, {names} FROM {prev}"
+    )
+
+
+ORACLE["pii_redact"] = _pii_sql()
+
+
+def _split_sql() -> str:
+    """Replays assign_split's own cut-point arithmetic and emits the
+    exact doubles via CAST('repr' AS DOUBLE) — DuckDB parses bare float
+    literals through DECIMAL, which would land on different doubles
+    than Python/Spark for cuts like 0.9 + 0.05."""
+    splits = [("train", 0.9), ("val", 0.05), ("test", 0.05)]
+    total = sum(w for _, w in splits)
+    cum, conds = 0.0, []
+    for name, w in splits[:-1]:
+        cum += w / total
+        conds.append(f"WHEN u < CAST('{cum!r}' AS DOUBLE) THEN '{name}'")
+    u = "(('0x' || substr(md5(conv_id || 'split'), 1, 15))::BIGINT % 1000000) / 1000000"
+    return f"""
+WITH {_TRANSCRIPT_SQL.strip()},
+h AS (SELECT doc_id, conv_id, {u} AS u FROM t)
+SELECT doc_id, conv_id,
+       CASE {' '.join(conds)} ELSE '{splits[-1][0]}' END AS split
+FROM h"""
+
 ORACLE["unigram_logprob"] = f"""
 WITH {_POST_SQL},
 cf AS (SELECT term, sum(tf)::BIGINT AS cf FROM post GROUP BY term),
@@ -1913,6 +1997,8 @@ pairs AS (
 SELECT p.doc_id, p.conv_id, p.turn_idx, p.context,
        t.text AS target, p.n_context_turns
 FROM pairs p JOIN t USING (doc_id)"""
+
+ORACLE["split_assign"] = _split_sql()
 
 _CP_LIST = "[" + ", ".join(str(p) for p in [0.285, 0.157, 0.110, 0.080, 0.072, 0.051, 0.040, 0.032, 0.028, 0.025]) + "]"
 
@@ -2606,6 +2692,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition": _shipped(q_repetition),
         "unigram_logprob": _shipped(q_unigram_logprob),
         "stream_dedup": _shipped(q_stream_dedup),
+        "pii_redact": _shipped(q_pii_redact),
+        "split_assign": _shipped(q_split_assign),
         "hash_sample": _shipped(q_hash_sample),
         "quota_sample": _shipped(q_quota_sample),
         "temperature_mix": _shipped(q_temperature_mix),

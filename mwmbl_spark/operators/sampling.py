@@ -165,3 +165,32 @@ def pack_sequences(
         )
         .drop("__cum")
     )
+
+
+def assign_split(
+    df: DataFrame,
+    key_col: str,
+    splits: list[tuple[str, float]] = (("train", 0.9), ("val", 0.05), ("test", 0.05)),
+    salt: str = "split",
+) -> DataFrame:
+    """Leakage-safe deterministic split assignment: every row sharing
+    ``key_col`` lands in the same split, because the hash is taken on
+    the GROUP key — split transcripts by conv_id, never by turn, or
+    sibling turns of one conversation leak across train/test. Pure
+    expression (no shuffle); weights need not be normalized.
+
+    Boundary determinism: cut points sit on the same doubles in every
+    engine (same literals, same IEEE division), so membership is exact
+    cross-engine even for a hash-unit landing exactly on a cut.
+    """
+    total = sum(w for _, w in splits)
+    u = _hash_unit(F.col(key_col), salt)
+    expr = F.lit(splits[-1][0])
+    cum = 0.0
+    conds = []
+    for name, w in splits[:-1]:
+        cum += w / total
+        conds.append((cum, name))
+    for cut, name in reversed(conds):
+        expr = F.when(u < cut, F.lit(name)).otherwise(expr)
+    return df.withColumn("split", expr)

@@ -94,3 +94,24 @@ def test_pack_sequences_sharded_no_cross_talk(spark):
         for _, seq_id, off in mine:
             assert (seq_id, off) == (cum // 35, cum % 35)
             cum += 10
+
+
+def test_assign_split_group_coherent_and_proportional(spark):
+    rows = [(c, t, f"conv-{c}") for c in range(300) for t in range(4)]
+    df = spark.createDataFrame(rows, "c int, t int, conv_id string")
+    from mwmbl_spark.operators.sampling import assign_split
+
+    out = assign_split(df, "conv_id").collect()
+    by_conv = {}
+    for r in out:
+        by_conv.setdefault(r.conv_id, set()).add(r.split)
+    assert all(len(s) == 1 for s in by_conv.values()), "turns must not leak"
+    convs = {c: next(iter(s)) for c, s in by_conv.items()}
+    n = len(convs)
+    shares = {name: sum(1 for v in convs.values() if v == name) / n
+              for name in ("train", "val", "test")}
+    assert 0.84 < shares["train"] < 0.96
+    assert 0.02 < shares["val"] < 0.09 and 0.02 < shares["test"] < 0.09
+    again = {r.conv_id: r.split
+             for r in assign_split(df.repartition(11), "conv_id").collect()}
+    assert all(again[c] == v for c, v in convs.items())
