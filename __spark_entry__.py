@@ -747,6 +747,19 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_features(_docs_with_toks(spark, sf_dir))
 
 
+def q_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-3-style eval-set decontamination: the eval set is the
+    12-token prefix of every 29th document, so each seed doc must
+    detect as contaminated (plus any true cross-doc 8-gram hit)."""
+    from mwmbl_spark.operators.decontam import contaminated_ids
+
+    docs = _docs_with_toks(spark, sf_dir)
+    ev = docs.where(F.col("doc_id") % 29 == 0).select(
+        "doc_id", F.slice("toks", 1, 12).alias("toks")
+    )
+    return contaminated_ids(docs, ev, n=8)
+
+
 def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub + audit counts over documents with deterministic
     synthetic PII injected (the corpus itself is clean); byte-identical
@@ -1877,6 +1890,28 @@ def _pii_sql() -> str:
 
 ORACLE["pii_redact"] = _pii_sql()
 
+ORACLE["decontam"] = f"""
+WITH {_TOK_SQL},
+tg AS (
+  SELECT DISTINCT doc_id,
+         ('0x' || substr(md5(g.gram), 1, 15))::BIGINT AS h
+  FROM tok, unnest(CASE WHEN len(toks) >= 8
+      THEN list_transform(range(1, len(toks) - 6),
+           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]
+             || ' ' || toks[i+4] || ' ' || toks[i+5] || ' ' || toks[i+6] || ' ' || toks[i+7])
+      ELSE []::VARCHAR[] END) AS g(gram)
+),
+ev AS (SELECT doc_id, toks[1:12] AS toks FROM tok WHERE doc_id % 29 = 0),
+eg AS (
+  SELECT DISTINCT ('0x' || substr(md5(g.gram), 1, 15))::BIGINT AS h
+  FROM ev, unnest(CASE WHEN len(toks) >= 8
+      THEN list_transform(range(1, len(toks) - 6),
+           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]
+             || ' ' || toks[i+4] || ' ' || toks[i+5] || ' ' || toks[i+6] || ' ' || toks[i+7])
+      ELSE []::VARCHAR[] END) AS g(gram)
+)
+SELECT DISTINCT doc_id FROM tg JOIN eg USING (h)"""
+
 
 def _split_sql() -> str:
     """Replays assign_split's own cut-point arithmetic and emits the
@@ -2693,6 +2728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_logprob": _shipped(q_unigram_logprob),
         "stream_dedup": _shipped(q_stream_dedup),
         "pii_redact": _shipped(q_pii_redact),
+        "decontam": _shipped(q_decontam),
         "split_assign": _shipped(q_split_assign),
         "hash_sample": _shipped(q_hash_sample),
         "quota_sample": _shipped(q_quota_sample),
