@@ -747,6 +747,15 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_features(_docs_with_toks(spark, sf_dir))
 
 
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-duplicated span fractions (Lee et al. substring-dedup
+    signal); n=3 so the small-vocab synthetic corpus produces binding
+    nonzero fractions (production default is 50)."""
+    from mwmbl_spark.operators.repetition import duplicated_span_stats
+
+    return duplicated_span_stats(_docs_with_toks(spark, sf_dir), n=3)
+
+
 def q_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-3-style eval-set decontamination: the eval set is the
     12-token prefix of every 29th document, so each seed doc must
@@ -1890,6 +1899,26 @@ def _pii_sql() -> str:
 
 ORACLE["pii_redact"] = _pii_sql()
 
+ORACLE["dup_spans"] = f"""
+WITH {_TOK_SQL},
+occ AS (
+  SELECT doc_id, ('0x' || substr(md5(g.gram), 1, 15))::BIGINT AS h
+  FROM tok, unnest(CASE WHEN len(toks) >= 3
+      THEN list_transform(range(1, len(toks) - 1),
+           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+      ELSE []::VARCHAR[] END) AS g(gram)
+),
+freq AS (SELECT h, count(*)::BIGINT AS total FROM occ GROUP BY h),
+per AS (
+  SELECT o.doc_id, count(*)::BIGINT AS n_windows,
+         sum(CASE WHEN f.total > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup
+  FROM occ o JOIN freq f USING (h) GROUP BY o.doc_id
+)
+SELECT t.doc_id,
+       coalesce(n_windows, 0)::BIGINT AS n_windows,
+       round(coalesce(n_dup::DOUBLE / nullif(n_windows, 0), 0.0), 6) AS dup_window_frac
+FROM tok t LEFT JOIN per USING (doc_id)"""
+
 ORACLE["decontam"] = f"""
 WITH {_TOK_SQL},
 tg AS (
@@ -2729,6 +2758,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup": _shipped(q_stream_dedup),
         "pii_redact": _shipped(q_pii_redact),
         "decontam": _shipped(q_decontam),
+        "dup_spans": _shipped(q_dup_spans),
         "split_assign": _shipped(q_split_assign),
         "hash_sample": _shipped(q_hash_sample),
         "quota_sample": _shipped(q_quota_sample),

@@ -97,3 +97,52 @@ def repetition_features(
         frac(F.col("t3"), F.col("n3")).alias("top_trigram_frac"),
         frac(F.col("d3"), F.col("n3")).alias("dup_trigram_frac"),
     )
+
+
+def duplicated_span_stats(
+    docs: DataFrame, n: int = 50, id_col: str = "doc_id", toks_col: str = "toks"
+) -> DataFrame:
+    """(doc_id, n_windows, dup_window_frac): per document, the fraction
+    of its order-``n`` token windows whose gram occurs anywhere else in
+    the corpus — another position of the same document counts (the
+    substring-duplication signal of Lee et al. 2022, arXiv:2107.06499
+    §4: train-set quality drops with corpus-duplicated spans even when
+    whole documents are distinct).
+
+    Occurrences are NOT de-duplicated per doc: a window repeated twice
+    inside one document is corpus-duplicated by definition. Plan: one
+    gram explode (hashes only shuffle, never gram text), a global
+    (hash) count with map-side partials, a shuffle join occurrences ⋈
+    counts on the hash key — both sides hash-partitioned, no broadcast
+    assumption since the hash table scales with the corpus — and a
+    final per-doc aggregation. Fraction is a single division rounded
+    to 6.
+    """
+    from mwmbl_spark.operators.dedup import hash60
+
+    occ = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(ngrams_expr(F.col(toks_col), n)).alias("gram"),
+    ).select("doc_id", hash60(F.col("gram")).alias("h"))
+    freq = occ.groupBy("h").agg(F.count(F.lit(1)).alias("total"))
+    per_doc = (
+        occ.join(freq, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum((F.col("total") > 1).cast("long")).alias("n_dup"),
+        )
+    )
+    base = docs.select(F.col(id_col).alias("doc_id"))
+    out = base.join(per_doc, "doc_id", "left")
+    return out.select(
+        "doc_id",
+        F.coalesce(F.col("n_windows"), F.lit(0)).cast("long").alias("n_windows"),
+        F.round(
+            F.coalesce(
+                F.col("n_dup").cast("double") / F.when(F.col("n_windows") > 0, F.col("n_windows")),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("dup_window_frac"),
+    )

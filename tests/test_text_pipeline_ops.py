@@ -102,3 +102,19 @@ def test_conversation_stats(spark):
     assert a["span_minutes"] == 9
     b = got["B"]
     assert b["n_turns"] == 1 and b["span_minutes"] == 0
+
+
+def test_duplicated_span_stats(spark):
+    from mwmbl_spark.operators.repetition import duplicated_span_stats
+
+    df = _docs(spark, [
+        (0, ["a", "b", "c", "d"]),        # windows: abc, bcd
+        (1, ["x", "a", "b", "c"]),        # windows: xab, abc -> abc dup with doc 0
+        (2, ["q", "q", "q", "q", "q"]),   # qqq x3 -> all self-dup
+        (3, ["z", "y"]),                  # too short: 0 windows
+    ])
+    got = {r.doc_id: r.asDict() for r in duplicated_span_stats(df, n=3).collect()}
+    assert got[0] == {"doc_id": 0, "n_windows": 2, "dup_window_frac": 0.5}
+    assert got[1] == {"doc_id": 1, "n_windows": 2, "dup_window_frac": 0.5}
+    assert got[2] == {"doc_id": 2, "n_windows": 3, "dup_window_frac": 1.0}
+    assert got[3] == {"doc_id": 3, "n_windows": 0, "dup_window_frac": 0.0}
