@@ -575,6 +575,29 @@ def q_top_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SESSION_GAP_MINUTES = 720.0  # 12 h: the sf events grid has median
+# per-user gaps ~7 h, so this cut yields ~3-event sessions (binding
+# both ways: plenty of multi-event sessions AND plenty of cuts)
+
+
+def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization rollup over the event log
+    (crawler/stats.py keeps only day-grain counters; the session grain
+    is the query-log analytics the reference lacks)."""
+    from mwmbl_spark.operators.sessions import session_stats
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return session_stats(ev, gap_minutes=SESSION_GAP_MINUTES)
+
+
+def q_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transitions of event_type within sessions."""
+    from mwmbl_spark.operators.sessions import transition_counts
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return transition_counts(ev, gap_minutes=SESSION_GAP_MINUTES)
+
+
 # ---------------------------------------------------------------------------
 # Training-data pipeline queries (dedup / similarity / text analysis /
 # multimodal) — over the documents and embeddings tables directly
@@ -1454,6 +1477,57 @@ ranked AS (
   FROM daily
 )
 SELECT day, user_id, n_events, sum_value, rnk FROM ranked WHERE rnk <= 3""",
+    "session_stats": """
+WITH flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                      > 720.0 * 60.0 * 1000000.0
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING)::BIGINT AS session_seq
+  FROM flagged
+)
+SELECT user_id, session_seq, count(*) AS n_events,
+       count(DISTINCT event_type) AS n_types,
+       min(ts) AS start_ts, max(ts) AS end_ts,
+       ((epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000)::BIGINT
+         AS duration_secs
+FROM sess GROUP BY user_id, session_seq""",
+    "transitions": """
+WITH flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                      > 720.0 * 60.0 * 1000000.0
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING)::BIGINT AS session_seq
+  FROM flagged
+),
+pairs AS (
+  SELECT lag(event_type) OVER w AS prev_state,
+         event_type AS state,
+         lag(session_seq) OVER w = session_seq AS same_run
+  FROM sess
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+counts AS (
+  SELECT prev_state, state, count(*) AS n
+  FROM pairs WHERE prev_state IS NOT NULL AND same_run
+  GROUP BY 1, 2
+)
+SELECT prev_state, state, n,
+       n::DOUBLE / sum(n) OVER (PARTITION BY prev_state)::DOUBLE AS p
+FROM counts""",
     "index_url_stats": """
 WITH pages AS (
   SELECT doc_id % 50 AS page,
@@ -2740,6 +2814,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_users_daily_approx": _shipped(q_distinct_users_daily_approx),
         "top_users_daily": _shipped(q_top_users_daily),
         "index_url_stats": _shipped(q_index_url_stats),
+        "session_stats": _shipped(q_session_stats),
+        "transitions": _shipped(q_transitions),
         "dedup_exact": _shipped(q_dedup_exact),
         "dedup_minhash": _shipped(q_dedup_minhash),
         "dedup_groups": _shipped(q_dedup_groups),
