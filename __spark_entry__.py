@@ -770,6 +770,33 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_features(_docs_with_toks(spark, sf_dir))
 
 
+def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus top-20 bigrams by occurrence (boilerplate report;
+    distributed partial top-k, operators/corpus_analytics.py)."""
+    from mwmbl_spark.operators.corpus_analytics import top_ngrams
+
+    return top_ngrams(_docs_with_toks(spark, sf_dir), n=2, k=20)
+
+
+PMI_MIN_DF = 60
+
+
+def q_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 PMI collocation pairs over document term sets
+    (min_df-pruned co-occurrence self-join)."""
+    from mwmbl_spark.operators.corpus_analytics import pmi_pairs
+
+    return pmi_pairs(_docs_with_toks(spark, sf_dir), min_df=PMI_MIN_DF, k=50)
+
+
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row token-length distribution report (exact interpolated
+    percentiles — cross-engine-pinnable; approx at true scale)."""
+    from mwmbl_spark.operators.corpus_analytics import token_length_stats
+
+    return token_length_stats(_docs_with_toks(spark, sf_dir))
+
+
 def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-duplicated span fractions (Lee et al. substring-dedup
     signal); n=3 so the small-vocab synthetic corpus produces binding
@@ -2048,6 +2075,62 @@ s AS (
 )
 SELECT doc_id, doc_len, round(lp / doc_len, 6) AS logprob_per_token FROM s"""
 
+ORACLE["top_ngrams"] = f"""
+WITH {_TOK_SQL},
+grams AS (
+  SELECT doc_id, g.gram
+  FROM tok, unnest(CASE WHEN len(toks) >= 2
+      THEN list_transform(range(1, len(toks)),
+           i -> toks[i] || ' ' || toks[i+1])
+      ELSE []::VARCHAR[] END) AS g(gram)
+),
+counts AS (
+  SELECT gram, count(*) AS n_occurrences, count(DISTINCT doc_id) AS n_docs
+  FROM grams GROUP BY gram
+),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY n_occurrences DESC, gram) AS rank
+  FROM counts
+)
+SELECT gram, n_occurrences, n_docs, rank FROM ranked WHERE rank <= 20"""
+
+ORACLE["pmi_pairs"] = f"""
+WITH {_POST_SQL},
+dt AS (SELECT DISTINCT doc_id, term FROM post),
+dfq AS (SELECT term, count(*) AS df FROM dt GROUP BY term
+        HAVING count(*) >= {PMI_MIN_DF}),
+qual AS (SELECT dt.doc_id, dt.term FROM dt JOIN dfq USING (term)),
+pop AS (SELECT count(DISTINCT doc_id)::DOUBLE AS n_population FROM qual),
+pairs AS (
+  SELECT a.term AS term_a, b.term AS term_b, count(*) AS n_ab
+  FROM qual a JOIN qual b ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT term_a, term_b, n_ab, da.df AS df_a, db.df AS df_b,
+         round(ln(n_ab::DOUBLE * n_population
+                  / (da.df::DOUBLE * db.df::DOUBLE)), 6) AS pmi
+  FROM pairs JOIN dfq da ON pairs.term_a = da.term
+             JOIN dfq db ON pairs.term_b = db.term, pop
+),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY n_ab DESC, term_a, term_b) AS rank
+  FROM scored
+)
+SELECT term_a, term_b, n_ab, df_a, df_b, pmi, rank
+FROM ranked WHERE rank <= 50"""
+
+ORACLE["corpus_stats"] = f"""
+WITH {_TOK_SQL},
+lens AS (SELECT len(toks) AS n_toks FROM tok)
+SELECT count(*) AS n_docs, sum(n_toks)::BIGINT AS total_tokens,
+       round(avg(n_toks), 6) AS mean_tokens,
+       round(quantile_cont(n_toks, 0.25), 6) AS p25,
+       round(quantile_cont(n_toks, 0.50), 6) AS p50,
+       round(quantile_cont(n_toks, 0.75), 6) AS p75,
+       round(quantile_cont(n_toks, 0.95), 6) AS p95
+FROM lens"""
+
 ORACLE["hash_sample"] = f"""
 SELECT doc_id FROM documents
 WHERE {_hash_unit_sql('doc_id')} < 0.3"""
@@ -2830,6 +2913,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": _shipped(q_token_stats),
         "fingerprint": _shipped(q_fingerprint),
         "repetition": _shipped(q_repetition),
+        "top_ngrams": _shipped(q_top_ngrams),
+        "pmi_pairs": _shipped(q_pmi_pairs),
+        "corpus_stats": _shipped(q_corpus_stats),
         "unigram_logprob": _shipped(q_unigram_logprob),
         "stream_dedup": _shipped(q_stream_dedup),
         "pii_redact": _shipped(q_pii_redact),

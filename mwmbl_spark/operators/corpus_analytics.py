@@ -1,0 +1,186 @@
+"""Corpus-level descriptive analytics: top n-grams, PMI co-occurrence,
+token-length distribution.
+
+The reference's only corpus-wide statistic is the term document
+frequency used by its tf-idf scorer
+(/root/reference/mwmbl/tinysearchengine/rank.py:81-122, TERM_FREQUENCIES);
+a training-data pipeline reports more before committing 100 TB to a
+tokenizer run: what the dominant n-grams are (boilerplate detection),
+which term pairs are anomalously associated (PMI — template/spam
+signatures score high), and the token-length distribution that sizes
+sequence packing.
+
+Plan shapes (the 100 TB lens):
+
+- ``top_ngrams``: one explode -> hash aggregation with map-side
+  partials -> distributed partial top-k (Catalyst's
+  TakeOrderedAndProject: each partition keeps k, the driver merges k
+  per partition — never a global sort shuffle).
+- ``pmi_pairs``: the classic co-occurrence self-join, made tractable
+  the standard way — the document-frequency filter (``min_df``) runs
+  BEFORE pairing, so the join fans out only over terms that can
+  possibly matter, and ``max_terms_per_doc`` drops degenerate
+  boilerplate documents whose distinct-term count would explode the
+  per-doc pair cross product. Pair volume is sum over docs of
+  C(qualifying_terms, 2); both knobs bound it explicitly rather than
+  hoping the data is friendly.
+- ``token_length_stats``: one aggregation; ``percentile`` is Spark's
+  exact linear-interpolation percentile (identical formula to DuckDB's
+  ``quantile_cont``), acceptable because it reduces per-group state to
+  a sorted digest only at the driver-bound final row. At true 100 TB
+  use ``percentile_approx`` (t-digest) — the exact form here is what
+  the cross-engine contract can pin.
+
+Float determinism: PMI is ln of an int ratio rounded to 6 decimals
+after the final arithmetic (the repo-wide BM25 convention); ordering
+never uses the float (count desc + lexicographic pair, a total order).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from mwmbl_spark.operators.repetition import ngrams_expr
+
+
+def top_ngrams(
+    docs: DataFrame,
+    n: int = 2,
+    k: int = 20,
+    toks_col: str = "toks",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Global top-``k`` order-``n`` token grams by occurrence count:
+    (gram, n_occurrences, n_docs, rank). Ties broken by gram text —
+    a total order, so the cut is deterministic."""
+    grams = docs.select(
+        F.col(id_col), F.explode(ngrams_expr(F.col(toks_col), n)).alias("gram")
+    )
+    counts = grams.groupBy("gram").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.countDistinct(id_col).alias("n_docs"),
+    )
+    # orderBy+limit compiles to TakeOrderedAndProject: per-partition
+    # top-k, driver merge — no global sort shuffle.
+    top = counts.orderBy(F.desc("n_occurrences"), F.asc("gram")).limit(k)
+    # rank is assigned AFTER the cut: the window runs over k rows, not
+    # the gram table
+    return top.select(
+        "gram",
+        "n_occurrences",
+        "n_docs",
+        F.row_number()
+        .over(Window.orderBy(F.desc("n_occurrences"), F.asc("gram")))
+        .alias("rank"),
+    )
+
+
+def doc_term_sets(
+    docs: DataFrame, toks_col: str = "toks", id_col: str = "doc_id"
+) -> DataFrame:
+    """Distinct (doc_id, term) membership pairs — the set representation
+    PMI and Jaccard-style co-occurrence build on. One explode + one
+    map-side-combined distinct."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.col(toks_col)).alias("term"),
+    ).distinct()
+
+
+def pmi_pairs(
+    docs: DataFrame,
+    min_df: int = 2,
+    k: int = 50,
+    toks_col: str = "toks",
+    id_col: str = "doc_id",
+    max_terms_per_doc: int | None = None,
+) -> DataFrame:
+    """Top-``k`` co-occurring term pairs by document co-occurrence
+    count, with pointwise mutual information:
+
+        pmi(a, b) = ln( n_ab * N / (df_a * df_b) )
+
+    over document-level term SETS (presence, not frequency — the
+    standard collocation-table form). Returns
+    (term_a, term_b, n_ab, df_a, df_b, pmi, rank), term_a < term_b.
+
+    ``min_df`` prunes the vocabulary tail before the self-join;
+    ``max_terms_per_doc`` (optional) drops whole documents whose
+    qualifying distinct-term count exceeds the cap — each such doc
+    contributes O(cap^2) pairs at most, so total pair volume is
+    explicitly bounded. N counts documents that survive both filters
+    with >= 1 qualifying term, so PMI stays a proper estimate over the
+    population actually paired.
+    """
+    terms = doc_term_sets(docs, toks_col, id_col)
+    df_t = (
+        terms.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") >= min_df)
+    )
+    qual = terms.join(df_t.select("term"), "term")
+    if max_terms_per_doc is not None:
+        sizes = qual.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_terms"))
+        keep = sizes.where(F.col("n_terms") <= max_terms_per_doc).select("doc_id")
+        qual = qual.join(keep, "doc_id")
+    n_docs = qual.agg(
+        F.countDistinct("doc_id").cast("double").alias("n_population")
+    )
+    a = qual.select(F.col("doc_id"), F.col("term").alias("term_a"))
+    b = qual.select(F.col("doc_id"), F.col("term").alias("term_b"))
+    pairs = a.join(b, "doc_id").where(F.col("term_a") < F.col("term_b"))
+    n_ab = pairs.groupBy("term_a", "term_b").agg(F.count(F.lit(1)).alias("n_ab"))
+    dfa = df_t.select(F.col("term").alias("term_a"), F.col("df").alias("df_a"))
+    dfb = df_t.select(F.col("term").alias("term_b"), F.col("df").alias("df_b"))
+    scored = (
+        n_ab.join(F.broadcast(dfa), "term_a")
+        .join(F.broadcast(dfb), "term_b")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "term_a",
+            "term_b",
+            "n_ab",
+            "df_a",
+            "df_b",
+            F.round(
+                F.log(
+                    F.col("n_ab").cast("double")
+                    * F.col("n_population")
+                    / (F.col("df_a").cast("double") * F.col("df_b").cast("double"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    top = scored.orderBy(F.desc("n_ab"), "term_a", "term_b").limit(k)
+    return top.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.desc("n_ab"), "term_a", "term_b")),
+    )
+
+
+def token_length_stats(
+    docs: DataFrame, toks_col: str = "toks", id_col: str = "doc_id"
+) -> DataFrame:
+    """One-row corpus report over per-document token counts:
+    (n_docs, total_tokens, mean_tokens, p25, p50, p75, p95). Exact
+    interpolated percentiles (see module docstring for the
+    percentile_approx swap at true scale)."""
+    lens = docs.select(F.size(F.col(toks_col)).alias("n_toks"))
+    pct = F.percentile("n_toks", F.lit([0.25, 0.5, 0.75, 0.95]))
+    agg = lens.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").cast("long").alias("total_tokens"),
+        F.round(F.avg("n_toks"), 6).alias("mean_tokens"),
+        pct.alias("pcts"),
+    )
+    return agg.select(
+        "n_docs",
+        "total_tokens",
+        "mean_tokens",
+        F.round(F.element_at("pcts", 1), 6).alias("p25"),
+        F.round(F.element_at("pcts", 2), 6).alias("p50"),
+        F.round(F.element_at("pcts", 3), 6).alias("p75"),
+        F.round(F.element_at("pcts", 4), 6).alias("p95"),
+    )
