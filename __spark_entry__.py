@@ -893,6 +893,17 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_logprob(p)
 
 
+BIGRAM_LAM = 0.8
+
+
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jelinek-Mercer interpolated bigram LM scoring (the KenLM-shaped
+    upgrade of unigram_logprob; operators/lm_quality.py)."""
+    from mwmbl_spark.operators.lm_quality import bigram_logprob
+
+    return bigram_logprob(_docs_with_toks(spark, sf_dir), lam=BIGRAM_LAM)
+
+
 def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic Bernoulli corpus sample (pure filter, no shuffle)."""
     from mwmbl_spark.operators.sampling import hash_sample
@@ -2075,6 +2086,37 @@ s AS (
 )
 SELECT doc_id, doc_len, round(lp / doc_len, 6) AS logprob_per_token FROM s"""
 
+# lam multipliers stated as CAST('repr' AS DOUBLE): a bare 0.2 literal
+# is DECIMAL arithmetic in DuckDB (the round-3 float-literal trap), and
+# Python's 1.0 - 0.8 is NOT the double 0.2 — both engines must use the
+# exact doubles Spark's F.lit(lam)/F.lit(1.0 - lam) carry.
+ORACLE["bigram_logprob"] = f"""
+WITH {_TOK_SQL},
+bg AS (
+  SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+  FROM tok, unnest(range(1, len(toks))) AS r(i)
+  WHERE len(toks) >= 2
+),
+docbg AS (SELECT doc_id, w1, w2, count(*) AS tf FROM bg GROUP BY 1, 2, 3),
+c12 AS (SELECT w1, w2, count(*) AS n12 FROM bg GROUP BY 1, 2),
+c1 AS (SELECT w1, sum(n12)::BIGINT AS n1 FROM c12 GROUP BY 1),
+uni AS (SELECT t.term, count(*) AS cf FROM tok, unnest(toks) AS t(term) GROUP BY 1),
+tot AS (SELECT sum(cf)::DOUBLE AS total FROM uni),
+s AS (
+  SELECT d.doc_id, sum(d.tf)::BIGINT AS n_bigrams,
+         sum(d.tf * ln(
+           CAST('{BIGRAM_LAM!r}' AS DOUBLE) * (c12.n12::DOUBLE / c1.n1::DOUBLE)
+           + CAST('{1.0 - BIGRAM_LAM!r}' AS DOUBLE) * (uni.cf::DOUBLE / t.total)
+         )) AS lp
+  FROM docbg d
+  JOIN c12 USING (w1, w2)
+  JOIN c1 USING (w1)
+  JOIN uni ON uni.term = d.w2
+  CROSS JOIN tot t
+  GROUP BY d.doc_id
+)
+SELECT doc_id, n_bigrams, round(lp / n_bigrams, 6) AS bigram_logprob FROM s"""
+
 ORACLE["top_ngrams"] = f"""
 WITH {_TOK_SQL},
 grams AS (
@@ -2917,6 +2959,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_pairs": _shipped(q_pmi_pairs),
         "corpus_stats": _shipped(q_corpus_stats),
         "unigram_logprob": _shipped(q_unigram_logprob),
+        "bigram_logprob": _shipped(q_bigram_logprob),
         "stream_dedup": _shipped(q_stream_dedup),
         "pii_redact": _shipped(q_pii_redact),
         "decontam": _shipped(q_decontam),

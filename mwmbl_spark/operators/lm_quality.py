@@ -26,8 +26,12 @@ convention every BM25 contract in this repo uses (sum-order noise is
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from mwmbl_spark.operators.repetition import ngrams_expr
 
 
 def term_frequencies(postings: DataFrame) -> DataFrame:
@@ -55,6 +59,105 @@ def unigram_logprob(postings: DataFrame, term_freqs: DataFrame | None = None) ->
         "doc_id",
         "doc_len",
         F.round(F.col("lp") / F.col("doc_len"), 6).alias("logprob_per_token"),
+    )
+
+
+def _doc_bigrams(docs: DataFrame, toks_col: str, id_col: str) -> DataFrame:
+    """(doc_id, w1, w2, tf) — per-document bigram counts. One explode +
+    one map-side-combined aggregation; the count grain (not raw
+    occurrences) is what every downstream join fans out over."""
+    pair = F.explode(ngrams_expr(F.col(toks_col), 2)).alias("gram")
+    split = docs.select(F.col(id_col).alias("doc_id"), pair).select(
+        "doc_id",
+        F.split_part("gram", F.lit(" "), F.lit(1)).alias("w1"),
+        F.split_part("gram", F.lit(" "), F.lit(2)).alias("w2"),
+    )
+    return split.groupBy("doc_id", "w1", "w2").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+
+
+@dataclass
+class BigramModel:
+    """Corpus bigram LM state, all as DataFrames (vocabulary-scale —
+    billions of rows at 100 TB, so NEVER collected): bigram counts,
+    context totals, unigram collection frequencies, and the 1-row
+    token total that rides broadcast crossJoins."""
+
+    c12: DataFrame  # (w1, w2, n12)
+    c1: DataFrame  # (w1, n1)
+    uni: DataFrame  # (term, cf)
+    total: DataFrame  # 1 row: (total,) double
+
+
+def train_bigram_model(
+    docs: DataFrame, toks_col: str = "toks", id_col: str = "doc_id"
+) -> BigramModel:
+    """Count-based corpus bigram model. c1 derives from c12 (one extra
+    map-side-combined aggregation over the vocabulary-grain table, not
+    a second corpus scan)."""
+    bg = _doc_bigrams(docs, toks_col, id_col)
+    c12 = bg.groupBy("w1", "w2").agg(F.sum("tf").alias("n12"))
+    c1 = c12.groupBy("w1").agg(F.sum("n12").alias("n1"))
+    uni = (
+        docs.select(F.explode(F.col(toks_col)).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cf"))
+    )
+    total = uni.agg(F.sum("cf").cast("double").alias("total"))
+    return BigramModel(c12=c12, c1=c1, uni=uni, total=total)
+
+
+def bigram_logprob(
+    docs: DataFrame,
+    model: BigramModel | None = None,
+    lam: float = 0.8,
+    toks_col: str = "toks",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, n_bigrams, bigram_logprob) — mean per-bigram natural-log
+    probability under a Jelinek-Mercer interpolated bigram LM trained
+    on the corpus itself (the KenLM-shaped upgrade of
+    ``unigram_logprob``; same CCNet filtering role, arXiv:1911.00359
+    §4.3, with real sequence context):
+
+        p(w2 | w1) = lam * (c(w1 w2) / c(w1 .)) + (1-lam) * (cf(w2) / T)
+
+    Always finite: every scored bigram was counted, so c12 >= tf >= 1.
+    Documents with < 2 tokens have no bigrams and drop out (nothing to
+    score).
+
+    Plan: per-doc bigram counts join the model on (w1, w2) then (w1)
+    then (w2) — three vocabulary-key shuffle joins (deliberately not
+    broadcast: the model IS the vocabulary) — then one (doc_id)
+    aggregation with partials. Train once via ``train_bigram_model``
+    and amortize across scoring epochs.
+
+    Float determinism: the interpolation is written with explicit
+    parentheses — lam * (n12/n1), NOT (lam*n12)/n1 — and the oracle
+    states the identical association; per-doc sum-order noise is
+    absorbed by the repo's round-6 convention.
+    """
+    m = model if model is not None else train_bigram_model(docs, toks_col, id_col)
+    bg = _doc_bigrams(docs, toks_col, id_col)
+    p = F.lit(lam) * (F.col("n12").cast("double") / F.col("n1").cast("double")) + F.lit(
+        1.0 - lam
+    ) * (F.col("cf").cast("double") / F.col("total"))
+    scored = (
+        bg.join(m.c12, ["w1", "w2"])
+        .join(m.c1, "w1")
+        .join(m.uni.withColumnRenamed("term", "w2"), "w2")
+        .crossJoin(F.broadcast(m.total))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_bigrams"),
+            F.sum(F.col("tf") * F.log(p)).alias("lp"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_bigrams",
+        F.round(F.col("lp") / F.col("n_bigrams"), 6).alias("bigram_logprob"),
     )
 
 
