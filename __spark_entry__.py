@@ -797,6 +797,24 @@ def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_length_stats(_docs_with_toks(spark, sf_dir))
 
 
+def q_bloom_unseen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom seen-set pre-filter (operators/bloom.py). Rows-only
+    contract: membership bits derive from JVM xxhash64, which ANSI SQL
+    can't restate — correctness (no false negatives, FPR) is
+    pytest-gated in tests/test_bloom.py."""
+    from mwmbl_spark.operators.bloom import bloom_parameters, build_bloom, filter_unseen
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    urls = docs.select(
+        F.concat(F.lit("https://corpus.example.org/doc/"), F.col("doc_id")).alias("url"),
+        "doc_id",
+    )
+    seen = urls.where(F.col("doc_id") % 3 == 0)
+    m, k = bloom_parameters(max(1, seen.count()), fpr=0.01)
+    bloom = build_bloom(seen, "url", m, k)
+    return filter_unseen(urls, "url", bloom).select("doc_id", "url")
+
+
 def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-duplicated span fractions (Lee et al. substring-dedup
     signal); n=3 so the small-vocab synthetic corpus produces binding
@@ -2964,6 +2982,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": _shipped(q_pii_redact),
         "decontam": _shipped(q_decontam),
         "dup_spans": _shipped(q_dup_spans),
+        "bloom_unseen": _shipped(q_bloom_unseen),
         "split_assign": _shipped(q_split_assign),
         "hash_sample": _shipped(q_hash_sample),
         "quota_sample": _shipped(q_quota_sample),
