@@ -789,6 +789,25 @@ def q_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pmi_pairs(_docs_with_toks(spark, sf_dir), min_df=PMI_MIN_DF, k=50)
 
 
+def q_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 tf-idf keywords (document tagging;
+    WindowGroupLimit per-doc cut)."""
+    from mwmbl_spark.operators.corpus_analytics import doc_keywords
+    from mwmbl_spark.operators.postings import build_postings
+
+    p = build_postings(_docs_as_transcripts(spark, sf_dir))
+    return doc_keywords(p, k=3)
+
+
+def q_domain_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain rollup + data-derived spam flag (corpus-wide exact-dup
+    fraction and mean length gates)."""
+    from mwmbl_spark.operators.corpus_analytics import domain_quality
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return domain_quality(docs, dup_frac_max=0.5, mean_chars_min=100.0)
+
+
 def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-row token-length distribution report (exact interpolated
     percentiles — cross-engine-pinnable; approx at true scale)."""
@@ -2180,6 +2199,42 @@ ranked AS (
 SELECT term_a, term_b, n_ab, df_a, df_b, pmi, rank
 FROM ranked WHERE rank <= 50"""
 
+ORACLE["doc_keywords"] = f"""
+WITH {_POST_SQL},
+nd AS (SELECT count(DISTINCT doc_id)::DOUBLE AS n FROM post),
+dft AS (SELECT term, count(*) AS df FROM post GROUP BY term),
+scored AS (
+  SELECT p.doc_id, p.term, p.tf, d.df,
+         round(p.tf::DOUBLE * ln(nd.n / d.df::DOUBLE), 6) AS tfidf
+  FROM post p JOIN dft d USING (term), nd
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+      ORDER BY tfidf DESC, tf DESC, term) AS rank
+  FROM scored
+)
+SELECT doc_id, term, tf, df, tfidf, rank FROM ranked WHERE rank <= 3"""
+
+ORACLE["domain_quality"] = """
+WITH hashed AS (
+  SELECT source AS domain, lang, length(text) AS n_chars,
+         md5(text) AS text_hash
+  FROM documents
+),
+freq AS (SELECT text_hash, count(*) AS n_copies FROM hashed GROUP BY 1),
+agg AS (
+  SELECT domain, count(*) AS n_docs, count(DISTINCT lang) AS n_langs,
+         round(avg(n_chars), 6) AS mean_chars,
+         round(sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END)
+               / count(*)::DOUBLE, 6) AS dup_frac
+  FROM hashed JOIN freq USING (text_hash)
+  GROUP BY domain
+)
+SELECT domain, n_docs, n_langs, mean_chars, dup_frac,
+       CASE WHEN dup_frac > 0.5 OR mean_chars < 100.0 THEN 1 ELSE 0 END
+         AS is_spam
+FROM agg"""
+
 ORACLE["corpus_stats"] = f"""
 WITH {_TOK_SQL},
 lens AS (SELECT len(toks) AS n_toks FROM tok)
@@ -2976,6 +3031,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_ngrams": _shipped(q_top_ngrams),
         "pmi_pairs": _shipped(q_pmi_pairs),
         "corpus_stats": _shipped(q_corpus_stats),
+        "doc_keywords": _shipped(q_doc_keywords),
+        "domain_quality": _shipped(q_domain_quality),
         "unigram_logprob": _shipped(q_unigram_logprob),
         "bigram_logprob": _shipped(q_bigram_logprob),
         "stream_dedup": _shipped(q_stream_dedup),

@@ -160,6 +160,91 @@ def pmi_pairs(
     )
 
 
+def doc_keywords(
+    postings: DataFrame, k: int = 3, min_df: int = 1
+) -> DataFrame:
+    """Top-``k`` characteristic terms per document by tf-idf
+    (idf = ln(N/df)): the document-tagging cut over the A12 feature
+    table. (doc_id, term, tf, df, tfidf, rank); ties break on term
+    text. The per-doc cut is a rank window partitioned by doc_id —
+    Catalyst inserts a map-side WindowGroupLimit before the shuffle,
+    so only k-ish rows per (partition, doc) travel."""
+    n_docs = postings.select(F.countDistinct("doc_id").cast("double").alias("n"))
+    df_t = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    if min_df > 1:
+        df_t = df_t.where(F.col("df") >= min_df)
+    scored = (
+        postings.join(df_t, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf").cast("double") * F.log(F.col("n") / F.col("df")),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf"), F.desc("tf"), F.asc("term")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )
+
+
+def domain_quality(
+    docs: DataFrame,
+    domain_col: str = "source",
+    text_col: str = "text",
+    dup_frac_max: float = 0.5,
+    mean_chars_min: float = 100.0,
+) -> DataFrame:
+    """Per-domain quality rollup + spam flag — the domain-level gate a
+    crawl pipeline applies before per-document filters (a domain whose
+    pages are mostly corpus-duplicates or near-empty is mirror/spam;
+    cf. the reference's hand-curated domain blacklist,
+    /root/reference/mwmbl/url_queue.py DOMAIN_BLACKLIST — this derives
+    the signal from the data instead).
+
+    (domain, n_docs, n_langs, mean_chars, dup_frac, is_spam) where
+    dup_frac is the fraction of the domain's docs whose exact text
+    (md5 of the raw string — 16 bytes shuffle per doc, never the text)
+    occurs more than once CORPUS-wide. Two aggregations: (text_hash)
+    then (domain), both map-side combined.
+    """
+    hashed = docs.select(
+        F.col(domain_col).alias("domain"),
+        F.col("lang"),
+        F.length(F.col(text_col)).alias("n_chars"),
+        F.md5(F.col(text_col)).alias("text_hash"),
+    )
+    freq = hashed.groupBy("text_hash").agg(F.count(F.lit(1)).alias("n_copies"))
+    agg = (
+        hashed.join(freq, "text_hash")
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.round(F.avg("n_chars"), 6).alias("mean_chars"),
+            F.round(
+                F.sum((F.col("n_copies") > 1).cast("int"))
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("dup_frac"),
+        )
+    )
+    return agg.withColumn(
+        "is_spam",
+        (
+            (F.col("dup_frac") > dup_frac_max)
+            | (F.col("mean_chars") < mean_chars_min)
+        ).cast("int"),
+    )
+
+
 def token_length_stats(
     docs: DataFrame, toks_col: str = "toks", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -90,3 +90,61 @@ def test_top_ngrams_distributed_topk_plan(spark):
         .toString()
     )
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_doc_keywords_ranks_distinctive_terms(spark):
+    from mwmbl_spark.operators.corpus_analytics import doc_keywords
+
+    # "rare" appears only in doc 0; "common" in all docs
+    rows = [
+        (0, "rare", 2), (0, "common", 5),
+        (1, "common", 3), (2, "common", 1),
+    ]
+    p = spark.createDataFrame(rows, "doc_id long, term string, tf long")
+    got = doc_keywords(p, k=1).collect()
+    top0 = [r for r in got if r.doc_id == 0][0]
+    assert top0.term == "rare"  # idf(common)=ln(1)=0 kills the high-tf term
+    assert top0.tfidf == round(2 * math.log(3.0 / 1.0), 6)
+
+
+def test_doc_keywords_plan_has_window_group_limit(spark):
+    from mwmbl_spark.operators.corpus_analytics import doc_keywords
+
+    p = spark.createDataFrame([(0, "t", 1)], "doc_id long, term string, tf long")
+    plan = doc_keywords(p, k=3)._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_domain_quality_flags(spark):
+    from mwmbl_spark.operators.corpus_analytics import domain_quality
+
+    long_text = "x" * 200
+    rows = (
+        # mirror.com: 3 docs, 2 share corpus-duplicated text
+        [("mirror.com", "en", "dup page " + "y" * 200)] * 2
+        + [("mirror.com", "en", long_text + "unique1")]
+        # good.org: 2 long unique docs, 2 langs
+        + [("good.org", "en", long_text + "a"), ("good.org", "fr", long_text + "b")]
+        # stub.net: short unique docs
+        + [("stub.net", "en", "tiny"), ("stub.net", "en", "small")]
+    )
+    docs = spark.createDataFrame(rows, "source string, lang string, text string")
+    got = {r.domain: r for r in domain_quality(docs).collect()}
+    assert got["mirror.com"].is_spam == 1  # dup_frac 2/3 > 0.5
+    assert got["mirror.com"].dup_frac == round(2 / 3, 6)
+    assert got["good.org"].is_spam == 0
+    assert got["good.org"].n_langs == 2
+    assert got["stub.net"].is_spam == 1  # mean_chars < 100
+
+
+def test_domain_quality_dup_is_corpus_wide(spark):
+    from mwmbl_spark.operators.corpus_analytics import domain_quality
+
+    # identical text on two DIFFERENT domains: both count as duplicated
+    t = "z" * 150
+    docs = spark.createDataFrame(
+        [("a.com", "en", t), ("b.com", "en", t)],
+        "source string, lang string, text string",
+    )
+    got = {r.domain: r.dup_frac for r in domain_quality(docs).collect()}
+    assert got == {"a.com": 1.0, "b.com": 1.0}
