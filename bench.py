@@ -248,6 +248,31 @@ def main() -> None:
         print(f"BENCH ERROR q13 setup: {exc}", file=sys.stderr)
         timings["q13_corpus_curation"] = -1.0
 
+    # q14: the corpus-analytics report — sessionized event transitions,
+    # corpus top bigrams, PMI collocations, and the interpolated bigram
+    # LM score, one number for the whole descriptive-analytics family
+    try:
+        from mwmbl_spark.operators.corpus_analytics import pmi_pairs, top_ngrams
+        from mwmbl_spark.operators.lm_quality import bigram_logprob
+        from mwmbl_spark.operators.sessions import transition_counts
+
+        adocs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", tokenize_pd(F.col("text")).alias("toks")
+        )
+        aev = spark.read.parquet(f"{sf_dir}/events.parquet")
+
+        def analytics_report():
+            n = transition_counts(aev, gap_minutes=720.0).count()
+            n += top_ngrams(adocs, n=2, k=20).count()
+            n += pmi_pairs(adocs, min_df=60, k=50).count()
+            n += bigram_logprob(adocs).count()
+            return n
+
+        timed("q14_corpus_analytics", analytics_report)
+    except Exception as exc:  # noqa: BLE001
+        print(f"BENCH ERROR q14 setup: {exc}", file=sys.stderr)
+        timings["q14_corpus_analytics"] = -1.0
+
     build_s = timings.get("q1_index_build", -1.0)
     total = round(sum(v for k, v in timings.items() if v > 0 and k in CORE), 4)
     print(
