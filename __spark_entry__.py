@@ -312,6 +312,56 @@ def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TT_BUILDERS: dict = {}
+
+
+def q_time_travel_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SNAPSHOT (time-travel) read — plans/build_index.query_topk(as_of=)
+    over the seq-versioned manifest (manifest.partition_seqs(as_of=),
+    Delta/Iceberg VERSION-AS-OF semantics; the reference's single
+    mutable mmap index has no analogue, indexer.py). The index is
+    built, then UPSERTED (re-crawled versions of every doc_id%10==3
+    plus new docs) and doc_id%10==6 DELETED — and the query asks for
+    the state as of the pre-mutation commit. The oracle is plain BM25
+    over the ORIGINAL corpus: the snapshot must be hash-identical to
+    it, proving as-of fragment selection, delete-vector seq filtering,
+    and stats rollback are all exact."""
+    import tempfile
+
+    from mwmbl_spark.plans.build_index import IndexBuilder, IndexConfig
+
+    key = (id(spark), sf_dir)
+    ent = _TT_BUILDERS.get(key)
+    if ent is None:
+        t = _docs_as_transcripts(spark, sf_dir)
+        cfg = IndexConfig(
+            path=tempfile.mkdtemp(prefix="mwmbl_tt_idx_"),
+            num_buckets=32, nsalt=8, n_src_partitions=4,
+        )
+        b = IndexBuilder(spark, cfg)
+        b.build(t)
+        snap = b.current_seq()
+        updated = t.where(F.col("doc_id") % 10 == 3).select(
+            "doc_id",
+            F.concat(F.col("text"), F.lit(" spark upsert refreshed")).alias("text"),
+        )
+        new = t.where(F.col("doc_id") % 25 == 7).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat(
+                F.lit("fresh upsert spark doc "), (F.col("doc_id") % 7).cast("string")
+            ).alias("text"),
+        )
+        b.upsert(updated.unionByName(new))
+        b.delete_docs(t.where(F.col("doc_id") % 10 == 6).select("doc_id"))
+        ent = (b, snap)
+        _TT_BUILDERS[key] = ent
+    b, snap = ent
+    out = b.query_topk(_queries_df(spark), k=10, as_of=snap)
+    return out.select(
+        "query_id", "doc_id", F.round("score", 6).alias("score"), "rank"
+    )
+
+
 def _web_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents dressed as web docs (title/url/extract/score/state)."""
     return spark.read.parquet(f"{sf_dir}/documents.parquet").select(
@@ -1644,6 +1694,10 @@ stream_docs AS (
   FROM documents
 ),
 """)
+
+# time-travel: the snapshot captured BEFORE the upsert/delete mutations
+# must equal plain BM25 over the ORIGINAL corpus — bit-identical scores
+ORACLE["time_travel_topk"] = _bm25_sql("")
 
 _WAND_CUR_VALUES = ", ".join(
     f"('{t}', {p}, {d}, {'NULL' if s is None else s})"
@@ -2996,6 +3050,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "upsert_topk": _shipped(q_upsert_topk),
         "compacted_topk": _shipped(q_compacted_topk),
         "stream_topk": _shipped(q_stream_topk),
+        "time_travel_topk": _shipped(q_time_travel_topk),
         "search_candidates": _shipped(q_search_candidates),
         "search_candidates_capped": _shipped(q_search_candidates_capped),
         "search_pipeline": _shipped(q_search_pipeline),

@@ -105,12 +105,27 @@ def _read_rows(spark: SparkSession, index_path: str) -> list[dict]:
     return rows
 
 
-def partition_seqs(spark: SparkSession, index_path: str) -> dict[str, int]:
+def partition_seqs(
+    spark: SparkSession, index_path: str, as_of: int | None = None
+) -> dict[str, int]:
     """LIVE fragments -> commit seq. A fragment is live when it is
     INDEXED and not listed in any committed fragment's ``replaces``
     (compaction supersedes its inputs logically before any physical
-    vacuum). Re-commits of the same src_part keep the max seq."""
+    vacuum). Re-commits of the same src_part keep the max seq.
+
+    ``as_of``: TIME TRAVEL — reconstruct the live set as it stood right
+    after commit seq ``as_of``: manifest rows with a larger seq are
+    ignored, so a later compaction's ``replaces`` does not hide the
+    fragments it merged and later upserts' fragments are invisible.
+    Seqs are globally monotonic (``next_seq``), which makes the commit
+    log totally ordered — the same property Delta/Iceberg snapshot
+    isolation rests on. A snapshot stays READABLE only while its
+    fragment files survive, i.e. until ``compact(vacuum=True)``
+    physically removes replaced directories (exactly Delta's
+    VACUUM-breaks-time-travel contract)."""
     rows = [r for r in _read_rows(spark, index_path) if r["status"] == STATUS_INDEXED]
+    if as_of is not None:
+        rows = [r for r in rows if r["seq"] <= as_of]
     seqs: dict[str, int] = {}
     replaced: set[str] = set()
     for r in rows:
@@ -149,6 +164,17 @@ def ever_committed_partitions(spark: SparkSession, index_path: str) -> set[str]:
         for r in _read_rows(spark, index_path)
         if r["status"] == STATUS_INDEXED
     }
+
+
+def current_seq(spark: SparkSession, index_path: str) -> int:
+    """Max committed seq (0 = empty index): the snapshot handle a caller
+    captures BEFORE a mutation to time-travel back to it later via
+    ``partition_seqs(..., as_of=...)`` / ``IndexBuilder.query_topk(...,
+    as_of=...)``."""
+    rows = _read_rows(spark, index_path)
+    return max(
+        (r["seq"] for r in rows if r["status"] == STATUS_INDEXED), default=0
+    )
 
 
 def next_seq(spark: SparkSession, index_path: str) -> int:

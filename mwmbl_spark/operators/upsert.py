@@ -91,7 +91,9 @@ def write_delete_vector(
     pq.write_table(pa.table(cols), os.path.join(d, "part-0.parquet"))
 
 
-def load_delete_map(index_path: str, live_seqs: dict[str, int]) -> DeleteMap:
+def load_delete_map(
+    index_path: str, live_seqs: dict[str, int], as_of: int | None = None
+) -> DeleteMap:
     """Merge the delete vectors of live fragments into per-salt sorted
     arrays (doc_id asc, max delete-seq per doc). A row's delete seq is
     its ``seq`` column when present (compaction-carried rows), else the
@@ -101,7 +103,15 @@ def load_delete_map(index_path: str, live_seqs: dict[str, int]) -> DeleteMap:
     carried rows always have seq < the fragment's own seq, so the
     per-fragment fast skip below stays valid). Local paths read
     driver-side (vectors are small between compactions); on a real
-    cluster this is Iceberg delete-file planning."""
+    cluster this is Iceberg delete-file planning.
+
+    ``as_of``: TIME TRAVEL — drop delete rows committed after snapshot
+    ``as_of`` (callers pass the matching as-of live set from
+    manifest.partition_seqs). Fragment-level filtering alone is NOT
+    enough: a minor compaction carries older vectors forward at their
+    original per-row seqs inside a newer fragment, and conversely every
+    row of an as-of-live fragment already satisfies ``seq <= as_of`` —
+    so the row-level guard below is both necessary and sufficient."""
     import glob
 
     import pyarrow.parquet as pq
@@ -136,7 +146,7 @@ def load_delete_map(index_path: str, live_seqs: dict[str, int]) -> DeleteMap:
             for s, doc, rs in zip(
                 t.column("salt").to_pylist(), t.column("doc_id").to_pylist(), row_seqs
             ):
-                if rs > min_live:
+                if rs > min_live and (as_of is None or rs <= as_of):
                     per_salt.setdefault(int(s), []).append((int(doc), rs))
     out: DeleteMap = {}
     total = 0

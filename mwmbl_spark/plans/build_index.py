@@ -116,10 +116,47 @@ class IndexBuilder:
         # ADVICE r3) — and unpersisted when the live set changes.
         self._deletes_cache: tuple[tuple, dict, object] | None = None
 
-    def _live(self) -> dict[str, int]:
+    def _live(self, as_of: int | None = None) -> dict[str, int]:
         from mwmbl_spark.manifest import partition_seqs
 
-        return partition_seqs(self.spark, self.cfg.path)
+        return partition_seqs(self.spark, self.cfg.path, as_of=as_of)
+
+    def current_seq(self) -> int:
+        """Snapshot handle: capture before a mutation, pass back as
+        ``as_of`` to read the index as it stood at that commit."""
+        from mwmbl_spark.manifest import current_seq
+
+        return current_seq(self.spark, self.cfg.path)
+
+    def _check_snapshot_readable(self, live: dict[str, int], as_of: int) -> None:
+        """Fail LOUDLY when a time-travel read targets fragments whose
+        files a later ``compact(vacuum=True)`` physically removed —
+        otherwise the parquet reader would silently return partial data.
+        Local driver-side existence probe (the same convention as the
+        manifest/delete-vector readers); non-local paths defer to the
+        table format's own snapshot expiry errors."""
+        base = self.cfg.path
+        if "://" in base and not base.startswith("file://"):
+            return
+        import os
+
+        root = base.removeprefix("file://")
+        # every committed fragment carries AT LEAST a stats directory
+        # (delete-only fragments have no segments dir); vacuum removes
+        # all five per-fragment dirs, so "no stats and no segments"
+        # means physically gone
+        gone = [
+            p for p in live
+            if not os.path.isdir(os.path.join(root, "stats", f"src_part={p}"))
+            and not os.path.isdir(os.path.join(root, "segments", f"src_part={p}"))
+        ]
+        if gone:
+            raise FileNotFoundError(
+                f"snapshot as_of={as_of} is no longer readable: fragment(s) "
+                f"{sorted(gone)} were vacuumed by a later compaction — "
+                "retain history with compact(vacuum=False) to time-travel "
+                "across compactions"
+            )
 
     # -- source partitioning ------------------------------------------------
     def src_partition_col(self):
@@ -296,16 +333,20 @@ class IndexBuilder:
             ).cast("long"),
         )
 
-    def segments(self) -> DataFrame:
+    def segments(self, as_of: int | None = None) -> DataFrame:
         segs = self.spark.read.option("basePath", f"{self.cfg.path}/segments").parquet(
             f"{self.cfg.path}/segments"
         )
         # only live committed partitions are visible (crash-orphans and
         # compaction-replaced fragments filtered); seq drives the
-        # delete-vector masking in the kernel
-        return self._with_seq(segs, self._live())
+        # delete-vector masking in the kernel. ``as_of`` reads the live
+        # set of an earlier snapshot instead (time travel).
+        live = self._live(as_of)
+        if as_of is not None:
+            self._check_snapshot_readable(live, as_of)
+        return self._with_seq(segs, live)
 
-    def doc_index(self) -> DataFrame:
+    def doc_index(self, as_of: int | None = None) -> DataFrame:
         """(salt, doc_id, doc_len, src_part, seq) over live fragments.
         A doc's LATEST row (max seq, not superseded by a delete vector)
         is its current version."""
@@ -317,7 +358,7 @@ class IndexBuilder:
             return self.spark.createDataFrame(
                 [], "salt int, doc_id long, doc_len long, src_part string, seq long"
             )
-        return self._with_seq(di, self._live())
+        return self._with_seq(di, self._live(as_of))
 
     def delete_map(self) -> dict:
         """Merged per-salt delete vectors for the current live set
@@ -382,8 +423,14 @@ class IndexBuilder:
         )
         return int(ds["n"] or 0), int(ds["s"] or 0)
 
-    def global_stats(self) -> tuple[DataFrame, int, float]:
-        done = list(self._live())
+    def global_stats(self, as_of: int | None = None) -> tuple[DataFrame, int, float]:
+        """Corpus-wide (term df/cf table, n_docs, avg_len). ``as_of``
+        rolls the stats back to an earlier snapshot: stats fragments are
+        immutable once committed and upsert deltas live in their own
+        fragment directories, so summing only the as-of live fragments
+        reproduces the snapshot's exact df/cf/N/avgdl — and therefore
+        bit-identical BM25 scores (gated by tests/test_time_travel.py)."""
+        done = list(self._live(as_of))
         stats = (
             self.spark.read.option("basePath", f"{self.cfg.path}/stats")
             .parquet(f"{self.cfg.path}/stats")
@@ -394,7 +441,7 @@ class IndexBuilder:
             # re-crawled without it); a fresh build has no such row
             .where(F.col("df") > 0)
         )
-        n_docs, sum_len = self.doc_totals()
+        n_docs, sum_len = self.doc_totals(parts=done)
         avg_len = sum_len / max(1, n_docs)
         return stats, n_docs, avg_len
 
@@ -414,11 +461,38 @@ class IndexBuilder:
         return stats, n_docs, avg_len
 
     def query_topk(
-        self, queries: DataFrame, k: int = 10, mode: str = "disjunctive"
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        mode: str = "disjunctive",
+        as_of: int | None = None,
     ) -> DataFrame:
-        stats, n_docs, avg_len = self.cached_global_stats()
+        """BM25/MaxScore top-k over the live index — or, with ``as_of``,
+        over the index AS OF an earlier commit seq (time travel: audits,
+        before/after ranking diffs, reproducing a past serving state).
+        The as-of path deliberately bypasses the stats/delete-map memo
+        caches (they key the CURRENT live set; audit queries are rare
+        and must not thrash the serving caches) — it pays its own stats
+        jobs and a per-call delete-map broadcast."""
+        if as_of is not None:
+            from mwmbl_spark.operators.upsert import load_delete_map
+
+            live = self._live(as_of)
+            self._check_snapshot_readable(live, as_of)
+            stats, n_docs, avg_len = self.global_stats(as_of=as_of)
+            deletes = load_delete_map(self.cfg.path, live, as_of=as_of) or None
+            segs = self._with_seq(
+                self.spark.read.option(
+                    "basePath", f"{self.cfg.path}/segments"
+                ).parquet(f"{self.cfg.path}/segments"),
+                live,
+            )
+        else:
+            stats, n_docs, avg_len = self.cached_global_stats()
+            deletes = self.delete_broadcast()
+            segs = self.segments()
         return wand_topk(
-            self.segments(),
+            segs,
             stats,
             queries,
             n_docs,
@@ -426,7 +500,7 @@ class IndexBuilder:
             k=k,
             mode=mode,
             num_buckets=self.cfg.num_buckets,
-            deletes=self.delete_broadcast(),
+            deletes=deletes,
         )
 
     # -- doc-level updates (merge-on-read; operators/upsert.py) ---------------

@@ -1,0 +1,136 @@
+"""Snapshot (time-travel) reads over the seq-versioned index.
+
+The reference keeps exactly one mutable index state (mmap'd page store,
+/root/reference/mwmbl/tinysearchengine/indexer.py) — a past state is
+unrecoverable once a batch merges. The lakehouse layout this engine
+already uses (monotonic commit seqs, immutable fragment directories,
+per-row-seq delete vectors, manifest ``replaces``) gives history for
+free: ``partition_seqs(as_of=)`` reconstructs any past live set and
+``IndexBuilder.query_topk(as_of=)`` serves BM25 over it — Delta/Iceberg
+``VERSION AS OF`` semantics, including the vacuum-breaks-time-travel
+contract.
+
+The gate is the strongest available: a snapshot query must be
+hash-identical (doc order AND scores) to a fresh build over the corpus
+as it stood at that commit.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mwmbl_spark.plans.build_index import IndexBuilder, IndexConfig
+from mwmbl_spark.synth import synth_transcripts, with_doc_id
+
+QUERIES = [
+    (0, "w0001 w0002"),
+    (1, "the spark"),
+    (2, "w0000 w0007 w0019"),
+    (3, "refreshed corpus"),
+]
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return with_doc_id(
+        synth_transcripts(spark, n_conv=30, turns_per_conv=4, seed=41)
+    ).cache()
+
+
+def _updated(df):
+    return df.where(F.col("doc_id") % 5 == 2).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" refreshed corpus refreshed"))
+    )
+
+
+def _query(spark, builder, as_of=None, k=10):
+    qdf = spark.createDataFrame(QUERIES, "query_id long, query string")
+    out = builder.query_topk(qdf, k=k, as_of=as_of)
+    return [
+        (r["query_id"], r["doc_id"], round(r["score"], 9))
+        for r in out.orderBy("query_id", "rank").collect()
+    ]
+
+
+def _build(spark, df, tmp_path, name, parts=3):
+    cfg = IndexConfig(
+        path=str(tmp_path / name), num_buckets=16, nsalt=4, n_src_partitions=parts
+    )
+    b = IndexBuilder(spark, cfg)
+    b.build(df)
+    return b
+
+
+@pytest.fixture(scope="module")
+def history(spark, corpus, tmp_path_factory):
+    """One index driven through build -> upsert -> delete, with the
+    snapshot seq and the live query results captured at each stage."""
+    tmp = tmp_path_factory.mktemp("tt")
+    b = _build(spark, corpus, tmp, "idx")
+    stages = [(b.current_seq(), _query(spark, b))]
+    b.upsert(_updated(corpus))
+    stages.append((b.current_seq(), _query(spark, b)))
+    b.delete_docs(corpus.where(F.col("doc_id") % 5 == 1).select("doc_id"))
+    stages.append((b.current_seq(), _query(spark, b)))
+    return b, stages, tmp
+
+
+def test_seqs_strictly_increase(history):
+    _, stages, _ = history
+    seqs = [s for s, _ in stages]
+    assert seqs == sorted(set(seqs)) and seqs[0] >= 1
+
+
+def test_snapshot_reads_reproduce_each_stage(spark, history):
+    b, stages, _ = history
+    for as_of, want in stages:
+        assert _query(spark, b, as_of=as_of) == want
+    # the newest snapshot IS the live view
+    assert _query(spark, b, as_of=stages[-1][0]) == _query(spark, b)
+
+
+def test_snapshot_equals_fresh_build_of_past_corpus(spark, corpus, history, tmp_path):
+    """as_of the pre-mutation seq == a from-scratch index of the
+    ORIGINAL corpus: same docs, same scores (exact df/cf/N/avgdl)."""
+    b, stages, _ = history
+    fresh = _build(spark, corpus, tmp_path, "fresh_orig")
+    assert _query(spark, b, as_of=stages[0][0]) == _query(spark, fresh)
+    s_tt, n_tt, avg_tt = b.global_stats(as_of=stages[0][0])
+    s_fr, n_fr, avg_fr = fresh.global_stats()
+    assert n_tt == n_fr and abs(avg_tt - avg_fr) < 1e-12
+    rows = lambda s: sorted(  # noqa: E731
+        (r["term"], int(r["df"]), int(r["cf"])) for r in s.collect()
+    )
+    assert rows(s_tt) == rows(s_fr)
+
+
+def test_time_travel_across_compaction_without_vacuum(spark, history):
+    """compact(vacuum=False) keeps replaced fragment files on disk, so
+    every earlier snapshot stays readable and identical — and the live
+    view is unchanged by the compaction itself."""
+    b, stages, _ = history
+    live_before = _query(spark, b)
+    assert b.compact(vacuum=False) is not None
+    assert _query(spark, b) == live_before
+    for as_of, want in stages:
+        assert _query(spark, b, as_of=as_of) == want
+
+
+def test_vacuum_breaks_old_snapshots_loudly(spark, corpus, tmp_path):
+    """After compact(vacuum=True) the pre-compaction snapshot's files
+    are gone: the read must FAIL with an actionable error, never return
+    silently partial results."""
+    b = _build(spark, corpus, tmp_path, "idx_vac", parts=2)
+    s0 = b.current_seq()
+    b.upsert(_updated(corpus))
+    assert b.compact(vacuum=True) is not None
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        _query(spark, b, as_of=s0)
+    # the post-compaction snapshot (== live) still reads fine
+    assert _query(spark, b, as_of=b.current_seq()) == _query(spark, b)
+
+
+def test_as_of_zero_is_empty_index(spark, history):
+    b, _, _ = history
+    assert b._live(as_of=0) == {}
