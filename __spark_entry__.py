@@ -362,6 +362,62 @@ def q_time_travel_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-level CHANGE LOG between two index snapshots
+    (plans/build_index.snapshot_diff): full-outer join of the two
+    snapshots' alive-doc sets (doc_index + delete-vector seq rules at
+    doc grain). Against the same mutated index as time_travel_topk, the
+    diff from the pre-mutation snapshot to the live state must be
+    exactly: every doc_id%10==3 'updated', every new +1000000 doc
+    'added', every doc_id%10==6 'deleted' — the oracle states those
+    classes directly over the documents table."""
+    b, snap = _TT_BUILDERS.get((id(spark), sf_dir)) or (None, None)
+    if b is None:
+        q_time_travel_topk(spark, sf_dir)  # builds + mutates + caches
+        b, snap = _TT_BUILDERS[(id(spark), sf_dir)]
+    return b.snapshot_diff(snap, b.current_seq()).select("doc_id", "change")
+
+
+_RESTORE_BUILDERS: dict = {}
+
+
+def q_restore_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLBACK (plans/build_index.restore — Delta RESTORE analogue):
+    after the same upsert+delete mutations, restore(as_of=pre-mutation)
+    re-materializes the snapshot as the new live state; a plain LIVE
+    query must then hash-equal BM25 over the ORIGINAL corpus. Distinct
+    from time_travel_topk: that reads the past without touching the
+    index, this one rewrites the live state (and the restored index is
+    queried through the normal serving path, caches and all)."""
+    import tempfile
+
+    from mwmbl_spark.plans.build_index import IndexBuilder, IndexConfig
+
+    key = (id(spark), sf_dir)
+    b = _RESTORE_BUILDERS.get(key)
+    if b is None:
+        t = _docs_as_transcripts(spark, sf_dir)
+        cfg = IndexConfig(
+            path=tempfile.mkdtemp(prefix="mwmbl_restore_idx_"),
+            num_buckets=32, nsalt=8, n_src_partitions=4,
+        )
+        b = IndexBuilder(spark, cfg)
+        b.build(t)
+        snap = b.current_seq()
+        updated = t.where(F.col("doc_id") % 10 == 3).select(
+            "doc_id",
+            F.concat(F.col("text"), F.lit(" spark upsert refreshed")).alias("text"),
+        )
+        b.upsert(updated)
+        b.delete_docs(t.where(F.col("doc_id") % 10 == 6).select("doc_id"))
+        b.restore(snap)
+        _RESTORE_BUILDERS[key] = b
+    out = b.query_topk(_queries_df(spark), k=10)
+    return out.select(
+        "query_id", "doc_id", F.round("score", 6).alias("score"), "rank"
+    )
+
+
 def _web_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents dressed as web docs (title/url/extract/score/state)."""
     return spark.read.parquet(f"{sf_dir}/documents.parquet").select(
@@ -1698,6 +1754,19 @@ stream_docs AS (
 # time-travel: the snapshot captured BEFORE the upsert/delete mutations
 # must equal plain BM25 over the ORIGINAL corpus — bit-identical scores
 ORACLE["time_travel_topk"] = _bm25_sql("")
+
+# rollback: after restore(as_of=pre-mutation), the LIVE index equals
+# plain BM25 over the ORIGINAL corpus again
+ORACLE["restore_topk"] = _bm25_sql("")
+
+# snapshot diff pre-mutation -> live: the mutation recipe stated as SQL
+ORACLE["snapshot_diff"] = """
+SELECT doc_id, 'updated' AS change FROM documents WHERE doc_id % 10 = 3
+UNION ALL
+SELECT doc_id + 1000000 AS doc_id, 'added' AS change
+FROM documents WHERE doc_id % 25 = 7
+UNION ALL
+SELECT doc_id, 'deleted' AS change FROM documents WHERE doc_id % 10 = 6"""
 
 _WAND_CUR_VALUES = ", ".join(
     f"('{t}', {p}, {d}, {'NULL' if s is None else s})"
@@ -3051,6 +3120,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compacted_topk": _shipped(q_compacted_topk),
         "stream_topk": _shipped(q_stream_topk),
         "time_travel_topk": _shipped(q_time_travel_topk),
+        "snapshot_diff": _shipped(q_snapshot_diff),
+        "restore_topk": _shipped(q_restore_topk),
         "search_candidates": _shipped(q_search_candidates),
         "search_candidates_capped": _shipped(q_search_candidates_capped),
         "search_pipeline": _shipped(q_search_pipeline),

@@ -503,6 +503,134 @@ class IndexBuilder:
             deletes=deletes,
         )
 
+    # -- snapshot history (time travel; manifest seq versioning) --------------
+    def alive_docs(self, as_of: int | None = None) -> DataFrame:
+        """(doc_id, seq, salt, doc_len) of each doc's latest ALIVE
+        version — live view, or AS OF an earlier snapshot. A doc is
+        alive iff its max-seq doc_index row is not superseded by a
+        delete-vector row with a larger seq (the kernel's dead_mask rule
+        at doc grain). Distributed: one groupBy over the slim
+        one-row-per-doc sidecar plus a broadcast of the delete pairs."""
+        di = self.doc_index(as_of)
+        latest = di.groupBy("doc_id").agg(
+            F.max("seq").alias("seq"),
+            F.max_by("doc_len", "seq").alias("doc_len"),
+            F.max_by("salt", "seq").alias("salt"),
+        )
+        dels = self._delete_pairs_df(as_of)
+        if dels is not None:
+            latest = (
+                latest.join(F.broadcast(dels), "doc_id", "left")
+                .where(F.col("del_seq").isNull() | (F.col("del_seq") <= F.col("seq")))
+                .drop("del_seq")
+            )
+        return latest
+
+    def snapshot_diff(self, from_seq: int, to_seq: int) -> DataFrame:
+        """Doc-level change log between two snapshots:
+        (doc_id, change ∈ {'added','updated','deleted'}) — the audit a
+        re-crawl epoch review or an incremental downstream consumer
+        (e.g. a dedup/embedding refresh job) reads instead of re-diffing
+        corpora. Pure DataFrame full-outer join of the two alive sets;
+        an 'updated' doc is alive in both at different seqs (every
+        upsert commits a new seq, so version identity == seq
+        identity)."""
+        a = self.alive_docs(as_of=from_seq).select(
+            "doc_id", F.col("seq").alias("seq_a")
+        )
+        b = self.alive_docs(as_of=to_seq).select(
+            "doc_id", F.col("seq").alias("seq_b")
+        )
+        return (
+            a.join(b, "doc_id", "full_outer")
+            .withColumn(
+                "change",
+                F.when(F.col("seq_a").isNull(), F.lit("added"))
+                .when(F.col("seq_b").isNull(), F.lit("deleted"))
+                .when(F.col("seq_a") != F.col("seq_b"), F.lit("updated")),
+            )
+            .where(F.col("change").isNotNull())
+            .select("doc_id", "change")
+        )
+
+    def restore(self, as_of: int, vacuum: bool = False) -> str:
+        """Roll the LIVE index back to snapshot ``as_of`` (Delta RESTORE
+        analogue — the escape hatch after a bad re-crawl epoch or a
+        poisoned upsert): re-materialize the snapshot's surviving
+        postings into ONE consolidated fragment that replaces every
+        currently-live fragment. Queries afterwards are hash-identical
+        to querying ``as_of`` directly (tests/test_time_travel.py).
+
+        Unlike Delta's metadata-only RESTORE this rewrites data — by
+        necessity, not convenience: posting seqs drive delete-vector
+        masking, so re-pointing the manifest at old fragments while
+        newer fragments' vectors remain committed would mis-apply them;
+        the rewrite re-tags the snapshot at a fresh top seq with no
+        vectors at all (same invariant as a full compaction). Cost is
+        one compaction of the SNAPSHOT (not of live), partition-parallel.
+
+        ``vacuum`` defaults False — restore is precisely the operation
+        you want history retained for (restore-the-restore, postmortem
+        diffs); pass True to reclaim the replaced fragments' files."""
+        from mwmbl_spark.manifest import commit_partition, next_seq
+        from mwmbl_spark.operators.upsert import decode_segments, load_delete_map
+
+        t0 = time.perf_counter()
+        live_old = self._live(as_of)
+        if not live_old:
+            raise ValueError(f"nothing to restore: snapshot as_of={as_of} is empty")
+        self._check_snapshot_readable(live_old, as_of)
+        base = self.cfg.path
+        live_now = self._live()
+        seq = next_seq(self.spark, base)
+        part = f"r{seq}"
+        dm = load_delete_map(base, live_old, as_of=as_of)
+        segs_in = self._with_seq(
+            self.spark.read.option("basePath", f"{base}/segments").parquet(
+                f"{base}/segments"
+            ),
+            live_old,
+        )
+        posts = decode_segments(segs_in, dm).select("term", "doc_id", "tf", "doc_len")
+        stats = (
+            self.spark.read.option("basePath", f"{base}/stats")
+            .parquet(f"{base}/stats")
+            .where(F.col("src_part").cast("string").isin(list(live_old)))
+            .groupBy("term")
+            .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
+            .where(F.col("df") > 0)  # full-snapshot roll-up nets every delta
+        )
+        n_docs_s, sum_len_s = self.doc_totals(parts=list(live_old))
+        avg_s = (sum_len_s / n_docs_s) if n_docs_s > 0 else 1.0
+        segs = build_segments(
+            posts, None, stats, max(n_docs_s, 0), avg_s,
+            self.cfg.num_buckets, self.cfg.nsalt,
+        )
+        self._write_segments(segs, part)
+        stats.write.mode("overwrite").parquet(f"{base}/stats/src_part={part}")
+        _write_doc_stats(f"{base}/doc_stats/src_part={part}", n_docs_s, sum_len_s)
+        self.alive_docs(as_of=as_of).select("salt", "doc_id", "doc_len").write.mode(
+            "overwrite"
+        ).parquet(f"{base}/doc_index/src_part={part}")
+        n_postings = int(stats.agg(F.sum("df").alias("s")).collect()[0]["s"] or 0)
+        wall_ms = int((time.perf_counter() - t0) * 1000)
+        commit_partition(
+            self.spark, base, part, n_docs_s, n_postings, wall_ms,
+            seq=seq, replaces=list(live_now),
+        )
+        if vacuum:
+            import shutil
+
+            local = base.removeprefix("file://")
+            if "://" not in local:
+                for old in live_now:
+                    for sub in ("segments", "stats", "doc_stats", "doc_index", "deletes"):
+                        shutil.rmtree(
+                            os.path.join(local, sub, f"src_part={old}"),
+                            ignore_errors=True,
+                        )
+        return part
+
     # -- doc-level updates (merge-on-read; operators/upsert.py) ---------------
     def _superseded(self, new_ids: DataFrame) -> list:
         """Latest ALIVE version of each doc in ``new_ids`` that already
@@ -544,11 +672,16 @@ class IndexBuilder:
             out.append(r)
         return out
 
-    def _delete_pairs_df(self) -> DataFrame | None:
+    def _delete_pairs_df(self, as_of: int | None = None) -> DataFrame | None:
         """The merged delete map as (doc_id, del_seq) rows (None when
         empty) — lets the distributed planning path apply the
         already-dead exclusion as a join instead of a driver loop."""
-        dm = self.delete_map()
+        if as_of is not None:
+            from mwmbl_spark.operators.upsert import load_delete_map
+
+            dm = load_delete_map(self.cfg.path, self._live(as_of), as_of=as_of)
+        else:
+            dm = self.delete_map()
         if not dm:
             return None
         import pandas as pd
