@@ -418,6 +418,25 @@ def q_restore_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE subword encoding (operators/bpe.py — Sennrich et al. 2016)
+    with a FIXED two-merge vocabulary [('e','</w>'), ('t','h')], chosen
+    because its subword counts have a closed form the oracle can state
+    in SQL: per token, len+1 chars+EOW symbols, minus 1 if the token
+    ends in 'e' (the e+</w> merge), minus the number of non-overlapping
+    'th' occurrences (the t+h merge — replace() scans left-to-right
+    exactly like the greedy merge pass; the two merges share no symbol
+    so they can't interact). LEARNING is gated by tests/test_bpe.py
+    (hand-checked Sennrich merges, distributed==driver parity,
+    encode==replay-reference) — merge selection is iterative and not
+    reasonably SQL-expressible."""
+    from mwmbl_spark.operators.bpe import END_OF_WORD, bpe_encode
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    enc = bpe_encode(docs, [("e", END_OF_WORD), ("t", "h")])
+    return enc.select("doc_id", "n_subwords")
+
+
 def _web_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents dressed as web docs (title/url/extract/score/state)."""
     return spark.read.parquet(f"{sf_dir}/documents.parquet").select(
@@ -1767,6 +1786,22 @@ SELECT doc_id + 1000000 AS doc_id, 'added' AS change
 FROM documents WHERE doc_id % 25 = 7
 UNION ALL
 SELECT doc_id, 'deleted' AS change FROM documents WHERE doc_id % 10 = 6"""
+
+# BPE encoding with the fixed [('e','</w>'), ('t','h')] vocabulary:
+# per token len+1 symbols, -1 if it ends in 'e', minus non-overlapping
+# 'th' count (replace() scans left-to-right == the greedy merge pass)
+ORACLE["bpe_encode"] = f"""WITH {_TOK_SQL},
+per_tok AS (
+  SELECT doc_id,
+         len(w) + 1
+         - (CASE WHEN w LIKE '%e' THEN 1 ELSE 0 END)
+         - (len(w) - len(replace(w, 'th', ''))) // 2 AS n_sub
+  FROM (SELECT doc_id, unnest(toks) AS w FROM tok)
+)
+SELECT t.doc_id, coalesce(s.n, 0)::BIGINT AS n_subwords
+FROM tok t
+LEFT JOIN (SELECT doc_id, sum(n_sub) AS n FROM per_tok GROUP BY doc_id) s
+  USING (doc_id)"""
 
 _WAND_CUR_VALUES = ", ".join(
     f"('{t}', {p}, {d}, {'NULL' if s is None else s})"
@@ -3122,6 +3157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_travel_topk": _shipped(q_time_travel_topk),
         "snapshot_diff": _shipped(q_snapshot_diff),
         "restore_topk": _shipped(q_restore_topk),
+        "bpe_encode": _shipped(q_bpe_encode),
         "search_candidates": _shipped(q_search_candidates),
         "search_candidates_capped": _shipped(q_search_candidates_capped),
         "search_pipeline": _shipped(q_search_pipeline),

@@ -273,6 +273,25 @@ def main() -> None:
         print(f"BENCH ERROR q14 setup: {exc}", file=sys.stderr)
         timings["q14_corpus_analytics"] = -1.0
 
+    # q15: BPE — learn a 64-merge vocabulary from the corpus word table
+    # and encode every document with it (non-CORE; learning depth is
+    # serial by nature, encoding is the shuffle-free parallel part)
+    try:
+        from mwmbl_spark.operators.bpe import bpe_encode, learn_bpe, word_counts
+
+        bdocs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "text"
+        )
+
+        def bpe_sweep():
+            merges = learn_bpe(word_counts(bdocs), n_merges=64, min_count=2)
+            return bpe_encode(bdocs, merges).agg(F.sum("n_subwords")).collect()[0][0]
+
+        timed("q15_bpe_learn_encode", bpe_sweep)
+    except Exception as exc:  # noqa: BLE001
+        print(f"BENCH ERROR q15 setup: {exc}", file=sys.stderr)
+        timings["q15_bpe_learn_encode"] = -1.0
+
     build_s = timings.get("q1_index_build", -1.0)
     total = round(sum(v for k, v in timings.items() if v > 0 and k in CORE), 4)
     print(

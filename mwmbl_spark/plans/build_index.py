@@ -631,6 +631,65 @@ class IndexBuilder:
                         )
         return part
 
+    def expire_snapshots(self, keep_as_of: int) -> list[str]:
+        """Retention GC (Iceberg expireSnapshots / Delta VACUUM-with-
+        retention analogue): physically remove the fragment directories
+        that NO snapshot at or after ``keep_as_of`` references, keeping
+        every newer snapshot time-travelable. Returns the removed
+        fragment names.
+
+        A fragment stays live for snapshots in [its commit seq,
+        replacer's seq - 1], so it is removable iff it was replaced at
+        or before ``keep_as_of``. The manifest itself is append-only
+        and stays intact (it IS the history); only data directories go.
+        Metadata-only decision — no data files are read."""
+        from mwmbl_spark.manifest import STATUS_INDEXED, _read_rows
+
+        base = self.cfg.path
+        if "://" in base and not base.startswith("file://"):
+            raise NotImplementedError(
+                "expire_snapshots removes local fragment directories; for "
+                f"remote path {base!r} use the cluster table format's own "
+                "snapshot expiry"
+            )
+        rows = [
+            r
+            for r in _read_rows(self.spark, base)
+            if r["status"] == STATUS_INDEXED
+        ]
+        live_now = self._live()
+        # earliest commit that replaces each part (a later re-commit of
+        # the same part name would also supersede it, but re-commits
+        # only happen on crash-resume before the first commit — the
+        # replaced set is what retires fragments in this engine)
+        replacer: dict[str, int] = {}
+        for r in rows:
+            for p in (r["replaces"] or "").split(","):
+                if p:
+                    replacer[p] = min(replacer.get(p, 1 << 62), r["seq"])
+        import shutil
+
+        local = base.removeprefix("file://")
+        subs = ("segments", "stats", "doc_stats", "doc_index", "deletes")
+        removable = sorted(
+            p
+            for p in {r["src_partition"] for r in rows}
+            if p not in live_now
+            and replacer.get(p, 1 << 62) <= keep_as_of
+            # already-expired fragments (manifest rows are permanent)
+            # don't re-report: idempotent GC
+            and any(
+                os.path.isdir(os.path.join(local, sub, f"src_part={p}"))
+                for sub in subs
+            )
+        )
+        for old in removable:
+            for sub in subs:
+                shutil.rmtree(
+                    os.path.join(local, sub, f"src_part={old}"), ignore_errors=True
+                )
+        return removable
+
     # -- doc-level updates (merge-on-read; operators/upsert.py) ---------------
     def _superseded(self, new_ids: DataFrame) -> list:
         """Latest ALIVE version of each doc in ``new_ids`` that already

@@ -191,6 +191,36 @@ def test_alive_docs_counts(spark, corpus, added, history):
     }
 
 
+def test_expire_snapshots_retention(spark, corpus, tmp_path):
+    """expire_snapshots(keep_as_of=S) removes exactly the fragments no
+    snapshot >= S references: newer snapshots stay readable and
+    identical, older ones fail loudly."""
+    b = _build(spark, corpus, tmp_path, "idx_gc", parts=2)
+    s1 = b.current_seq()
+    b.upsert(_updated(corpus))
+    s2 = b.current_seq()
+    r2 = _query(spark, b)
+    part = b.compact(vacuum=False)
+    s3 = b.current_seq()
+    # everything still present: nothing is removable at keep_as_of=s1
+    assert b.expire_snapshots(keep_as_of=s1) == []
+    assert _query(spark, b, as_of=s1) is not None
+    # retain from s3 on: the pre-compaction fragments (replaced at s3)
+    # are exactly the removable set
+    removed = b.expire_snapshots(keep_as_of=s3)
+    assert removed and part not in removed
+    assert set(removed) == {p for p in removed}  # names unique
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        _query(spark, b, as_of=s1)
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        _query(spark, b, as_of=s2)
+    # the retained snapshot and the live view are untouched
+    assert _query(spark, b, as_of=s3) == r2
+    assert _query(spark, b) == r2
+    # idempotent
+    assert b.expire_snapshots(keep_as_of=s3) == []
+
+
 def test_restore_rolls_back_to_snapshot(spark, corpus, added, tmp_path):
     """restore(as_of) == querying the snapshot == a fresh build of the
     original corpus; pre-restore history stays readable (vacuum=False
