@@ -437,6 +437,25 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return enc.select("doc_id", "n_subwords")
 
 
+_CLUSTER_CENT_IDS = (3, 71, 148, 256, 407)
+
+
+def q_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topic clustering for mixture balancing (operators/similarity.py:
+    cluster_assign_exact): every embedding assigned to its argmax-cosine
+    exemplar centroid (five fixed corpus vectors), ties to the smallest
+    cid. Shuffle-free — centroids are plan literals, each row computes
+    five cosines in place through the SAME dot/(sqrt*sqrt) expression
+    order the oracle states, so sims are bitwise-comparable (the
+    embedding_topk precedent). The learned-centroid path (ivf_train +
+    assignment) is pytest-gated; fixed exemplars are what ANSI SQL can
+    replay."""
+    from mwmbl_spark.operators.similarity import cluster_assign_exact
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return cluster_assign_exact(emb, list(_CLUSTER_CENT_IDS))
+
+
 def _web_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents dressed as web docs (title/url/extract/score/state)."""
     return spark.read.parquet(f"{sf_dir}/documents.parquet").select(
@@ -1803,6 +1822,31 @@ FROM tok t
 LEFT JOIN (SELECT doc_id, sum(n_sub) AS n FROM per_tok GROUP BY doc_id) s
   USING (doc_id)"""
 
+# exemplar-centroid clustering: argmax cosine over five fixed corpus
+# vectors, the exact dot/(sqrt*sqrt) order of cosine_sim
+_CLUSTER_VALUES = ", ".join(
+    f"({j}, {src})" for j, src in enumerate(_CLUSTER_CENT_IDS)
+)
+ORACLE["cluster_assign"] = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+m AS (
+  SELECT t.cid, c.v AS cv
+  FROM (VALUES {_CLUSTER_VALUES}) AS t(cid, src)
+  JOIN e c ON c.vec_id = t.src
+),
+s AS (
+  SELECT e.vec_id, m.cid,
+         list_dot_product(e.v, m.cv)
+           / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(m.cv, m.cv))) AS sim
+  FROM e CROSS JOIN m
+),
+r AS (
+  SELECT vec_id, cid, sim,
+         row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+  FROM s
+)
+SELECT vec_id, cid, round(sim, 6) AS sim FROM r WHERE rn = 1"""
+
 _WAND_CUR_VALUES = ", ".join(
     f"('{t}', {p}, {d}, {'NULL' if s is None else s})"
     for t, p, d, s in _WAND_CURATIONS
@@ -3158,6 +3202,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": _shipped(q_snapshot_diff),
         "restore_topk": _shipped(q_restore_topk),
         "bpe_encode": _shipped(q_bpe_encode),
+        "cluster_assign": _shipped(q_cluster_assign),
         "search_candidates": _shipped(q_search_candidates),
         "search_candidates_capped": _shipped(q_search_candidates_capped),
         "search_pipeline": _shipped(q_search_pipeline),

@@ -216,7 +216,12 @@ def bpe_encode(
     ``pack_sequences`` and context-length planning need (the regex
     estimator in text_quality stays for cheap filtering). Broadcast the
     rank map; per-batch memoization over distinct tokens makes the
-    per-novel-token loop amortize to ~zero under Zipf."""
+    per-novel-token loop amortize to ~zero under Zipf.
+
+    Each call creates one rank-map broadcast sized by |merges| (a batch
+    op run once per corpus pass); a caller looping over many DataFrames
+    with the SAME merges should hoist encoding into a single unioned
+    pass rather than accumulate per-call broadcasts."""
     spark = docs.sparkSession
     b_ranks = spark.sparkContext.broadcast(
         {tuple(m): i for i, m in enumerate(merges)}

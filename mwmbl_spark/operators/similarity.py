@@ -854,6 +854,89 @@ def ivfpq_topk(
     return _exact_rerank(shortlist, embeddings, query_ids, k, id_col, vec_col)
 
 
+def cluster_assign_exact(
+    embeddings: DataFrame,
+    centroid_ids: list[int],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Corpus topic clustering against FIXED exemplar centroids (corpus
+    vectors chosen by id — the cross-engine-pinnable form; ``ivf_train``
+    + ``_ivf_assign`` is the learned-centroid path): (vec_id, cid, sim),
+    cid j = argmax-cosine against ``centroid_ids[j]``'s vector, ties to
+    the smallest cid.
+
+    Training-pipeline use: topic buckets for mixture balancing
+    (feed cid into sampling.temperature_mix / quota_sample exactly like
+    a language column). Shuffle-free like _ivf_assign: centroids fold
+    into plan literals, each row computes k cosines in place — but
+    through the FULL ``cosine_sim`` expression (dot / (sqrt·sqrt), the
+    oracle's own operation order) rather than pre-normalized literals,
+    so scores are bitwise-reproducible in ANSI SQL (contract
+    cluster_assign)."""
+    corpus = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("emb")
+    )
+    got = {
+        r["vec_id"]: [float(x) for x in r["emb"]]
+        for r in corpus.where(F.col("vec_id").isin(list(centroid_ids))).collect()
+    }
+    missing = [i for i in centroid_ids if i not in got]
+    if missing:
+        raise ValueError(f"centroid ids not in corpus: {missing}")
+    sims = F.array(
+        *[
+            cosine_sim(
+                F.col("emb"), F.array(*[F.lit(x) for x in got[src]])
+            )
+            for src in centroid_ids
+        ]
+    )
+    best = F.array_max(
+        F.zip_with(
+            sims,
+            F.sequence(F.lit(0), F.lit(len(centroid_ids) - 1)),
+            lambda s, i: F.struct(s.alias("sim"), (-i).alias("ncid")),
+        )
+    )
+    return corpus.select(
+        "vec_id",
+        (-best["ncid"]).cast("int").alias("cid"),
+        F.round(best["sim"], 6).alias("sim"),
+    )
+
+
+def cluster_profile(
+    assignments: DataFrame,
+    docs: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-cluster rollup for mixture planning: (cid, n_docs, share
+    [, avg_tokens]) — one map-side-combined aggregation; the optional
+    docs join adds mean token counts (the budget temperature_mix
+    weights against)."""
+    from mwmbl_spark.functions.tokenize import tokenize_pd
+
+    a = assignments
+    if docs is not None:
+        a = a.join(
+            docs.select(
+                F.col(id_col).alias("vec_id"),
+                F.size(tokenize_pd(F.col(text_col))).alias("n_tokens"),
+            ),
+            "vec_id",
+        )
+    aggs = [F.count(F.lit(1)).alias("n_docs")]
+    if docs is not None:
+        aggs.append(F.avg("n_tokens").alias("avg_tokens"))
+    prof = a.groupBy("cid").agg(*aggs)
+    total = F.sum("n_docs").over(Window.partitionBy())
+    return prof.withColumn(
+        "share", F.round(F.col("n_docs") / total, 6)
+    ).orderBy("cid")
+
+
 def embedding_near_duplicates(
     embeddings: DataFrame,
     threshold: float = 0.9,
