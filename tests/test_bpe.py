@@ -115,6 +115,35 @@ def test_encode_roundtrip_and_budget(spark, docs):
         assert glued == tokenize_py(r["text"])
 
 
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_WORD = st.text(alphabet="abc", min_size=1, max_size=12)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    corpus=st.lists(_WORD, min_size=1, max_size=30),
+    token=_WORD,
+    n_merges=st.integers(min_value=0, max_value=24),
+)
+def test_fuzz_encode_equals_replay(corpus, token, n_merges):
+    """Property: the lowest-rank encoding loop == replaying the merge
+    list in learned order, for ANY vocabulary learned from ANY corpus
+    over a tiny alphabet (maximizing merge interactions/overlaps) and
+    ANY token — plus losslessness of the encoding."""
+    from mwmbl_spark.operators.bpe import _encode_token, _pure_bpe
+
+    wc = {}
+    for w in corpus:
+        wc[w] = wc.get(w, 0) + 1
+    merges = _pure_bpe(sorted(wc.items()), n_merges, min_count=1)
+    ranks = {m: i for i, m in enumerate(merges)}
+    got = _encode_token(token, ranks)
+    assert got == _encode_replay(token, merges)
+    assert "".join(got) == token + END_OF_WORD  # lossless
+
+
 def test_merges_table_artifact(spark):
     wc = _wc(spark, [("low", 5), ("newest", 6)])
     merges = learn_bpe(wc, n_merges=3, min_count=1)

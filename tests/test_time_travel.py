@@ -146,6 +146,41 @@ def test_as_of_zero_is_empty_index(spark, history):
     assert b._live(as_of=0) == {}
 
 
+def test_streaming_epochs_are_snapshots(spark, corpus, tmp_path):
+    """History integrates with the streaming path for free: each
+    micro-batch epoch of an upsert-mode stream commits at its own seq,
+    so snapshot_diff between epoch seqs is the stream's change feed and
+    as-of queries reproduce any epoch's serving state."""
+    from mwmbl_spark.plans.build_index import IndexConfig
+    from mwmbl_spark.streaming.incremental import incremental_index_stream
+
+    src = str(tmp_path / "cdc_src")
+    ckpt = str(tmp_path / "cdc_ckpt")
+    cfg = IndexConfig(path=str(tmp_path / "cdc_idx"), num_buckets=16, nsalt=4)
+    corpus.write.mode("append").parquet(src)
+    b = incremental_index_stream(spark, src, cfg, ckpt, mode="upsert")
+    s1 = b.current_seq()
+    epoch1 = _query(spark, b)
+
+    recrawl = corpus.where(F.col("doc_id") % 4 == 1).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" cdc recrawl"))
+    )
+    recrawl.write.mode("append").parquet(src)
+    b = incremental_index_stream(spark, src, cfg, ckpt, mode="upsert")
+    s2 = b.current_seq()
+    assert s2 > s1
+
+    # the epoch diff is exactly the re-crawled set, all 'updated'
+    diff = {
+        (int(r["doc_id"]), r["change"])
+        for r in b.snapshot_diff(s1, s2).collect()
+    }
+    want = {int(r["doc_id"]) for r in recrawl.select("doc_id").collect()}
+    assert diff == {(d, "updated") for d in want}
+    # and epoch 1's serving state is reproducible after epoch 2 landed
+    assert _query(spark, b, as_of=s1) == epoch1
+
+
 def _ids(df):
     return {int(r["doc_id"]) for r in df.collect()}
 
