@@ -456,6 +456,25 @@ def q_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_assign_exact(emb, list(_CLUSTER_CENT_IDS))
 
 
+def q_refresh_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-rate recrawl scheduling (operators/urls.refresh_priority,
+    Cho & Garcia-Molina TODS 2003): smoothed Poisson change-rate per
+    page from a crawl log, priority = rate x staleness age. The events
+    table stands in as the observation log (url := 'u'||user_id,
+    changed := event_type='click'); exact integer microsecond diffs +
+    pinned double expression order make the whole thing replayable in
+    SQL."""
+    from mwmbl_spark.operators.urls import refresh_priority
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    log = ev.select(
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("url"),
+        F.col("ts").alias("crawl_ts"),
+        (F.col("event_type") == "click").cast("int").alias("changed"),
+    )
+    return refresh_priority(log)
+
+
 def _web_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents dressed as web docs (title/url/extract/score/state)."""
     return spark.read.parquet(f"{sf_dir}/documents.parquet").select(
@@ -1847,6 +1866,32 @@ r AS (
 )
 SELECT vec_id, cid, round(sim, 6) AS sim FROM r WHERE rn = 1"""
 
+# recrawl scheduling: smoothed Poisson change rate x staleness age,
+# exact integer microsecond diffs, pinned double expression order
+ORACLE["refresh_priority"] = """
+WITH log AS (
+  SELECT 'u' || user_id::VARCHAR AS url, ts AS crawl_ts,
+         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS changed
+  FROM events
+),
+now_t AS (SELECT max(crawl_ts) AS now_ts FROM log),
+a AS (
+  SELECT url, count(*) AS n_crawls, sum(changed)::BIGINT AS n_changes,
+         epoch_us(max(crawl_ts)) - epoch_us(min(crawl_ts)) AS span_us,
+         max(crawl_ts) AS last_ts
+  FROM log GROUP BY url
+),
+s AS (
+  SELECT url, n_crawls, n_changes,
+         (n_changes + 0.5) / ((span_us::DOUBLE / 1000000.0) + 1.0) AS lam,
+         ((epoch_us(now_ts) - epoch_us(last_ts))::DOUBLE / 1000000.0) AS age_s
+  FROM a CROSS JOIN now_t
+)
+SELECT url, n_crawls, n_changes, round(lam, 6) AS lambda_hat,
+       round(lam * age_s, 6) AS priority,
+       row_number() OVER (ORDER BY lam * age_s DESC, url) AS rank
+FROM s"""
+
 _WAND_CUR_VALUES = ", ".join(
     f"('{t}', {p}, {d}, {'NULL' if s is None else s})"
     for t, p, d, s in _WAND_CURATIONS
@@ -3203,6 +3248,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "restore_topk": _shipped(q_restore_topk),
         "bpe_encode": _shipped(q_bpe_encode),
         "cluster_assign": _shipped(q_cluster_assign),
+        "refresh_priority": _shipped(q_refresh_priority),
         "search_candidates": _shipped(q_search_candidates),
         "search_candidates_capped": _shipped(q_search_candidates_capped),
         "search_pipeline": _shipped(q_search_pipeline),

@@ -195,6 +195,70 @@ def frontier_scores(
     )
 
 
+def refresh_priority(
+    crawl_log: DataFrame,
+    alpha: float = 0.5,
+    url_col: str = "url",
+    ts_col: str = "crawl_ts",
+    changed_col: str = "changed",
+    k: int | None = None,
+) -> DataFrame:
+    """Change-rate-driven RECRAWL scheduling — the policy upgrade the
+    reference's frontier never makes: its queue orders by static domain
+    priors + URL length + age (score_urls above, redis_url_queue.py),
+    so a never-changing page and a news page recrawl at the same
+    cadence. The classic fix (Cho & Garcia-Molina, "Effective Page
+    Refresh Policies for Web Crawlers", ACM TODS 2003) models per-page
+    change as a Poisson process estimated from the crawl history and
+    prioritizes by expected staleness:
+
+        lambda_hat = (n_changes + alpha) / (span_s + 1.0)   smoothed
+        priority   = lambda_hat * age_s                     staleness
+
+    Input: (url, crawl_ts, changed 0/1) observation rows — exactly what
+    chained ``IndexBuilder.snapshot_diff`` epochs emit ('updated' = a
+    change observation). "now" is the log's max timestamp (in-plan
+    scalar, no driver round-trip).
+
+    Scale shape: ONE map-side-combined aggregation at URL grain + one
+    global rank window (at web scale rank within frontier partitions or
+    take a top-k head, like frontier_topk). Arithmetic: exact integer
+    microsecond diffs (timestampdiff, NTZ-safe), then double division
+    in a pinned expression order — bitwise-replayable in ANSI SQL
+    (contract refresh_priority)."""
+    per_url = crawl_log.groupBy(F.col(url_col).alias("url")).agg(
+        F.count(F.lit(1)).alias("n_crawls"),
+        F.sum(F.col(changed_col).cast("long")).alias("n_changes"),
+        F.expr(
+            f"timestampdiff(MICROSECOND, min({ts_col}), max({ts_col}))"
+        ).alias("span_us"),
+        F.max(ts_col).alias("last_ts"),
+    )
+    now_t = crawl_log.agg(F.max(ts_col).alias("now_ts"))
+    j = per_url.crossJoin(F.broadcast(now_t))
+    age_s = (
+        F.expr("timestampdiff(MICROSECOND, last_ts, now_ts)").cast("double")
+        / F.lit(1000000.0)
+    )
+    lam = (F.col("n_changes") + F.lit(float(alpha))) / (
+        (F.col("span_us").cast("double") / F.lit(1000000.0)) + F.lit(1.0)
+    )
+    scored = j.select(
+        "url", "n_crawls", "n_changes",
+        lam.alias("_lam"), (lam * age_s).alias("_prio"),
+    )
+    w = Window.orderBy(F.desc("_prio"), F.asc("url"))
+    out = scored.withColumn("rank", F.row_number().over(w))
+    if k is not None:
+        out = out.where(F.col("rank") <= k)
+    return out.select(
+        "url", "n_crawls", "n_changes",
+        F.round("_lam", 6).alias("lambda_hat"),
+        F.round("_prio", 6).alias("priority"),
+        "rank",
+    )
+
+
 def frontier_topk(
     scored: DataFrame, max_per_domain: int = MAX_URLS_PER_OTHER_DOMAIN
 ) -> DataFrame:
