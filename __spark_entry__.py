@@ -475,6 +475,45 @@ def q_refresh_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return refresh_priority(log)
 
 
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED training-data curation pipeline, value-gated end to
+    end (the stages each have their own contract; this one proves the
+    COMPOSITION is exact — filters interact, the mixture rates are
+    computed on the filtered corpus, the quota ranks the mixed set,
+    packing consumes the final survivors): exact-dedup survivors ->
+    token-length filter [15, 90] -> temperature lang mix (alpha=0.5,
+    rates from the FILTERED corpus) -> per-source quota (cap 10) ->
+    256-token sequence packing over 8 shards. Every stage is
+    deterministic (md5 hash units / integer arithmetic), so the oracle
+    chains the same five stages in SQL."""
+    from mwmbl_spark.functions.tokenize import tokenize_pd
+    from mwmbl_spark.operators.dedup import exact_duplicates
+    from mwmbl_spark.operators.sampling import (
+        pack_sequences,
+        quota_sample,
+        temperature_mix,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "source", "text"
+    )
+    feats = docs.select(
+        "doc_id", "lang", "source",
+        F.size(tokenize_pd(F.col("text"))).alias("n_tokens"),
+    )
+    dups = exact_duplicates(docs).where(
+        F.col("doc_id") != F.col("keep_id")
+    ).select("doc_id")
+    kept = feats.join(dups, "doc_id", "left_anti").where(
+        F.col("n_tokens").between(15, 90)
+    )
+    mixed = temperature_mix(kept, "lang", alpha=0.5)
+    capped = quota_sample(mixed, "source", cap=10)
+    return pack_sequences(
+        capped.select("doc_id", "n_tokens"), max_tokens=256, n_shards=8
+    )
+
+
 def _web_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents dressed as web docs (title/url/extract/score/state)."""
     return spark.read.parquet(f"{sf_dir}/documents.parquet").select(
@@ -2536,6 +2575,54 @@ SELECT doc_id, n_tokens, shard,
        cum // 256 AS seq_id, cum % 256 AS tok_offset
 FROM c"""
 
+# the composed curation pipeline: the five stage oracles chained —
+# dedup survivors -> length filter -> temperature mix (rates from the
+# FILTERED corpus) -> per-source quota -> sequence packing
+ORACLE["curation_pipeline"] = f"""WITH {_TOK_SQL},
+dups AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+    FROM documents) WHERE doc_id != keep_id
+),
+kept AS (
+  SELECT t.doc_id, d.lang, d.source, len(t.toks)::INT AS n_tokens
+  FROM tok t JOIN documents d USING (doc_id)
+  WHERE len(t.toks) BETWEEN 15 AND 90
+    AND t.doc_id NOT IN (SELECT doc_id FROM dups)
+),
+counts AS (SELECT lang, count(*)::BIGINT AS n FROM kept GROUP BY lang),
+tot AS (SELECT sum(sqrt(n::DOUBLE)) AS sum_w, sum(n)::DOUBLE AS n_total FROM counts),
+rates AS (
+  SELECT lang, least(1.0, sqrt(n::DOUBLE) / sum_w * n_total / n::DOUBLE) AS keep_rate
+  FROM counts CROSS JOIN tot
+),
+mixed AS (
+  SELECT k.* FROM kept k JOIN rates USING (lang)
+  WHERE {_hash_unit_sql('k.doc_id')} < keep_rate
+),
+ranked AS (
+  SELECT doc_id, n_tokens, source,
+         row_number() OVER (PARTITION BY source
+             ORDER BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 1000000,
+                      doc_id) AS rn
+  FROM mixed
+),
+capped AS (SELECT doc_id, n_tokens FROM ranked WHERE rn <= 10),
+d AS (
+  SELECT doc_id, n_tokens,
+         ((('0x' || substr(md5(doc_id::VARCHAR || 'shard'), 1, 15))::BIGINT
+           % 1000000) % 8)::INT AS shard
+  FROM capped
+),
+c AS (
+  SELECT doc_id, n_tokens, shard,
+         coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cum
+  FROM d
+)
+SELECT doc_id, n_tokens, shard, cum // 256 AS seq_id, cum % 256 AS tok_offset
+FROM c"""
+
 # transcript reshape twin of sources/transcripts.transcripts_from_documents
 # (conv_id/turn_idx/role are pure integer arithmetic on doc_id; ts is
 # base + doc_id minutes, so the span is a doc_id difference)
@@ -3249,6 +3336,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode": _shipped(q_bpe_encode),
         "cluster_assign": _shipped(q_cluster_assign),
         "refresh_priority": _shipped(q_refresh_priority),
+        "curation_pipeline": _shipped(q_curation_pipeline),
         "search_candidates": _shipped(q_search_candidates),
         "search_candidates_capped": _shipped(q_search_candidates_capped),
         "search_pipeline": _shipped(q_search_pipeline),
