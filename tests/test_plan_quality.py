@@ -271,3 +271,50 @@ def test_quota_sample_uses_window_group_limit(spark):
     )
     plan = _explain(quota_sample(df, "grp", cap=5))
     assert "WindowGroupLimit" in plan and "Partial" in plan, plan
+
+
+def test_cluster_assign_is_shuffle_free(spark):
+    """Exemplar clustering keeps every row in its scan partition: the
+    centroids are plan literals, the argmax is an expression fold —
+    no Exchange, no Window anywhere."""
+    from mwmbl_spark.operators.similarity import cluster_assign_exact
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 5), float(i % 3), 1.0]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    plan = _explain(cluster_assign_exact(emb, [0, 1, 2]))
+    assert "Exchange" not in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_bpe_encode_is_shuffle_free(spark):
+    """Encoding is embarrassingly parallel: broadcast rank map inside
+    the Arrow UDF, no Exchange in the plan."""
+    from mwmbl_spark.operators.bpe import bpe_encode
+
+    docs = spark.createDataFrame(
+        [(i, "the spark engine") for i in range(20)], "doc_id long, text string"
+    )
+    plan = _explain(bpe_encode(docs, [("t", "h"), ("e", "</w>")]))
+    assert "Exchange" not in plan, plan
+
+
+def test_refresh_priority_aggs_are_partial(spark):
+    """The URL-grain aggregation must map-side combine (partial_count /
+    partial_sum / partial_min / partial_max before the Exchange); the
+    only Window is the final global rank."""
+    import re
+
+    from datetime import datetime
+
+    from mwmbl_spark.operators.urls import refresh_priority
+
+    log = spark.createDataFrame(
+        [(f"u{i % 7}", datetime(2024, 1, 1, 0, 0, i % 50), i % 3 == 0)
+         for i in range(100)],
+        "url string, crawl_ts timestamp, changed boolean",
+    )
+    plan = _explain(refresh_priority(log))
+    assert "partial_count" in plan and "partial_sum" in plan, plan
+    assert re.search(r"partial_min|partial_max", plan), plan
