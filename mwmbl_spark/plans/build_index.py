@@ -631,6 +631,61 @@ class IndexBuilder:
                         )
         return part
 
+    def index_health(self) -> dict:
+        """Operational snapshot — the numbers a steady-state ingestion
+        loop alarms on and a maintenance policy (maybe_compact /
+        expire_snapshots) decides with. METADATA-ONLY: manifest rows,
+        driver-side doc_stats, delete-vector sizes; no segment data is
+        read, so it is safe to poll per batch.
+
+        - read_amplification = live fragment count: the upper bound on
+          segment rows consulted per (term, salt) lookup — exactly what
+          merge-on-read grows and compaction resets;
+        - deleted_docs = merged delete-map size: broadcast bytes every
+          query batch pays until vectors retire;
+        - vacuumable_fragments: replaced fragments whose files are
+          still on disk (time-travel history; reclaimable via
+          expire_snapshots)."""
+        from mwmbl_spark.manifest import (
+            STATUS_INDEXED,
+            _read_rows,
+            live_fragment_sizes,
+        )
+
+        live = self._live()
+        rows = [
+            r
+            for r in _read_rows(self.spark, self.cfg.path)
+            if r["status"] == STATUS_INDEXED
+        ]
+        n_docs, sum_len = self.doc_totals()
+        dm = self.delete_map()
+        sizes = live_fragment_sizes(self.spark, self.cfg.path)
+        base = self.cfg.path.removeprefix("file://")
+        vacuumable = 0
+        if "://" not in base:
+            ever = {r["src_partition"] for r in rows}
+            for p in ever - set(live):
+                if any(
+                    os.path.isdir(os.path.join(base, sub, f"src_part={p}"))
+                    for sub in ("segments", "stats", "doc_stats", "doc_index", "deletes")
+                ):
+                    vacuumable += 1
+        return {
+            "live_fragments": len(live),
+            "read_amplification": len(live),
+            "total_commits": len(rows),
+            "current_seq": max((r["seq"] for r in rows), default=0),
+            "n_docs": n_docs,
+            "sum_len": sum_len,
+            "n_postings_live": sum(sizes.values()),
+            "deleted_docs": sum(int(e[0].size) for e in dm.values()),
+            "replaced_fragments": len(
+                {r["src_partition"] for r in rows} - set(live)
+            ),
+            "vacuumable_fragments": vacuumable,
+        }
+
     def expire_snapshots(self, keep_as_of: int) -> list[str]:
         """Retention GC (Iceberg expireSnapshots / Delta VACUUM-with-
         retention analogue): physically remove the fragment directories

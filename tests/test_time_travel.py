@@ -256,6 +256,31 @@ def test_expire_snapshots_retention(spark, corpus, tmp_path):
     assert b.expire_snapshots(keep_as_of=s3) == []
 
 
+def test_index_health(spark, corpus, tmp_path):
+    b = _build(spark, corpus, tmp_path, "idx_health", parts=2)
+    h0 = b.index_health()
+    n0 = corpus.count()
+    assert h0["live_fragments"] == 2 == h0["read_amplification"]
+    assert h0["n_docs"] == n0 and h0["deleted_docs"] == 0
+    assert h0["replaced_fragments"] == 0 == h0["vacuumable_fragments"]
+    b.upsert(_updated(corpus))
+    n_upd = _updated(corpus).count()
+    h1 = b.index_health()
+    assert h1["live_fragments"] == 3
+    assert h1["deleted_docs"] == n_upd  # superseded versions
+    assert h1["n_docs"] == n0  # upsert replaces, never double-counts
+    assert h1["current_seq"] > h0["current_seq"]
+    b.compact(vacuum=False)
+    h2 = b.index_health()
+    assert h2["live_fragments"] == 1 and h2["deleted_docs"] == 0
+    assert h2["n_docs"] == n0
+    assert h2["replaced_fragments"] == 3 == h2["vacuumable_fragments"]
+    # expire reclaims exactly the vacuumable set
+    removed = b.expire_snapshots(keep_as_of=b.current_seq())
+    assert len(removed) == 3
+    assert b.index_health()["vacuumable_fragments"] == 0
+
+
 def test_restore_rolls_back_to_snapshot(spark, corpus, added, tmp_path):
     """restore(as_of) == querying the snapshot == a fresh build of the
     original corpus; pre-restore history stays readable (vacuum=False
