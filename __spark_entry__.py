@@ -514,6 +514,24 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus lineage / contamination report (operators/decontam.
+    corpus_overlap, Dodge et al. 2021 §5 shape): 8-gram set sizes,
+    intersection, union, Jaccard, directional containment between the
+    even-doc_id and odd-doc_id halves of the corpus. One output row;
+    gram hashes only, all counts partial-agg'd."""
+    from mwmbl_spark.functions.tokenize import tokenize_pd
+    from mwmbl_spark.operators.decontam import corpus_overlap
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", tokenize_pd(F.col("text")).alias("toks")
+    )
+    return corpus_overlap(
+        docs.where(F.col("doc_id") % 2 == 0),
+        docs.where(F.col("doc_id") % 2 == 1),
+    )
+
+
 def _web_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents dressed as web docs (title/url/extract/score/state)."""
     return spark.read.parquet(f"{sf_dir}/documents.parquet").select(
@@ -2376,6 +2394,35 @@ eg AS (
 )
 SELECT DISTINCT doc_id FROM tg JOIN eg USING (h)"""
 
+# corpus lineage report: 8-gram set overlap between the even/odd halves
+_GRAM8_UNNEST = """unnest(CASE WHEN len(toks) >= 8
+      THEN list_transform(range(1, len(toks) - 6),
+           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]
+             || ' ' || toks[i+4] || ' ' || toks[i+5] || ' ' || toks[i+6] || ' ' || toks[i+7])
+      ELSE []::VARCHAR[] END) AS g(gram)"""
+ORACLE["corpus_overlap"] = f"""
+WITH {_TOK_SQL},
+ga AS (
+  SELECT DISTINCT ('0x' || substr(md5(g.gram), 1, 15))::BIGINT AS h
+  FROM (SELECT * FROM tok WHERE doc_id % 2 = 0) t, {_GRAM8_UNNEST}
+),
+gb AS (
+  SELECT DISTINCT ('0x' || substr(md5(g.gram), 1, 15))::BIGINT AS h
+  FROM (SELECT * FROM tok WHERE doc_id % 2 = 1) t, {_GRAM8_UNNEST}
+),
+rep AS (
+  SELECT (SELECT count(*) FROM ga) AS n_grams_a,
+         (SELECT count(*) FROM gb) AS n_grams_b,
+         (SELECT count(*) FROM ga JOIN gb USING (h)) AS n_common
+)
+SELECT n_grams_a, n_grams_b, n_common,
+       (n_grams_a + n_grams_b - n_common) AS n_union,
+       round(n_common::DOUBLE / (n_grams_a + n_grams_b - n_common)::DOUBLE, 6)
+         AS jaccard,
+       round(n_common::DOUBLE / n_grams_a::DOUBLE, 6) AS containment_a,
+       round(n_common::DOUBLE / n_grams_b::DOUBLE, 6) AS containment_b
+FROM rep"""
+
 
 def _split_sql() -> str:
     """Replays assign_split's own cut-point arithmetic and emits the
@@ -3337,6 +3384,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_assign": _shipped(q_cluster_assign),
         "refresh_priority": _shipped(q_refresh_priority),
         "curation_pipeline": _shipped(q_curation_pipeline),
+        "corpus_overlap": _shipped(q_corpus_overlap),
         "search_candidates": _shipped(q_search_candidates),
         "search_candidates_capped": _shipped(q_search_candidates_capped),
         "search_pipeline": _shipped(q_search_pipeline),

@@ -65,3 +65,51 @@ def decontaminate(
     """Train rows with every contaminated document removed."""
     bad = contaminated_ids(train, eval_df, n, id_col, toks_col)
     return train.join(bad, train[id_col] == bad["doc_id"], "left_anti")
+
+
+def corpus_overlap(
+    a: DataFrame,
+    b: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    toks_col: str = "toks",
+) -> DataFrame:
+    """ONE-ROW corpus lineage / contamination report between two
+    corpora — the measurement behind the C4/Pile overlap analyses
+    (Dodge et al. 2021 "Documenting Large Webtext Corpora" §5; Lee et
+    al. 2022 dedup appendix): distinct n-gram set sizes, intersection,
+    union, Jaccard, and DIRECTIONAL containment (how much of A's gram
+    set lives in B and vice versa — the number that actually decides
+    "is corpus B a superset/derivative of A").
+
+    -> (n_grams_a, n_grams_b, n_common, n_union, jaccard,
+        containment_a, containment_b)
+
+    Scale shape: gram hashes only (text never shuffles), two distinct
+    aggregations + one semi-join at gram grain, map-side combined;
+    output is one row, so every count is a partial-agg'd scalar. At
+    100 TB swap exact distinct for HLL sketches (approx_count_distinct
+    + a sketch intersection) — exact is the cross-engine-pinnable form
+    the contract gates."""
+    ga = ngram_hashes(a, n, id_col, toks_col).select("gram_hash").distinct()
+    gb = ngram_hashes(b, n, id_col, toks_col).select("gram_hash").distinct()
+    ca = ga.agg(F.count(F.lit(1)).alias("n_grams_a"))
+    cb = gb.agg(F.count(F.lit(1)).alias("n_grams_b"))
+    cc = ga.join(gb, "gram_hash", "left_semi").agg(
+        F.count(F.lit(1)).alias("n_common")
+    )
+    rep = ca.crossJoin(cb).crossJoin(cc)
+    n_union = (F.col("n_grams_a") + F.col("n_grams_b") - F.col("n_common"))
+    return rep.select(
+        "n_grams_a", "n_grams_b", "n_common",
+        n_union.alias("n_union"),
+        F.round(
+            F.col("n_common").cast("double") / n_union.cast("double"), 6
+        ).alias("jaccard"),
+        F.round(
+            F.col("n_common").cast("double") / F.col("n_grams_a").cast("double"), 6
+        ).alias("containment_a"),
+        F.round(
+            F.col("n_common").cast("double") / F.col("n_grams_b").cast("double"), 6
+        ).alias("containment_b"),
+    )

@@ -27,3 +27,30 @@ def test_short_docs_never_match(spark):
     train = _toks(spark, [(0, ["a", "b"]), (1, [])])
     ev = _toks(spark, [(9, ["a", "b", "c"])])
     assert contaminated_ids(train, ev, n=3).count() == 0
+
+
+def test_corpus_overlap_hand_computed(spark):
+    """a: one doc with 9 tokens -> two 8-grams {t1..t8, t2..t9};
+    b: one doc sharing exactly the first 8-gram plus one disjoint doc.
+    n_common=1, union=2+2-1=3, jaccard=1/3, containment 1/2 each."""
+    from mwmbl_spark.operators.decontam import corpus_overlap
+
+    toks_a = [f"t{i}" for i in range(1, 10)]
+    a = spark.createDataFrame([(1, toks_a)], "doc_id long, toks array<string>")
+    b = spark.createDataFrame(
+        [(2, toks_a[:8]), (3, [f"z{i}" for i in range(8)])],
+        "doc_id long, toks array<string>",
+    )
+    r = corpus_overlap(a, b).collect()[0]
+    assert (
+        int(r["n_grams_a"]), int(r["n_grams_b"]), int(r["n_common"]),
+        int(r["n_union"]),
+    ) == (2, 2, 1, 3)
+    assert float(r["jaccard"]) == round(1 / 3, 6)
+    assert float(r["containment_a"]) == 0.5 == float(r["containment_b"])
+    # disjoint corpora -> zero overlap, no division blow-ups
+    r2 = corpus_overlap(a, b.where("doc_id = 3")).collect()[0]
+    assert int(r2["n_common"]) == 0 and float(r2["jaccard"]) == 0.0
+    # identical corpora -> jaccard 1
+    r3 = corpus_overlap(a, a).collect()[0]
+    assert float(r3["jaccard"]) == 1.0
