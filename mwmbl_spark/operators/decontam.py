@@ -113,3 +113,52 @@ def corpus_overlap(
             F.col("n_common").cast("double") / F.col("n_grams_b").cast("double"), 6
         ).alias("containment_b"),
     )
+
+
+def corpus_overlap_approx(
+    a: DataFrame,
+    b: DataFrame,
+    n: int = 8,
+    rsd: float = 0.01,
+    id_col: str = "doc_id",
+    toks_col: str = "toks",
+) -> DataFrame:
+    """The 100 TB form of ``corpus_overlap``: HLL++ sketches instead of
+    exact distincts, intersection by inclusion-exclusion
+    (|A ∩ B| = |A| + |B| - |A ∪ B|, the standard HLL-intersection
+    estimator). Same report schema; every count is an
+    approx_count_distinct aggregate, so the whole job is three
+    partial-agg'd scans with NO distinct shuffle materializing the gram
+    sets — the exact twin shuffles two full distinct gram tables, which
+    at web scale is itself a multi-TB shuffle.
+
+    ``rsd``: per-sketch relative standard deviation (default 1%);
+    the intersection inherits roughly the union's absolute error, so
+    Jaccard estimates degrade for very small overlaps — use the exact
+    twin when |A ∩ B| ≪ rsd * |A ∪ B| matters (tests pin the error
+    envelope on a known-overlap corpus)."""
+    ga = ngram_hashes(a, n, id_col, toks_col).select("gram_hash")
+    gb = ngram_hashes(b, n, id_col, toks_col).select("gram_hash")
+    ca = ga.agg(F.approx_count_distinct("gram_hash", rsd).alias("n_grams_a"))
+    cb = gb.agg(F.approx_count_distinct("gram_hash", rsd).alias("n_grams_b"))
+    cu = ga.unionByName(gb).agg(
+        F.approx_count_distinct("gram_hash", rsd).alias("n_union")
+    )
+    rep = ca.crossJoin(cb).crossJoin(cu)
+    common = F.greatest(
+        F.lit(0).cast("long"),
+        (F.col("n_grams_a") + F.col("n_grams_b") - F.col("n_union")),
+    )
+    return rep.select(
+        "n_grams_a", "n_grams_b",
+        common.alias("n_common"), "n_union",
+        F.round(common.cast("double") / F.col("n_union").cast("double"), 6).alias(
+            "jaccard"
+        ),
+        F.round(common.cast("double") / F.col("n_grams_a").cast("double"), 6).alias(
+            "containment_a"
+        ),
+        F.round(common.cast("double") / F.col("n_grams_b").cast("double"), 6).alias(
+            "containment_b"
+        ),
+    )

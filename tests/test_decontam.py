@@ -54,3 +54,25 @@ def test_corpus_overlap_hand_computed(spark):
     # identical corpora -> jaccard 1
     r3 = corpus_overlap(a, a).collect()[0]
     assert float(r3["jaccard"]) == 1.0
+
+
+def test_corpus_overlap_approx_error_envelope(spark):
+    """HLL inclusion-exclusion tracks the exact report within a few
+    percent on a corpus with substantial known overlap (deterministic:
+    HLL++ sketches are hash-based, not RNG-based)."""
+    from mwmbl_spark.operators.decontam import corpus_overlap, corpus_overlap_approx
+
+    rows_a, rows_b = [], []
+    for d in range(60):
+        toks = [f"w{(d * 7 + i) % 300}" for i in range(40)]
+        rows_a.append((d, toks))
+        # half of b's docs are copies of a's (big true overlap)
+        rows_b.append((1000 + d, toks if d % 2 == 0 else [f"v{d}_{i}" for i in range(40)]))
+    a = spark.createDataFrame(rows_a, "doc_id long, toks array<string>")
+    b = spark.createDataFrame(rows_b, "doc_id long, toks array<string>")
+    exact = corpus_overlap(a, b).collect()[0]
+    approx = corpus_overlap_approx(a, b, rsd=0.02).collect()[0]
+    for col in ("n_grams_a", "n_grams_b", "n_union", "n_common"):
+        e, g = int(exact[col]), int(approx[col])
+        assert abs(g - e) <= max(8, 0.1 * e), (col, e, g)
+    assert abs(float(approx["jaccard"]) - float(exact["jaccard"])) < 0.1
