@@ -102,6 +102,41 @@ def main() -> None:
             ),
         ),
     ]
+    from mwmbl_spark.operators.bpe import bpe_encode
+    from mwmbl_spark.operators.similarity import cluster_assign_exact
+    from mwmbl_spark.operators.urls import refresh_priority
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    log = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("url"),
+        F.col("ts").alias("crawl_ts"),
+        (F.col("event_type") == "click").cast("int").alias("changed"),
+    )
+    sections += [
+        (
+            "Time-travel query (as_of pre-mutation snapshot — same kernel "
+            "plan as live, different fragment set + vector filter)",
+            bu.query_topk(qdf, k=10, as_of=1),
+        ),
+        (
+            "Snapshot diff (two doc_index scans + full-outer join; "
+            "postings never read)",
+            bu.snapshot_diff(1, bu.current_seq()),
+        ),
+        (
+            "Exemplar clustering (centroid literals, per-row argmax — "
+            "no Exchange, no Window)",
+            cluster_assign_exact(emb, [3, 71, 148]),
+        ),
+        (
+            "BPE encode (broadcast ranks inside the Arrow UDF — no Exchange)",
+            bpe_encode(docs, [("t", "h"), ("e", "</w>")]),
+        ),
+        (
+            "Refresh priority (map-side-combined URL-grain agg + global rank)",
+            refresh_priority(log),
+        ),
+    ]
     out = [
         "# Captured physical plans (flagship paths)",
         "",
