@@ -532,6 +532,54 @@ def q_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MULTI_BUILDERS: dict = {}
+
+
+def q_multi_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCATTER-GATHER over independent index shards (plans/build_index.
+    query_topk_multi): the corpus is split into two separately-built
+    indexes (even/odd doc_id), shard A additionally takes a doc-level
+    UPSERT (re-crawl of every doc_id%10==4, so its delete vectors ride
+    into the merged query), and one query runs over the union — one
+    kernel pass, summed global stats. Must hash-equal plain BM25 over
+    the correspondingly-updated union corpus. The reference's single
+    mmap index has no multi-index story at all (its federation is the
+    scoped-out remote HTTP path, SURVEY §3.1)."""
+    import tempfile
+
+    from mwmbl_spark.plans.build_index import (
+        IndexBuilder,
+        IndexConfig,
+        query_topk_multi,
+    )
+
+    key = (id(spark), sf_dir)
+    shards = _MULTI_BUILDERS.get(key)
+    if shards is None:
+        t = _docs_as_transcripts(spark, sf_dir)
+        shards = []
+        for j, half in enumerate(
+            (t.where(F.col("doc_id") % 2 == 0), t.where(F.col("doc_id") % 2 == 1))
+        ):
+            cfg = IndexConfig(
+                path=tempfile.mkdtemp(prefix=f"mwmbl_shard{j}_"),
+                num_buckets=32, nsalt=8, n_src_partitions=2,
+            )
+            b = IndexBuilder(spark, cfg)
+            b.build(half)
+            shards.append(b)
+        upd = t.where(F.col("doc_id") % 10 == 4).select(
+            "doc_id",
+            F.concat(F.col("text"), F.lit(" multi shard refreshed")).alias("text"),
+        )
+        shards[0].upsert(upd)
+        _MULTI_BUILDERS[key] = shards
+    out = query_topk_multi(shards, _queries_df(spark), k=10)
+    return out.select(
+        "query_id", "doc_id", F.round("score", 6).alias("score"), "rank"
+    )
+
+
 def _web_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents dressed as web docs (title/url/extract/score/state)."""
     return spark.read.parquet(f"{sf_dir}/documents.parquet").select(
@@ -1868,6 +1916,17 @@ stream_docs AS (
 # time-travel: the snapshot captured BEFORE the upsert/delete mutations
 # must equal plain BM25 over the ORIGINAL corpus — bit-identical scores
 ORACLE["time_travel_topk"] = _bm25_sql("")
+
+# sharded scatter-gather: two independent indexes + an upsert on shard A
+# must equal plain BM25 over the updated union corpus
+ORACLE["multi_index_topk"] = _bm25_sql("", src="shard_docs", prelude="""
+shard_docs AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 = 4 THEN text || ' multi shard refreshed'
+              ELSE text END AS text
+  FROM documents
+),
+""")
 
 # rollback: after restore(as_of=pre-mutation), the LIVE index equals
 # plain BM25 over the ORIGINAL corpus again
@@ -3380,6 +3439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_travel_topk": _shipped(q_time_travel_topk),
         "snapshot_diff": _shipped(q_snapshot_diff),
         "restore_topk": _shipped(q_restore_topk),
+        "multi_index_topk": _shipped(q_multi_index_topk),
         "bpe_encode": _shipped(q_bpe_encode),
         "cluster_assign": _shipped(q_cluster_assign),
         "refresh_priority": _shipped(q_refresh_priority),

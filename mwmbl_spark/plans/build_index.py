@@ -1227,3 +1227,83 @@ class IndexBuilder:
                             ignore_errors=True,
                         )
         return part
+
+
+def query_topk_multi(
+    builders: list,
+    queries,
+    k: int = 10,
+    mode: str = "disjunctive",
+) -> DataFrame:
+    """SCATTER-GATHER BM25 top-k over INDEPENDENT index shards — the
+    deployment shape a 100 TB corpus actually takes: K indexes built by
+    separate teams/epochs/regions, queried as one. The reference can't
+    do this at all (one mmap file is the whole index; its only
+    multi-index story is the remote federation SURVEY scopes out).
+
+    Exactness (test-gated hash-identical to a single index over the
+    union corpus): BM25's global state is (df per term, N, total_len) —
+    all pure SUMS, so summing the shards' stats tables reproduces the
+    union corpus's statistics exactly, provided doc_id spaces are
+    DISJOINT across shards (caller contract; also what makes the merged
+    delete vectors safe — a shard's vector can only ever match its own
+    docs, so per-salt concatenation needs no cross-shard seq
+    reconciliation). Shards must share (num_buckets, nsalt) so bucket
+    pruning and salt-local top-k keep working over the unioned segment
+    relation.
+
+    Plan shape: one unioned segment scan (bucket PartitionFilters
+    survive the union — each child prunes independently), ONE kernel
+    pass, no per-shard query loop: latency is one query, not K."""
+    import numpy as np
+
+    from mwmbl_spark.operators.wand import wand_topk
+
+    if not builders:
+        raise ValueError("need at least one IndexBuilder")
+    shapes = {(b.cfg.num_buckets, b.cfg.nsalt) for b in builders}
+    if len(shapes) != 1:
+        raise ValueError(
+            f"shards disagree on (num_buckets, nsalt): {sorted(shapes)} — "
+            "bucket pruning and salt-local top-k require a shared layout"
+        )
+    segs = None
+    stats = None
+    n_docs = 0
+    sum_len = 0
+    per_salt: dict[int, list] = {}
+    for b in builders:
+        # normalize the partition column's INFERRED type before union:
+        # a shard whose fragments are all numeric ("0","1") reads back
+        # src_part as INT while one holding an upsert fragment ("u3")
+        # reads STRING — Spark's set-operation coercion then widens
+        # string∪int to BIGINT and the cast blows up on "u3"
+        sg = b.segments().withColumn(
+            "src_part", F.col("src_part").cast("string")
+        )
+        segs = sg if segs is None else segs.unionByName(sg)
+        s, n, _avg = b.cached_global_stats()
+        stats = s if stats is None else stats.unionByName(s)
+        n_docs += n
+        sum_len += b.doc_totals()[1]
+        for salt, (ids, seqs) in b.delete_map().items():
+            per_salt.setdefault(salt, []).append((ids, seqs))
+    stats = (
+        stats.groupBy("term")
+        .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
+        .where(F.col("df") > 0)
+    )
+    deletes = None
+    if per_salt:
+        deletes = {}
+        for salt, entries in per_salt.items():
+            ids = np.concatenate([e[0] for e in entries])
+            seqs = np.concatenate([e[1] for e in entries])
+            order = np.argsort(ids, kind="stable")
+            deletes[salt] = (ids[order], seqs[order])
+    avg_len = sum_len / max(1, n_docs)
+    nb = builders[0].cfg.num_buckets
+    return wand_topk(
+        segs, stats, queries, n_docs, avg_len,
+        k=k, mode=mode, num_buckets=nb, deletes=deletes,
+    )
