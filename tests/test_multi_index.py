@@ -96,3 +96,15 @@ def test_layout_mismatch_rejected(spark, corpus, tmp_path):
         query_topk_multi([ba, bb], _q(spark))
     with pytest.raises(ValueError, match="at least one"):
         query_topk_multi([], _q(spark))
+
+
+def test_list_fast_path_parity(spark, corpus, tmp_path):
+    """The one-job serving fast path (list-shaped query batch) works
+    unchanged over the merged shards."""
+    ba = _build(spark, corpus.where(F.col("doc_id") % 2 == 0), tmp_path, "f_a")
+    bb = _build(spark, corpus.where(F.col("doc_id") % 2 == 1), tmp_path, "f_b")
+    df_res = _rows(spark, query_topk_multi([ba, bb], _q(spark), k=5))
+    lst_res = _rows(
+        spark, query_topk_multi([ba, bb], [(q, s) for q, s in QUERIES], k=5)
+    )
+    assert lst_res == df_res
