@@ -292,6 +292,35 @@ def main() -> None:
         print(f"BENCH ERROR q15 setup: {exc}", file=sys.stderr)
         timings["q15_bpe_learn_encode"] = -1.0
 
+    # q16: scatter-gather serving over two independently-built shards
+    # (builds excluded from the timer — the measured number is the
+    # merged one-pass query batch, the steady-state serving cost)
+    try:
+        from mwmbl_spark.plans.build_index import (
+            IndexBuilder as _IB,
+            IndexConfig as _IC,
+            query_topk_multi,
+        )
+
+        _mt = transcripts_from_documents(spark, sf_dir)
+        shards = []
+        for j in range(2):
+            _cfg = _IC(
+                path=f"{tmp}/shard{j}", num_buckets=32, nsalt=8,
+                n_src_partitions=2,
+            )
+            _sb = _IB(spark, _cfg)
+            _sb.build(_mt.where(F.col("doc_id") % 2 == j))
+            shards.append(_sb)
+
+        timed(
+            "q16_multi_shard_topk",
+            lambda: query_topk_multi(shards, qdf, k=10).count(),
+        )
+    except Exception as exc:  # noqa: BLE001
+        print(f"BENCH ERROR q16 setup: {exc}", file=sys.stderr)
+        timings["q16_multi_shard_topk"] = -1.0
+
     build_s = timings.get("q1_index_build", -1.0)
     total = round(sum(v for k, v in timings.items() if v > 0 and k in CORE), 4)
     print(
