@@ -510,7 +510,12 @@ class IndexBuilder:
         alive iff its max-seq doc_index row is not superseded by a
         delete-vector row with a larger seq (the kernel's dead_mask rule
         at doc grain). Distributed: one groupBy over the slim
-        one-row-per-doc sidecar plus a broadcast of the delete pairs."""
+        one-row-per-doc sidecar plus a broadcast of the delete pairs.
+        A vacuumed snapshot fails LOUDLY here too — a basePath read
+        over missing fragment dirs would otherwise silently drop those
+        docs and a snapshot_diff would mislabel them."""
+        if as_of is not None:
+            self._check_snapshot_readable(self._live(as_of), as_of)
         di = self.doc_index(as_of)
         latest = di.groupBy("doc_id").agg(
             F.max("seq").alias("seq"),

@@ -137,6 +137,10 @@ def test_vacuum_breaks_old_snapshots_loudly(spark, corpus, tmp_path):
     assert b.compact(vacuum=True) is not None
     with pytest.raises(FileNotFoundError, match="vacuumed"):
         _query(spark, b, as_of=s0)
+    # ...and so must doc-grain reads (a silent basePath read would
+    # drop the vacuumed fragments' docs and mislabel a snapshot_diff)
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        b.snapshot_diff(s0, b.current_seq()).collect()
     # the post-compaction snapshot (== live) still reads fine
     assert _query(spark, b, as_of=b.current_seq()) == _query(spark, b)
 
