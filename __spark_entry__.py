@@ -605,7 +605,15 @@ def q_search_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     real SQL oracle via `search_candidates`."""
     from mwmbl_spark.plans.search import search
 
-    return search(spark, _web_docs(spark, sf_dir), _queries_df(spark), k=10)
+    # the PLAIN contract pins the reference's UNCAPPED semantics (its
+    # twin scores every candidate); search()'s 512 default is the
+    # at-scale serving default and becomes BINDING above sf0.01 — the
+    # capped behavior is separately gated by search_pipeline_capped /
+    # search_pipeline_reranked at an always-binding K
+    return search(
+        spark, _web_docs(spark, sf_dir), _queries_df(spark), k=10,
+        term_doc_cap=None,
+    )
 
 
 def q_search_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1343,7 +1351,10 @@ def _twin_html_oracles() -> dict[str, str]:
     import os
     import sys
 
-    sf_dir = "/root/testdata/sf0.01"
+    # the driver gates at sf0.01; MWMBL_TWIN_SF_DIR lets
+    # tools/check_contract.py regenerate the twin at the sf under test
+    # (twin values are a function of the corpus, unlike SQL oracles)
+    sf_dir = os.environ.get("MWMBL_TWIN_SF_DIR", "/root/testdata/sf0.01")
     if not os.path.exists(f"{sf_dir}/documents.parquet"):
         _HTML_TWIN_CACHE = {}
         return _HTML_TWIN_CACHE
@@ -3165,7 +3176,9 @@ def _twin_search_oracles() -> dict[str, str]:
     import os
     import sys
 
-    sf_dir = "/root/testdata/sf0.01"
+    # driver fixture by default; MWMBL_TWIN_SF_DIR re-pins the twin to
+    # the sf under test (see _twin_html_oracles)
+    sf_dir = os.environ.get("MWMBL_TWIN_SF_DIR", "/root/testdata/sf0.01")
     if not os.path.exists(f"{sf_dir}/documents.parquet"):
         _TWIN_CACHE = {}
         return _TWIN_CACHE

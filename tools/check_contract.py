@@ -42,6 +42,13 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def main(sf_dir: str, only: list[str] | None = None) -> int:
+    import os
+
+    # twin-based oracles (search pipeline family, MMR, HTML walk) embed
+    # values computed FROM the corpus — regenerate them at the sf under
+    # test instead of the driver's sf0.01 default (oracle generation is
+    # lazy, so setting this before oracle_sql() is sufficient)
+    os.environ["MWMBL_TWIN_SF_DIR"] = sf_dir
     spark = get_spark("check-contract", cores=8, shuffle_partitions=8)
     con = duckdb.connect()
     for t in TABLES:
