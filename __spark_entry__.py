@@ -896,6 +896,20 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_near_duplicates(docs, threshold=0.35)
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-feed near-dup (operators/dedup.incremental_near_duplicates
+    — the consumer snapshot_diff epochs feed): only pairs touching a
+    'changed' doc (doc_id%10==2 stands in for an ingest epoch) are
+    re-evaluated; output must equal the full recompute restricted to
+    that set (the oracle wraps the full-pipeline SQL with the same
+    restriction)."""
+    from mwmbl_spark.operators.dedup import incremental_near_duplicates
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    changed = docs.where(F.col("doc_id") % 10 == 2).select("doc_id")
+    return incremental_near_duplicates(docs, changed, threshold=0.35)
+
+
 def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup PAIRS resolved to connected components (doc_id ->
     keep_id = component min): the drop-list a dedup pipeline actually
@@ -2132,6 +2146,13 @@ l{k} AS MATERIALIZED (
   ) m ON p.doc_id = m.doc_id)"""
     for k in range(1, 9)
 )
+
+# incremental near-dup == the full pipeline restricted to pairs
+# touching a changed doc (DuckDB allows a CTE-bearing query in a
+# subquery, so the full oracle nests verbatim)
+ORACLE["dedup_incremental"] = f"""
+SELECT * FROM ({ORACLE["dedup_minhash"]}) t
+WHERE doc_a % 10 = 2 OR doc_b % 10 = 2"""
 
 ORACLE["dedup_groups"] = f"""
 WITH {_SHINGLE_SQL},
@@ -3478,6 +3499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transitions": _shipped(q_transitions),
         "dedup_exact": _shipped(q_dedup_exact),
         "dedup_minhash": _shipped(q_dedup_minhash),
+        "dedup_incremental": _shipped(q_dedup_incremental),
         "dedup_groups": _shipped(q_dedup_groups),
         "simhash": _shipped(q_simhash),
         "embedding_topk": _shipped(q_embedding_topk),
