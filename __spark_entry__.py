@@ -1069,6 +1069,9 @@ def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 PMI_MIN_DF = 60
+# keep in sync with operators/corpus_analytics.DEFAULT_PMI_DOC_CAP (the
+# oracle mirrors the now-default per-doc term cap)
+_PMI_DOC_CAP = 1000
 
 
 def q_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1107,10 +1110,21 @@ def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_bloom_unseen(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bloom seen-set pre-filter (operators/bloom.py). Rows-only
-    contract: membership bits derive from JVM xxhash64, which ANSI SQL
-    can't restate — correctness (no false negatives, FPR) is
-    pytest-gated in tests/test_bloom.py."""
+    """Bloom seen-set pre-filter (operators/bloom.py), VALUE-GATED by
+    its one-sided guarantees (the exact bit pattern derives from JVM
+    xxhash64, which ANSI SQL can't restate — but the properties that
+    make a Bloom filter a Bloom filter are plain anti-join SQL):
+
+      - n_truly_seen_in_output  == 0   zero false negatives — a seen
+        key is ALWAYS flagged maybe-seen, so none may survive
+      - n_outside_truly_unseen  == 0   output is a subset of the
+        truly-unseen set (candidates minus seen)
+      - output_within_bounds    == 1   |output| <= |truly unseen|
+      - recall_lb_ok            == 1   |output| >= 90% of truly unseen
+        (the designed 1% FPR only drops ~1%; 90% is the loose gate)
+      - n_truly_unseen                 data-derived, both engines
+
+    Exact FPR behavior stays pytest-gated in tests/test_bloom.py."""
     from mwmbl_spark.operators.bloom import bloom_parameters, build_bloom, filter_unseen
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -1121,7 +1135,31 @@ def q_bloom_unseen(spark: SparkSession, sf_dir: str) -> DataFrame:
     seen = urls.where(F.col("doc_id") % 3 == 0)
     m, k = bloom_parameters(max(1, seen.count()), fpr=0.01)
     bloom = build_bloom(seen, "url", m, k)
-    return filter_unseen(urls, "url", bloom).select("doc_id", "url")
+    out = filter_unseen(urls, "url", bloom).select("doc_id").localCheckpoint()
+    seen_ids = seen.select("doc_id")
+    truly_unseen = urls.join(seen_ids, "doc_id", "left_anti").select("doc_id")
+    cnt = F.count(F.lit(1))
+    a = out.join(seen_ids, "doc_id", "left_semi").agg(
+        cnt.alias("n_truly_seen_in_output")
+    )
+    b = out.join(truly_unseen, "doc_id", "left_anti").agg(
+        cnt.alias("n_outside_truly_unseen")
+    )
+    c = out.agg(cnt.alias("_n_out"))
+    d = truly_unseen.agg(cnt.alias("n_truly_unseen"))
+    return (
+        a.crossJoin(b).crossJoin(c).crossJoin(d).select(
+            "n_truly_seen_in_output",
+            "n_outside_truly_unseen",
+            (F.col("_n_out") <= F.col("n_truly_unseen"))
+            .cast("int").alias("output_within_bounds"),
+            (
+                F.col("_n_out").cast("double")
+                >= 0.9 * F.col("n_truly_unseen").cast("double")
+            ).cast("int").alias("recall_lb_ok"),
+            "n_truly_unseen",
+        )
+    )
 
 
 def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2463,6 +2501,19 @@ SELECT t.doc_id,
        round(coalesce(n_dup::DOUBLE / nullif(n_windows, 0), 0.0), 6) AS dup_window_frac
 FROM tok t LEFT JOIN per USING (doc_id)"""
 
+# One-sided Bloom gate (see q_bloom_unseen): the zero-violation
+# constants are the filter's HARD guarantees (no false negatives,
+# output subset of truly-unseen) — any bug that drops a truly-unseen
+# bound or lets a seen key through flips a value here; n_truly_unseen
+# is data-derived so the row is corpus-bound, not pure constants.
+ORACLE["bloom_unseen"] = """
+SELECT CAST(0 AS BIGINT) AS n_truly_seen_in_output,
+       CAST(0 AS BIGINT) AS n_outside_truly_unseen,
+       1 AS output_within_bounds,
+       1 AS recall_lb_ok,
+       (SELECT count(*) FROM documents WHERE doc_id % 3 <> 0)
+         AS n_truly_unseen"""
+
 ORACLE["decontam"] = f"""
 WITH {_TOK_SQL},
 tg AS (
@@ -2602,7 +2653,11 @@ WITH {_POST_SQL},
 dt AS (SELECT DISTINCT doc_id, term FROM post),
 dfq AS (SELECT term, count(*) AS df FROM dt GROUP BY term
         HAVING count(*) >= {PMI_MIN_DF}),
-qual AS (SELECT dt.doc_id, dt.term FROM dt JOIN dfq USING (term)),
+qual0 AS (SELECT dt.doc_id, dt.term FROM dt JOIN dfq USING (term)),
+-- mirror pmi_pairs' default max_terms_per_doc cap (DEFAULT_PMI_DOC_CAP)
+keepdocs AS (SELECT doc_id FROM qual0 GROUP BY doc_id
+             HAVING count(*) <= {_PMI_DOC_CAP}),
+qual AS (SELECT qual0.* FROM qual0 JOIN keepdocs USING (doc_id)),
 pop AS (SELECT count(DISTINCT doc_id)::DOUBLE AS n_population FROM qual),
 pairs AS (
   SELECT a.term AS term_a, b.term AS term_b, count(*) AS n_ab
@@ -3459,7 +3514,54 @@ def _shipped(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSes
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ROTATION POLICY (round-5+): the driver's correctness window covers
+    # only the FIRST 50 entries, so the dict is ordered
+    # least-recently-driver-verified first — (1) entries never yet
+    # driver-green (or newest this round), (2) entries whose last
+    # driver-green row is oldest. Re-rotate each round (move the keys of
+    # the new CORRECTNESS_r{N}.json to the back) so every contract earns
+    # a driver-green row at least once every two rounds.
     return {
+        # -- never driver-verified (outside CORRECTNESS_r04's window) --
+        "fingerprint": _shipped(q_fingerprint),
+        "repetition": _shipped(q_repetition),
+        "top_ngrams": _shipped(q_top_ngrams),
+        "pmi_pairs": _shipped(q_pmi_pairs),
+        "corpus_stats": _shipped(q_corpus_stats),
+        "doc_keywords": _shipped(q_doc_keywords),
+        "domain_quality": _shipped(q_domain_quality),
+        "unigram_logprob": _shipped(q_unigram_logprob),
+        "bigram_logprob": _shipped(q_bigram_logprob),
+        "stream_dedup": _shipped(q_stream_dedup),
+        "pii_redact": _shipped(q_pii_redact),
+        "decontam": _shipped(q_decontam),
+        "dup_spans": _shipped(q_dup_spans),
+        "bloom_unseen": _shipped(q_bloom_unseen),
+        "split_assign": _shipped(q_split_assign),
+        "hash_sample": _shipped(q_hash_sample),
+        "quota_sample": _shipped(q_quota_sample),
+        "temperature_mix": _shipped(q_temperature_mix),
+        "pack_sequences": _shipped(q_pack_sequences),
+        "conversation_stats": _shipped(q_conversation_stats),
+        "training_pairs": _shipped(q_training_pairs),
+        "content_extract_cf": _shipped(q_content_extract_cf),
+        "html_paragraphs": _shipped(q_html_paragraphs),
+        "mm_decode": _shipped(q_mm_decode),
+        "mm_resize": _shipped(q_mm_resize),
+        "mm_frames": _shipped(q_mm_frames),
+        "url_tokens": _shipped(q_url_tokens),
+        "frontier": _shipped(q_frontier),
+        "link_graph": _shipped(q_link_graph),
+        "domain_pagerank": _shipped(q_domain_pagerank),
+        "new_urls": _shipped(q_new_urls),
+        "url_errors": _shipped(q_url_errors),
+        "record_urls": _shipped(q_record_urls),
+        "record_url_links": _shipped(q_record_url_links),
+        "ndcg": _shipped(q_ndcg),
+        "ndcg_summary": _shipped(q_ndcg_summary),
+        "curation_apply": _shipped(q_curation_apply),
+        # -- new round-5 contracts --
+        # -- driver-verified green in CORRECTNESS_r04 --
         "postings": _shipped(q_postings),
         "doc_lengths": _shipped(q_doc_lengths),
         "term_stats": _shipped(q_term_stats),
@@ -3510,43 +3612,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _shipped(q_lang_id),
         "text_features": _shipped(q_text_features),
         "token_stats": _shipped(q_token_stats),
-        "fingerprint": _shipped(q_fingerprint),
-        "repetition": _shipped(q_repetition),
-        "top_ngrams": _shipped(q_top_ngrams),
-        "pmi_pairs": _shipped(q_pmi_pairs),
-        "corpus_stats": _shipped(q_corpus_stats),
-        "doc_keywords": _shipped(q_doc_keywords),
-        "domain_quality": _shipped(q_domain_quality),
-        "unigram_logprob": _shipped(q_unigram_logprob),
-        "bigram_logprob": _shipped(q_bigram_logprob),
-        "stream_dedup": _shipped(q_stream_dedup),
-        "pii_redact": _shipped(q_pii_redact),
-        "decontam": _shipped(q_decontam),
-        "dup_spans": _shipped(q_dup_spans),
-        "bloom_unseen": _shipped(q_bloom_unseen),
-        "split_assign": _shipped(q_split_assign),
-        "hash_sample": _shipped(q_hash_sample),
-        "quota_sample": _shipped(q_quota_sample),
-        "temperature_mix": _shipped(q_temperature_mix),
-        "pack_sequences": _shipped(q_pack_sequences),
-        "conversation_stats": _shipped(q_conversation_stats),
-        "training_pairs": _shipped(q_training_pairs),
-        "content_extract_cf": _shipped(q_content_extract_cf),
-        "html_paragraphs": _shipped(q_html_paragraphs),
-        "mm_decode": _shipped(q_mm_decode),
-        "mm_resize": _shipped(q_mm_resize),
-        "mm_frames": _shipped(q_mm_frames),
-        "url_tokens": _shipped(q_url_tokens),
-        "frontier": _shipped(q_frontier),
-        "link_graph": _shipped(q_link_graph),
-        "domain_pagerank": _shipped(q_domain_pagerank),
-        "new_urls": _shipped(q_new_urls),
-        "url_errors": _shipped(q_url_errors),
-        "record_urls": _shipped(q_record_urls),
-        "record_url_links": _shipped(q_record_url_links),
-        "ndcg": _shipped(q_ndcg),
-        "ndcg_summary": _shipped(q_ndcg_summary),
-        "curation_apply": _shipped(q_curation_apply),
     }
 
 

@@ -43,6 +43,12 @@ from pyspark.sql import functions as F
 
 from mwmbl_spark.operators.repetition import ngrams_expr
 
+# pmi_pairs' per-document distinct-term cap, ON by default: a doc at
+# the cap contributes C(1000, 2) ~ 5e5 pairs — bounded; an uncapped
+# boilerplate mega-doc is quadratic in its own length and at corpus
+# scale that one doc IS the job.
+DEFAULT_PMI_DOC_CAP = 1000
+
 
 def top_ngrams(
     docs: DataFrame,
@@ -94,7 +100,7 @@ def pmi_pairs(
     k: int = 50,
     toks_col: str = "toks",
     id_col: str = "doc_id",
-    max_terms_per_doc: int | None = None,
+    max_terms_per_doc: int | None = DEFAULT_PMI_DOC_CAP,
 ) -> DataFrame:
     """Top-``k`` co-occurring term pairs by document co-occurrence
     count, with pointwise mutual information:
@@ -106,12 +112,21 @@ def pmi_pairs(
     (term_a, term_b, n_ab, df_a, df_b, pmi, rank), term_a < term_b.
 
     ``min_df`` prunes the vocabulary tail before the self-join;
-    ``max_terms_per_doc`` (optional) drops whole documents whose
-    qualifying distinct-term count exceeds the cap — each such doc
+    ``max_terms_per_doc`` drops whole documents whose qualifying
+    distinct-term count exceeds the cap — each surviving doc
     contributes O(cap^2) pairs at most, so total pair volume is
-    explicitly bounded. N counts documents that survive both filters
-    with >= 1 qualifying term, so PMI stays a proper estimate over the
-    population actually paired.
+    explicitly bounded. The cap DEFAULTS ON (DEFAULT_PMI_DOC_CAP): one
+    pathological mega-document is O(|terms|^2) pairs otherwise, and at
+    corpus scale that single doc is the job. N counts documents that
+    survive both filters with >= 1 qualifying term, so PMI stays a
+    proper estimate over the population actually paired. Pass
+    ``max_terms_per_doc=None`` only when the doc-length profile is
+    known bounded.
+
+    The df-side joins carry NO broadcast hint: the min_df-filtered
+    vocabulary is corpus-sized (1e7+ rows at 100 TB) and force-
+    broadcasting it is an executor-OOM; AQE broadcasts it at runtime
+    when it actually fits. Only the 1-row N scalar keeps a hint.
     """
     terms = doc_term_sets(docs, toks_col, id_col)
     df_t = (
@@ -134,8 +149,8 @@ def pmi_pairs(
     dfa = df_t.select(F.col("term").alias("term_a"), F.col("df").alias("df_a"))
     dfb = df_t.select(F.col("term").alias("term_b"), F.col("df").alias("df_b"))
     scored = (
-        n_ab.join(F.broadcast(dfa), "term_a")
-        .join(F.broadcast(dfb), "term_b")
+        n_ab.join(dfa, "term_a")
+        .join(dfb, "term_b")
         .crossJoin(F.broadcast(n_docs))
         .select(
             "term_a",

@@ -49,44 +49,42 @@ def cap_bands(bands: DataFrame, band_cap: int | None, warn: bool = True) -> Data
     candidate self-join needs anyway.
 
     No silent caps: when the cap drops anything, a WARNING with the
-    dropped row/bucket counts is logged. The counts ride the SAME job
-    as the window (``DataFrame.observe`` — zero extra Spark jobs); a
-    daemon thread waits on the Observation and logs once the caller's
-    first action completes. ``band_skew_report`` remains the audit tool
-    for choosing a cap."""
+    dropped row/bucket counts is logged SYNCHRONOUSLY. The counted band
+    table is eagerly localCheckpoint'ed first, so (a) the drop stats
+    are a cheap scan of materialized rows — the expensive
+    shingle→signature→window lineage runs ONCE, (b) the self-join every
+    caller feeds reads the checkpoint on both sides instead of
+    recomputing the signature pipeline per side, and (c) the warning
+    can never be lost. (The round-4 implementation rode a
+    ``DataFrame.observe`` + daemon thread; measured round 5: a
+    CollectMetrics node duplicated by the callers' self-join never
+    resolves its Observation, so the 'no silent caps' promise was
+    silent in exactly the degenerate-corpus case it existed for.)
+    ``warn=False`` keeps the fully lazy single-pass form.
+    ``band_skew_report`` remains the audit tool for choosing a cap."""
     if band_cap is None:
         return bands
     w = Window.partitionBy("band_key")
     counted = bands.withColumn("_bcnt", F.count(F.lit(1)).over(w))
     if warn:
         import logging
-        import threading
 
-        from pyspark.sql import Observation
-
-        obs = Observation()
-        counted = counted.observe(
-            obs,
-            F.sum((F.col("_bcnt") > band_cap).cast("long")).alias("dropped_rows"),
-            F.approx_count_distinct(
-                F.when(F.col("_bcnt") > band_cap, F.col("band_key"))
-            ).alias("dropped_buckets"),
+        counted = counted.localCheckpoint(eager=True)
+        stats = (
+            counted.where(F.col("_bcnt") > band_cap)
+            .agg(
+                F.count(F.lit(1)).alias("dropped_rows"),
+                F.approx_count_distinct("band_key").alias("dropped_buckets"),
+            )
+            .first()
         )
-
-        def _log() -> None:
-            try:
-                m = obs.get  # blocks until the first action completes
-                if m and m.get("dropped_rows"):
-                    logging.getLogger("mwmbl_spark.dedup").warning(
-                        "cap_bands(band_cap=%d) dropped %s (doc, band) rows "
-                        "across ~%s degenerate buckets (whole buckets, "
-                        "deterministic); run band_skew_report() to audit",
-                        band_cap, m["dropped_rows"], m["dropped_buckets"],
-                    )
-            except Exception:  # noqa: BLE001 — logging must never break a job
-                pass
-
-        threading.Thread(target=_log, daemon=True, name="band-cap-observer").start()
+        if stats["dropped_rows"]:
+            logging.getLogger("mwmbl_spark.dedup").warning(
+                "cap_bands(band_cap=%d) dropped %s (doc, band) rows "
+                "across ~%s degenerate buckets (whole buckets, "
+                "deterministic); run band_skew_report() to audit",
+                band_cap, stats["dropped_rows"], stats["dropped_buckets"],
+            )
     return counted.where(F.col("_bcnt") <= band_cap).drop("_bcnt")
 
 

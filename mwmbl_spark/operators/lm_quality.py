@@ -123,9 +123,14 @@ def bigram_logprob(
 
         p(w2 | w1) = lam * (c(w1 w2) / c(w1 .)) + (1-lam) * (cf(w2) / T)
 
-    Always finite: every scored bigram was counted, so c12 >= tf >= 1.
-    Documents with < 2 tokens have no bigrams and drop out (nothing to
-    score).
+    Always finite — including against a REUSED model (the docstring's
+    recommended amortization): doc bigrams LEFT-join the model tables,
+    so a (w1, w2) unseen at train time backs off to the (1-lam) unigram
+    term instead of silently dropping, and a w2 unseen even as a
+    unigram scores with a 0.5 pseudo-count (Jeffreys-style OOV mass,
+    p_oov = (1-lam) * 0.5/T > 0). Trained-on-the-same-corpus scoring is
+    unchanged (every doc bigram matches all three tables). Documents
+    with < 2 tokens have no bigrams and drop out (nothing to score).
 
     Plan: per-doc bigram counts join the model on (w1, w2) then (w1)
     then (w2) — three vocabulary-key shuffle joins (deliberately not
@@ -140,13 +145,16 @@ def bigram_logprob(
     """
     m = model if model is not None else train_bigram_model(docs, toks_col, id_col)
     bg = _doc_bigrams(docs, toks_col, id_col)
-    p = F.lit(lam) * (F.col("n12").cast("double") / F.col("n1").cast("double")) + F.lit(
+    n12 = F.coalesce(F.col("n12"), F.lit(0)).cast("double")
+    n1 = F.coalesce(F.col("n1"), F.lit(0)).cast("double")
+    cf = F.coalesce(F.col("cf").cast("double"), F.lit(0.5))  # OOV pseudo-count
+    p = F.lit(lam) * F.when(n1 > 0, n12 / n1).otherwise(F.lit(0.0)) + F.lit(
         1.0 - lam
-    ) * (F.col("cf").cast("double") / F.col("total"))
+    ) * (cf / F.col("total"))
     scored = (
-        bg.join(m.c12, ["w1", "w2"])
-        .join(m.c1, "w1")
-        .join(m.uni.withColumnRenamed("term", "w2"), "w2")
+        bg.join(m.c12, ["w1", "w2"], "left")
+        .join(m.c1, "w1", "left")
+        .join(m.uni.withColumnRenamed("term", "w2"), "w2", "left")
         .crossJoin(F.broadcast(m.total))
         .groupBy("doc_id")
         .agg(

@@ -32,7 +32,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from mwmbl_spark.operators.dedup import hash60
+from mwmbl_spark.operators.dedup import DEFAULT_BAND_CAP, hash60
+
+# embedding_near_duplicates' sign-bucket cap: same constant, same
+# rationale as the minhash/simhash band cap (dedup.DEFAULT_BAND_CAP).
+DEFAULT_BUCKET_CAP = DEFAULT_BAND_CAP
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -206,8 +210,13 @@ def ivf_train(
 ) -> DataFrame:
     """Deterministic distributed Lloyd iterations -> (cid, centroid
     array<double>). Seeds = the ``n_centroids`` vectors with the
-    smallest md5-derived id hash (data-independent, reproducible —
-    no RNG, same centroids on any cluster / partitioning). Each
+    smallest md5-derived id hash (data-independent, no RNG).
+    Reproducible run-to-run FOR A FIXED INPUT PARTITIONING: the Arrow
+    partials are reduced in sorted (sub_id, cid, pid) order, so a
+    different partition layout changes float-sum association and can
+    move trained centroids at the ulp level (assignments of borderline
+    vectors may differ; repartition to a fixed width before training
+    when cross-layout bit-identity matters). Each
     iteration is ONE Arrow pass emitting per-partition (sum, count)
     partials + an O(C*partitions) driver reduce — no shuffle (see
     _arrow_lloyd_partials; assignment argmaxes cosine, i.e. dot
@@ -502,8 +511,10 @@ def pq_train(
 ) -> DataFrame:
     """Per-subspace deterministic Lloyd -> (sub_id, cid, cw
     array<double>). Seeds = the ``k_codes`` hash-smallest vectors'
-    subvectors (the ivf_train convention: data-independent, no RNG,
-    identical on any partitioning). One train per corpus epoch; each
+    subvectors (the ivf_train convention: data-independent, no RNG;
+    like ivf_train, trained codewords are deterministic only for a
+    fixed input partitioning — the partial reduce sums floats in
+    (sub_id, cid, pid) order). One train per corpus epoch; each
     iteration is ONE Arrow pass over the corpus emitting per-partition
     (sum, count) partials plus an O(m*k*partitions) driver reduce — no
     per-iteration shuffle at all (see _arrow_lloyd_partials).
@@ -943,7 +954,7 @@ def embedding_near_duplicates(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_bits: int = N_HYPERPLANE_BITS,
-    bucket_cap: int | None = None,
+    bucket_cap: int | None = DEFAULT_BUCKET_CAP,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (doc_a, doc_b, sim) for
     same-sign-bucket vector pairs with cosine >= threshold — the
@@ -959,9 +970,12 @@ def embedding_near_duplicates(
     concentrates on borderline pairs (split-plane near-ties) — raise
     n_bits with corpus size (2^n_bits ~ N/target_bucket) and/or run
     multiple plane families unioned if the threshold is low.
-    ``bucket_cap`` reuses cap_bands: degenerate buckets (e.g. the
-    all-zeros embedding) are dropped WITH a logged count, never
-    silently."""
+    ``bucket_cap`` reuses cap_bands and DEFAULTS ON (the minhash/simhash
+    sibling convention, DEFAULT_BAND_CAP): one degenerate sign-bucket —
+    the all-zeros embedding, any constant-embedding run, a dead encoder
+    — would otherwise turn the self-join silently quadratic. Capped
+    buckets are dropped WHOLE with a logged WARNING, never silently;
+    pass ``bucket_cap=None`` only when the bucket histogram is known."""
     bucketed = embeddings.select(
         F.col(id_col).alias("doc_id"),
         F.col(vec_col).alias("emb"),

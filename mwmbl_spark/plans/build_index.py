@@ -1234,6 +1234,39 @@ class IndexBuilder:
         return part
 
 
+def _merge_shard_deletes(
+    per_salt: dict, n_shards: int, warn_threshold: int = 10_000_000
+) -> dict:
+    """Concatenate per-shard delete vectors per salt (id-sorted, stable
+    so each shard's max-seq-per-doc ordering survives). The concat is
+    DRIVER-side, so the scatter-gather broadcast grows with the SUM of
+    all shards' dead rows — bound it with the same 10M warning as the
+    single-index path (operators/upsert.load_delete_map); past that,
+    compact the heavy shards (or route vectors through the distributed
+    fragment files) instead of growing the per-query broadcast."""
+    import numpy as np
+
+    deletes = {}
+    total_deleted = 0
+    for salt, entries in per_salt.items():
+        ids = np.concatenate([e[0] for e in entries])
+        seqs = np.concatenate([e[1] for e in entries])
+        order = np.argsort(ids, kind="stable")
+        deletes[salt] = (ids[order], seqs[order])
+        total_deleted += len(ids)
+    if total_deleted > warn_threshold:
+        import logging
+
+        logging.getLogger("mwmbl_spark.build_index").warning(
+            "multi-shard delete map holds %d superseded docs across %d "
+            "shards (~%d MB broadcast per query batch) — run "
+            "compact()/maybe_compact() on the heavy shards to retire "
+            "the vectors",
+            total_deleted, n_shards, total_deleted * 16 // 1_000_000,
+        )
+    return deletes
+
+
 def query_topk_multi(
     builders: list,
     queries,
@@ -1298,14 +1331,7 @@ def query_topk_multi(
         .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
         .where(F.col("df") > 0)
     )
-    deletes = None
-    if per_salt:
-        deletes = {}
-        for salt, entries in per_salt.items():
-            ids = np.concatenate([e[0] for e in entries])
-            seqs = np.concatenate([e[1] for e in entries])
-            order = np.argsort(ids, kind="stable")
-            deletes[salt] = (ids[order], seqs[order])
+    deletes = _merge_shard_deletes(per_salt, len(builders)) if per_salt else None
     avg_len = sum_len / max(1, n_docs)
     nb = builders[0].cfg.num_buckets
     return wand_topk(

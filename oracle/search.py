@@ -44,13 +44,16 @@ def search_py(
     counts = {t: len(ds) for t, ds in index.items()}
     if term_doc_cap is not None:
         # A7 twin of plans/search.cap_term_index: per-term top-K by
-        # crawl-time score (desc), doc_id tiebreak; counts stay uncapped
+        # crawl-time score (desc_nulls_last — None sorts after every
+        # real score, same convention as the rerank twin below; a bare
+        # `or 0.0` would rank None above negative scores), doc_id
+        # tiebreak; counts stay uncapped
+        def _cap_key(i):
+            sc = by_id[i].get("score")
+            return (float("inf") if sc is None else -sc, i)
+
         index = {
-            t: set(
-                sorted(ds, key=lambda i: (-(by_id[i].get("score") or 0.0), i))[
-                    :term_doc_cap
-                ]
-            )
+            t: set(sorted(ds, key=_cap_key)[:term_doc_cap])
             for t, ds in index.items()
         }
 
