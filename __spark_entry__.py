@@ -925,6 +925,24 @@ def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resolve_duplicate_groups(pairs, max_iter=8)
 
 
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware keeper selection (round-5): each near-dup group's
+    keep_id re-pointed at its longest member (char length as the
+    quality proxy both engines state trivially; doc_id tie-break) —
+    curation keeps the best copy, not the first-crawled one."""
+    from mwmbl_spark.operators.dedup import (
+        minhash_near_duplicates,
+        resolve_duplicate_groups,
+        select_canonical,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = minhash_near_duplicates(docs, threshold=0.35)
+    groups = resolve_duplicate_groups(pairs, max_iter=8)
+    quality = docs.select("doc_id", F.length("text").alias("score"))
+    return select_canonical(groups, quality)
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mwmbl_spark.operators.dedup import simhash
 
@@ -1169,6 +1187,17 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mwmbl_spark.operators.repetition import duplicated_span_stats
 
     return duplicated_span_stats(_docs_with_toks(spark, sf_dir), n=3)
+
+
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-dedup REMOVAL (round-5): tokens covered by a
+    corpus-duplicated order-3 window are cut and the document re-joined
+    (the transform behind the dup_spans statistic; Lee et al. §4).
+    n=3 matches the dup_spans contract so removal binds on the
+    small-vocab synthetic corpus (production default is 50)."""
+    from mwmbl_spark.operators.repetition import remove_duplicate_spans
+
+    return remove_duplicate_spans(_docs_with_toks(spark, sf_dir), n=3)
 
 
 def q_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1449,6 +1478,20 @@ def q_mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return decode_image_meta(attach_fake_payload(docs))
+
+
+def q_mm_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL pixel decode (round-5): deterministic synthetic PNGs
+    (grayscale, pixel i = (doc_id*31 + i) % 256, dims derived from
+    doc_id) are encoded and decoded by the dependency-free stdlib PNG
+    codec (mwmbl_spark/png.py; Pillow is picked up automatically when
+    installed) — the oracle restates the decoded integer pixel sums in
+    closed form over generate_series. This retires the round-2..4
+    'pixel decode honestly stubbed' gap for PNG payloads."""
+    from mwmbl_spark.multimodal import decode_image_real, synth_png_payloads
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return decode_image_real(synth_png_payloads(docs))
 
 
 def q_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2225,6 +2268,53 @@ nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
 l0 AS MATERIALIZED (SELECT doc_id, doc_id AS label FROM nodes){_LABEL_UNROLL}
 SELECT doc_id, label AS keep_id FROM l8"""
 
+# quality-aware keeper: same component chain as dedup_groups, then each
+# group re-pointed at its argmax-(char length, doc_id asc) member
+ORACLE["dedup_canonical"] = f"""
+WITH {_SHINGLE_SQL},
+sigs AS (
+  SELECT doc_id,
+         {_MH_COLS}
+  FROM sh
+),
+bands AS (
+  SELECT doc_id, unnest([{_BAND_KEYS}]) AS band_key FROM sigs
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b USING (band_key)
+  WHERE a.doc_id < b.doc_id
+),
+jac AS (
+  SELECT c.doc_a, c.doc_b,
+         len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+           / (len(sa.shingles) + len(sb.shingles)
+              - len(list_intersect(sa.shingles, sb.shingles)))::DOUBLE AS jaccard
+  FROM cand c
+  JOIN sh sa ON c.doc_a = sa.doc_id
+  JOIN sh sb ON c.doc_b = sb.doc_id
+),
+dpairs AS MATERIALIZED (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.35),
+edges AS MATERIALIZED (
+  SELECT doc_a AS src, doc_b AS dst FROM dpairs
+  UNION ALL SELECT doc_b AS src, doc_a AS dst FROM dpairs
+),
+nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+l0 AS MATERIALIZED (SELECT doc_id, doc_id AS label FROM nodes){_LABEL_UNROLL},
+grp AS (SELECT doc_id, label AS keep_id FROM l8),
+best AS (
+  SELECT keep_id AS old_keep, doc_id AS new_keep FROM (
+    SELECT g.keep_id, g.doc_id,
+           row_number() OVER (
+             PARTITION BY g.keep_id
+             ORDER BY length(d.text) DESC NULLS LAST, g.doc_id
+           ) AS rn
+    FROM grp g LEFT JOIN documents d USING (doc_id)
+  ) WHERE rn = 1
+)
+SELECT g.doc_id, b.new_keep AS keep_id
+FROM grp g JOIN best b ON g.keep_id = b.old_keep"""
+
 ORACLE["simhash"] = f"""
 WITH {_POST_SQL},
 hashed AS (
@@ -2513,6 +2603,45 @@ SELECT CAST(0 AS BIGINT) AS n_truly_seen_in_output,
        1 AS recall_lb_ok,
        (SELECT count(*) FROM documents WHERE doc_id % 3 <> 0)
          AS n_truly_unseen"""
+
+# span-dedup REMOVAL: same order-3 gram hashing as dup_spans; a token
+# at position j is cut iff some duplicated window starts in [j-2, j]
+ORACLE["span_dedup"] = f"""
+WITH {_TOK_SQL},
+occ AS (
+  SELECT doc_id, s.i AS s,
+         ('0x' || substr(md5(toks[s.i] || ' ' || toks[s.i+1] || ' ' || toks[s.i+2]), 1, 15))::BIGINT AS h
+  FROM tok, unnest(CASE WHEN len(toks) >= 3
+      THEN range(1, len(toks) - 1) ELSE []::BIGINT[] END) AS s(i)
+),
+freq AS (SELECT h, count(*) AS total FROM occ GROUP BY h),
+dups AS MATERIALIZED (
+  SELECT doc_id, s FROM occ JOIN freq USING (h) WHERE total > 1
+),
+toks_e AS (
+  SELECT doc_id, j.i AS j, toks[j.i] AS tok
+  FROM tok, unnest(range(1, len(toks) + 1)) AS j(i)
+),
+cov AS (
+  SELECT DISTINCT t.doc_id, t.j
+  FROM toks_e t JOIN dups d
+    ON d.doc_id = t.doc_id AND d.s BETWEEN t.j - 2 AND t.j
+),
+kept AS (
+  SELECT t.doc_id, t.j, t.tok
+  FROM toks_e t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.j = c.j
+  WHERE c.j IS NULL
+),
+agg AS (
+  SELECT doc_id, count(*)::BIGINT AS n_kept,
+         string_agg(tok, ' ' ORDER BY j) AS text_clean
+  FROM kept GROUP BY doc_id
+)
+SELECT tok.doc_id,
+       len(toks)::BIGINT AS n_tokens,
+       (len(toks) - coalesce(a.n_kept, 0))::BIGINT AS n_removed,
+       coalesce(a.text_clean, '') AS text_clean
+FROM tok LEFT JOIN agg a USING (doc_id)"""
 
 ORACLE["decontam"] = f"""
 WITH {_TOK_SQL},
@@ -3466,6 +3595,26 @@ SELECT doc_id,
        3 AS channels
 FROM documents"""
 
+# real PNG decode: pixel i of doc d is (d*31 + i) % 256 by construction
+# (synth_png_payloads), so the decoded statistics have a closed form
+ORACLE["mm_pixels"] = """
+WITH dims AS (
+  SELECT doc_id,
+         (doc_id % 16 + 4)::INT AS width,
+         ((doc_id // 16) % 16 + 4)::INT AS height
+  FROM documents
+),
+px AS (
+  SELECT doc_id, width, height,
+         sum((doc_id * 31 + i.i) % 256)::BIGINT AS pixel_sum,
+         count(*)::BIGINT AS n_values
+  FROM dims, unnest(generate_series(0, width * height - 1)) AS i(i)
+  GROUP BY 1, 2, 3
+)
+SELECT doc_id, width, height, 1 AS channels, n_values, pixel_sum,
+       round(pixel_sum::DOUBLE / n_values, 6) AS mean_pixel
+FROM px"""
+
 ORACLE["mm_resize"] = """
 WITH m AS (
   SELECT doc_id, octet_length(encode(text)) AS n FROM documents
@@ -3561,6 +3710,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ndcg_summary": _shipped(q_ndcg_summary),
         "curation_apply": _shipped(q_curation_apply),
         # -- new round-5 contracts --
+        "mm_pixels": _shipped(q_mm_pixels),
+        "span_dedup": _shipped(q_span_dedup),
+        "dedup_canonical": _shipped(q_dedup_canonical),
         # -- driver-verified green in CORRECTNESS_r04 --
         "postings": _shipped(q_postings),
         "doc_lengths": _shipped(q_doc_lengths),

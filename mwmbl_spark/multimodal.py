@@ -2,21 +2,27 @@
 
 Images/audio/video ride as ``binary`` columns with a metadata struct;
 decode / feature-extract / resize / frame-sample are ``mapInPandas``
-stages over Arrow batches. The decode libraries (Pillow, ffmpeg, ...)
-are NOT in this container, so the actual pixel/sample decode is STUBBED:
+stages over Arrow batches.
 
-- ``decode_image_meta`` is a DETERMINISTIC FAKE decoder — it derives
-  width/height/channels from the byte content so the Spark-side
-  plumbing (schema, partition sizing, UDF signature, Arrow batch shape)
-  is real and testable end-to-end.
-- ``decode_image_real`` raises NotImplementedError with the dependency
-  it needs; swap it in behind the same signature on a cluster that has
-  the codec libraries.
+REAL pixel decode (round-5): ``decode_image_real`` tries Pillow at
+runtime and, when it's absent (this container), falls back to the
+repo's dependency-free PNG codec (mwmbl_spark/png.py — stdlib zlib
+only). PNG payloads therefore decode to ACTUAL pixels end-to-end and
+the mm_pixels contract value-gates the decoded statistics against a
+closed-form SQL oracle; non-PNG formats without Pillow still raise the
+honest dependency error. ``resize_image_real`` is a real
+nearest-neighbor downsample over decoded pixels, re-encoded as PNG.
+
+The earlier plumbing stubs remain for schema/fan-out testing:
+``decode_image_meta`` (byte-length-derived fake metadata),
+``resize_stub``, ``frame_sample_stub``.
 
 Partitioning note (100 TB): binary payloads dominate row size; the
 reader should set spark.sql.files.maxPartitionBytes so a task's batch
 of blobs fits executor memory, and feature extraction should run
-BEFORE any wide shuffle so only the (small) feature columns move.
+BEFORE any wide shuffle so only the (small) feature columns move. The
+stdlib PNG row loop is for fixtures/thumbnails — install Pillow on a
+real cluster; the operator picks it up automatically.
 """
 
 from __future__ import annotations
@@ -71,16 +77,140 @@ def decode_image_meta(media: DataFrame) -> DataFrame:
     return media.mapInPandas(batches, schema=IMAGE_META_OUT)
 
 
-def decode_image_real(media: DataFrame) -> DataFrame:
-    """Real decoder slot — same signature as decode_image_meta."""
+IMAGE_PIXEL_OUT = (
+    "doc_id long, width int, height int, channels int, "
+    "n_values long, pixel_sum long, mean_pixel double"
+)
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _pixel_decoder():
+    """Best available bytes->array decoder: Pillow when importable
+    (all formats), else the stdlib PNG codec (PNG only, honest error
+    otherwise). Resolved INSIDE the Arrow worker so clusters with
+    Pillow use it without a code change."""
     try:
-        import PIL.Image  # noqa: F401
-    except ImportError as e:
-        raise NotImplementedError(
-            "real image decode needs Pillow (not in this container); "
-            "use decode_image_meta for the plumbing path"
-        ) from e
-    raise NotImplementedError("wire PIL decode here when the dependency exists")
+        import io
+
+        from PIL import Image
+
+        def dec(b: bytes):
+            import numpy as np
+
+            return np.asarray(Image.open(io.BytesIO(b)))
+
+        return dec
+    except ImportError:
+        from mwmbl_spark.png import decode_png
+
+        def dec(b: bytes):
+            if not b.startswith(_PNG_SIG):
+                raise NotImplementedError(
+                    "non-PNG payload and Pillow is not installed — the "
+                    "stdlib fallback (mwmbl_spark/png.py) decodes PNG only"
+                )
+            return decode_png(b)
+
+        return dec
+
+
+def decode_image_real(media: DataFrame) -> DataFrame:
+    """REAL pixel decode -> per-image statistics
+    (width/height/channels, value count, integer pixel sum, mean).
+    The sum/mean are over ALL channel values — integer-exact, so the
+    contract oracle can state them in closed form for synthetic
+    payloads. Pillow if available, stdlib PNG codec otherwise."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        dec = _pixel_decoder()
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                arr = dec(bytes(payload))
+                h, w = arr.shape[:2]
+                ch = 1 if arr.ndim == 2 else arr.shape[2]
+                s = int(arr.astype(np.int64).sum())
+                n = int(arr.size)
+                rows.append(
+                    (int(doc_id), int(w), int(h), int(ch), n, s, round(s / n, 6))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "channels",
+                    "n_values", "pixel_sum", "mean_pixel",
+                ],
+            )
+
+    return media.mapInPandas(batches, schema=IMAGE_PIXEL_OUT)
+
+
+def resize_image_real(media: DataFrame, max_side: int = 8) -> DataFrame:
+    """REAL nearest-neighbor downsample: decode, sample rows/columns at
+    out_idx * in_len // out_len (the standard floor mapping), re-encode
+    as PNG. Aspect ratio preserved; images already within ``max_side``
+    pass through re-encoded (pixel-identical)."""
+    import numpy as np
+
+    from mwmbl_spark.png import encode_png
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        dec = _pixel_decoder()
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                arr = dec(bytes(payload))
+                if arr.ndim == 2:
+                    arr = arr[:, :, None]
+                h, w = arr.shape[:2]
+                scale = max(1.0, max(h, w) / max_side)
+                oh, ow = max(1, int(h / scale)), max(1, int(w / scale))
+                ys = (np.arange(oh) * h) // oh
+                xs = (np.arange(ow) * w) // ow
+                thumb = arr[ys][:, xs]
+                rows.append((int(doc_id), int(ow), int(oh), encode_png(thumb)))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "thumb"]
+            )
+
+    return media.mapInPandas(batches, schema=RESIZE_OUT)
+
+
+def synth_png_payloads(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic synthetic PNG fixture: for each doc, an 8-bit
+    grayscale image with width = doc_id % 16 + 4, height =
+    (doc_id // 16) % 16 + 4 and row-major pixel i = (doc_id*31 + i) %
+    256 — a closed form both engines can state exactly (the mm_pixels
+    oracle restates pixel_sum/mean in SQL over generate_series)."""
+    import numpy as np
+
+    from mwmbl_spark.png import encode_png
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w = d % 16 + 4
+                h = (d // 16) % 16 + 4
+                px = ((d * 31 + np.arange(w * h)) % 256).astype(np.uint8)
+                payloads.append(encode_png(px.reshape(h, w)))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        batches, schema="doc_id long, payload binary"
+    ).select(
+        "doc_id",
+        F.lit("image/png").alias("media_type"),
+        "payload",
+        F.struct(
+            F.lit("synthetic-png").alias("source"),
+            F.lit(None).cast("int").alias("declared_w"),
+            F.lit(None).cast("int").alias("declared_h"),
+        ).alias("meta"),
+    )
 
 
 RESIZE_OUT = "doc_id long, width int, height int, thumb binary"

@@ -19,6 +19,12 @@ oracle states the identical computation, so these are value-gated, not
 just row-counted. mwmbl itself dedups only by exact url/title
 (reference index_batches.py:160-173, rank.py:209-215) — these operators
 extend that capability to near-duplicate detection at corpus scale.
+
+Change-feed epochs (round-5): ``build_dedup_staging`` /
+``update_dedup_staging`` maintain PERSISTED shingle/band/band-count
+tables so ``incremental_near_duplicates(..., staging=...)`` pays
+|changed|-proportional work end-to-end — no signature recompute of the
+corpus per epoch (bench/incremental_dedup_scale.py).
 """
 
 from __future__ import annotations
@@ -491,6 +497,41 @@ def resolve_duplicate_groups(
     return labels.select("doc_id", F.col("label").alias("keep_id"))
 
 
+def select_canonical(
+    groups: DataFrame,
+    quality: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Re-point each dedup group's keeper at its HIGHEST-QUALITY member
+    (score desc, doc_id asc tie-break; members missing from the quality
+    table sort last) — the curation-grade upgrade of
+    ``resolve_duplicate_groups``'s min-doc_id convention: when a near-
+    dup cluster mixes a clean page with its ad-littered mirror, the
+    keeper should be chosen by quality, not by crawl order.
+
+    Input/output shape is ``resolve_duplicate_groups``'s (doc_id,
+    keep_id), so the result pipes straight into ``apply_dedup``. Plan:
+    one broadcast-eligible join to attach scores, one per-group
+    row_number window (Catalyst inserts a map-side WindowGroupLimit:
+    only ~1 row per (partition, group) shuffles), one join back."""
+    q = quality.select(
+        F.col(id_col).alias("doc_id"), F.col(score_col).alias("_q")
+    )
+    w = Window.partitionBy("keep_id").orderBy(
+        F.desc_nulls_last("_q"), F.asc("doc_id")
+    )
+    best = (
+        groups.join(q, "doc_id", "left")
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(F.col("keep_id").alias("_old"), F.col("doc_id").alias("_new"))
+    )
+    return groups.join(best, groups["keep_id"] == best["_old"]).select(
+        "doc_id", F.col("_new").alias("keep_id")
+    )
+
+
 def apply_dedup(
     docs: DataFrame, groups: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:
@@ -503,37 +544,12 @@ def apply_dedup(
     )
 
 
-def incremental_near_duplicates(
-    all_docs: DataFrame,
-    changed_ids: DataFrame,
-    threshold: float = 0.5,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    band_cap: int | None = DEFAULT_BAND_CAP,
-) -> DataFrame:
-    """INCREMENTAL near-dup detection over a change feed — the consumer
-    that ``IndexBuilder.snapshot_diff`` epochs feed ('added'/'updated'
-    rows): re-evaluate ONLY pairs touching a changed doc instead of
-    re-running all-pairs LSH after every ingest epoch.
-
-    Scale shape (the entire point): the band self-join degenerates to
-    an ASYMMETRIC join — changed docs' band rows (bounded by the epoch
-    size) against the full band table — so candidate volume is
-    |changed| x per-band occupancy, not corpus-quadratic. On a real
-    pipeline the full band/signature/shingle tables are PERSISTED
-    staging tables maintained alongside the corpus; this operator
-    recomputes them from ``all_docs`` to stay self-contained, and the
-    recompute is one scan + the same partial-agg'd signature pass the
-    full pipeline pays.
-
-    Output: (doc_a, doc_b, jaccard) with doc_a < doc_b, at least one
-    side changed — EXACTLY the full ``minhash_near_duplicates`` output
-    restricted to pairs touching a changed doc (pytest-gated equality;
-    contract dedup_incremental states the same restriction in SQL)."""
-    sr = shingle_rows(all_docs, text_col, id_col).localCheckpoint(eager=True)
+def _sig_bands(sigs: DataFrame) -> DataFrame:
+    """(doc_id, band_key) rows from a minhash-signature table — the one
+    band-key construction, shared by the full pipeline, the incremental
+    operator, and the persisted staging tables."""
     rows_per_band = N_MINHASHES // N_BANDS
-    sigs = minhash_signatures(sr)
-    bands = sigs.select(
+    return sigs.select(
         "doc_id",
         F.explode(
             F.array(
@@ -548,7 +564,177 @@ def incremental_near_duplicates(
             )
         ).alias("band_key"),
     )
-    bands = cap_bands(bands, band_cap)
+
+
+class DedupStaging:
+    """PERSISTED staging tables for change-feed near-dup detection:
+    the exploded shingle rows, the UNCAPPED band rows, and the per-band
+    member counts of the CURRENT corpus. In production these are three
+    parquet tables maintained next to the corpus (band-partitioned for
+    pruning); here they're (checkpointed) DataFrames — the maintenance
+    algebra is the point:
+
+    - ``build_dedup_staging``: one full-corpus pass (exactly the cost
+      the one-shot pipeline pays anyway).
+    - ``update_dedup_staging``: an epoch refresh touches ONLY changed
+      docs — shingle/signature recompute for |changed| rows, anti-join
+      removal of their old rows (a broadcast anti-join: scan, no
+      shuffle of the corpus), and a band-count merge against a
+      |changed|-sized delta. Nothing is ever recomputed for unchanged
+      docs, which is what makes the per-epoch cost flat in corpus size
+      (bench/incremental_dedup_scale.py measures it).
+    - band counts are maintained EXACTLY, so the global band cap — a
+      corpus-wide property — is enforced without the corpus-wide window
+      the one-shot ``cap_bands`` pays: ``capped_bands`` anti-joins the
+      (tiny) over-cap key list.
+    """
+
+    def __init__(
+        self,
+        shingles: DataFrame,
+        bands: DataFrame,
+        band_counts: DataFrame,
+        band_cap: int | None,
+    ):
+        self.shingles = shingles        # (doc_id, shingle)
+        self.bands = bands              # (doc_id, band_key) — uncapped
+        self.band_counts = band_counts  # (band_key, n)
+        self.band_cap = band_cap
+
+    def capped_bands(self) -> DataFrame:
+        """Band rows with over-cap keys dropped WHOLE — identical
+        semantics to ``cap_bands`` on the full table (the counts table
+        IS the window's output, maintained incrementally). Logs the
+        same no-silent-caps warning."""
+        if self.band_cap is None:
+            return self.bands
+        over = self.band_counts.where(F.col("n") > self.band_cap)
+        stats = over.agg(
+            F.count(F.lit(1)).alias("buckets"), F.sum("n").alias("rows")
+        ).first()
+        if stats["buckets"]:
+            import logging
+
+            logging.getLogger("mwmbl_spark.dedup").warning(
+                "capped_bands(band_cap=%d) dropping %s (doc, band) rows "
+                "across %s degenerate buckets (whole buckets, "
+                "deterministic)", self.band_cap, stats["rows"], stats["buckets"],
+            )
+        return self.bands.join(
+            F.broadcast(over.select("band_key")), "band_key", "left_anti"
+        )
+
+
+def build_dedup_staging(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    band_cap: int | None = DEFAULT_BAND_CAP,
+) -> DedupStaging:
+    """Full-corpus staging build (see DedupStaging). Eagerly
+    checkpointed: each table is the product of the expensive
+    shingle→signature lineage and is read by every later epoch."""
+    sr = shingle_rows(docs, text_col, id_col).localCheckpoint(eager=True)
+    bands = _sig_bands(minhash_signatures(sr)).localCheckpoint(eager=True)
+    counts = (
+        bands.groupBy("band_key")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    return DedupStaging(sr, bands, counts, band_cap)
+
+
+def update_dedup_staging(
+    staging: DedupStaging,
+    docs_current: DataFrame,
+    changed_ids: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DedupStaging:
+    """Epoch refresh: ``changed_ids`` are docs added/updated/deleted
+    since the staging tables were built; ``docs_current`` is the
+    POST-epoch corpus (a deleted doc is simply absent). Work is
+    |changed|-proportional: old rows leave via a broadcast anti-join,
+    new rows are recomputed for the changed docs only, and the band
+    counts merge an exact delta instead of recounting the corpus."""
+    ch = changed_ids.select(F.col(id_col).alias("doc_id")).distinct()
+    changed_docs = docs_current.join(
+        ch.withColumnRenamed("doc_id", id_col), id_col, "left_semi"
+    )
+    new_sr = shingle_rows(changed_docs, text_col, id_col).localCheckpoint(eager=True)
+    new_bands = _sig_bands(minhash_signatures(new_sr)).localCheckpoint(eager=True)
+
+    shingles = staging.shingles.join(
+        F.broadcast(ch), "doc_id", "left_anti"
+    ).unionByName(new_sr).localCheckpoint(eager=True)
+    removed = staging.bands.join(F.broadcast(ch), "doc_id", "left_semi")
+    bands = staging.bands.join(
+        F.broadcast(ch), "doc_id", "left_anti"
+    ).unionByName(new_bands).localCheckpoint(eager=True)
+
+    add = new_bands.groupBy("band_key").agg(F.count(F.lit(1)).alias("add"))
+    rem = removed.groupBy("band_key").agg(F.count(F.lit(1)).alias("rem"))
+    delta = add.join(rem, "band_key", "full").select(
+        "band_key",
+        (F.coalesce("add", F.lit(0)) - F.coalesce("rem", F.lit(0))).alias("d"),
+    )
+    counts = (
+        staging.band_counts.join(delta, "band_key", "full")
+        .select(
+            "band_key",
+            (F.coalesce("n", F.lit(0)) + F.coalesce("d", F.lit(0))).alias("n"),
+        )
+        .where(F.col("n") > 0)
+        .localCheckpoint(eager=True)
+    )
+    return DedupStaging(shingles, bands, counts, staging.band_cap)
+
+
+def incremental_near_duplicates(
+    all_docs: DataFrame,
+    changed_ids: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    band_cap: int | None = DEFAULT_BAND_CAP,
+    staging: DedupStaging | None = None,
+) -> DataFrame:
+    """INCREMENTAL near-dup detection over a change feed — the consumer
+    that ``IndexBuilder.snapshot_diff`` epochs feed ('added'/'updated'
+    rows): re-evaluate ONLY pairs touching a changed doc instead of
+    re-running all-pairs LSH after every ingest epoch.
+
+    Scale shape (the entire point): the band self-join degenerates to
+    an ASYMMETRIC join — changed docs' band rows (bounded by the epoch
+    size) against the full band table — so candidate volume is
+    |changed| x per-band occupancy, not corpus-quadratic.
+
+    ``staging`` (round-5): pass the PERSISTED staging tables
+    (``build_dedup_staging`` once, ``update_dedup_staging`` per epoch)
+    and the epoch pays |changed|-proportional work END-TO-END — no
+    shingle/signature recompute of the corpus at all (pytest-gated
+    equal to the self-contained form; bench/incremental_dedup_scale.py
+    shows epoch cost flat in corpus size). Without it the operator
+    recomputes the tables from ``all_docs`` to stay self-contained —
+    one scan + the same partial-agg'd signature pass the full pipeline
+    pays (the contract form).
+
+    Output: (doc_a, doc_b, jaccard) with doc_a < doc_b, at least one
+    side changed — EXACTLY the full ``minhash_near_duplicates`` output
+    restricted to pairs touching a changed doc (pytest-gated equality;
+    contract dedup_incremental states the same restriction in SQL)."""
+    if staging is not None:
+        if staging.band_cap != band_cap:
+            raise ValueError(
+                f"staging was built with band_cap={staging.band_cap}, "
+                f"query asked for {band_cap} — caps must agree or the "
+                "restricted output diverges from the one-shot pipeline"
+            )
+        sr = staging.shingles
+        bands = staging.capped_bands()
+    else:
+        sr = shingle_rows(all_docs, text_col, id_col).localCheckpoint(eager=True)
+        bands = cap_bands(_sig_bands(minhash_signatures(sr)), band_cap)
     ch = changed_ids.select(F.col(id_col).alias("doc_id")).distinct()
     bands_changed = bands.join(ch, "doc_id", "left_semi")
     a, b = bands_changed.alias("a"), bands.alias("b")

@@ -99,6 +99,67 @@ def repetition_features(
     )
 
 
+def remove_duplicate_spans(
+    docs: DataFrame, n: int = 50, id_col: str = "doc_id", toks_col: str = "toks"
+) -> DataFrame:
+    """The REMOVAL transform behind ``duplicated_span_stats`` (Lee et
+    al. 2022, arXiv:2107.06499 §4 — exact substring dedup): drop every
+    token covered by an order-``n`` window whose gram occurs MORE THAN
+    ONCE in the corpus (within-doc repeats count, as in the stats
+    twin). Returns (doc_id, n_tokens, n_removed, text_clean) for every
+    input doc — text_clean is the surviving tokens re-joined; docs
+    shorter than ``n`` tokens pass through untouched.
+
+    Plan shape (100 TB lens): one posexplode of gram hashes (60-bit
+    md5-derived — hashes shuffle, gram text never), a global hash
+    count with map-side partials, a hash-partitioned join back to
+    occurrences, then ONE per-doc aggregation collecting the (bounded
+    by doc length) duplicated-window start list; the token mask and
+    reassembly are pure JVM higher-order functions over the tokens
+    array — no Python, no window function, no self-join. The collected
+    start array is at most |doc| ints, the same grain as the tokens
+    column itself.
+    """
+    from mwmbl_spark.operators.dedup import hash60
+
+    toks = F.col(toks_col)
+    occ = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(ngrams_expr(toks, n)).alias("p", "gram"),
+    ).select("doc_id", (F.col("p") + 1).alias("s"), hash60(F.col("gram")).alias("h"))
+    freq = occ.groupBy("h").agg(F.count(F.lit(1)).alias("total"))
+    dup_starts = (
+        occ.join(freq, "h")
+        .where(F.col("total") > 1)
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("s")).alias("starts"))
+    )
+    base = docs.select(F.col(id_col).alias("doc_id"), toks.alias("_toks"))
+    joined = base.join(dup_starts, "doc_id", "left").select(
+        "doc_id",
+        "_toks",
+        F.coalesce(F.col("starts"), F.array().cast("array<int>")).alias("starts"),
+    )
+    j_covered = lambda j: F.exists(  # noqa: E731 — token j sits in some
+        # duplicated window [s, s+n-1]  <=>  s in [j-n+1, j]
+        F.col("starts"), lambda s: (s >= j - F.lit(n - 1)) & (s <= j)
+    )
+    # sequence(1, 0) DESCENDS for an empty tokens array (the ngrams_expr
+    # guard note) — fabricating index 1 on a 0-element array; gate it
+    kept = F.when(
+        F.size("_toks") > 0,
+        F.filter(F.sequence(F.lit(1), F.size("_toks")), lambda j: ~j_covered(j)),
+    ).otherwise(F.array().cast("array<int>"))
+    return joined.select(
+        "doc_id",
+        F.size("_toks").cast("long").alias("n_tokens"),
+        (F.size("_toks") - F.size(kept)).cast("long").alias("n_removed"),
+        F.array_join(
+            F.transform(kept, lambda j: F.element_at(F.col("_toks"), j)), " "
+        ).alias("text_clean"),
+    )
+
+
 def duplicated_span_stats(
     docs: DataFrame, n: int = 50, id_col: str = "doc_id", toks_col: str = "toks"
 ) -> DataFrame:

@@ -144,6 +144,103 @@ def test_fuzz_encode_equals_replay(corpus, token, n_merges):
     assert "".join(got) == token + END_OF_WORD  # lossless
 
 
+# ---------------------------------------------------------------------------
+# batched learning (round-5: O(n_merges/batch) Spark jobs)
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    corpus=st.lists(_WORD, min_size=1, max_size=30),
+    n_merges=st.integers(min_value=0, max_value=24),
+    cand=st.integers(min_value=1, max_value=64),
+)
+def test_fuzz_batched_at_one_equals_classic(corpus, n_merges, cand):
+    """Property: batch=1 degenerates EXACTLY to classic serial BPE for
+    any corpus and any candidate-window size (the top-1 candidate is
+    always accepted, so the window never matters)."""
+    from mwmbl_spark.operators.bpe import _pure_bpe, _pure_bpe_batched
+
+    wc = {}
+    for w in corpus:
+        wc[w] = wc.get(w, 0) + 1
+    words = sorted(wc.items())
+    assert _pure_bpe_batched(words, n_merges, 1, 1, cand) == _pure_bpe(
+        words, n_merges, 1
+    )
+
+
+def test_batch_selection_symbol_disjoint():
+    from mwmbl_spark.operators.bpe import _select_batch
+
+    cands = [
+        (("t", "h"), 100),
+        (("h", "e"), 90),   # shares 'h' with accepted (t,h) -> skipped
+        (("e", "r"), 80),
+        (("th", "e"), 70),  # 'th' == joined of (t,h) -> skipped
+        (("o", "u"), 60),
+        (("x", "y"), 1),    # below min_count -> stops the scan
+        (("p", "q"), 1),
+    ]
+    got = _select_batch(cands, n_take=10, min_count=2)
+    assert got == [("t", "h"), ("e", "r"), ("o", "u")]
+    assert _select_batch(cands, n_take=2, min_count=2) == [("t", "h"), ("e", "r")]
+    assert _select_batch([], 5, 1) == []
+
+
+def test_batched_distributed_parity(spark, docs):
+    """distributed batched path == driver batched twin, merge-for-merge
+    (shared _select_batch + integer counts make it exact)."""
+    wc = word_counts(docs).cache()
+    want = learn_bpe(wc, n_merges=24, min_count=2, batch=8)
+    from mwmbl_spark.operators.bpe import LAST_LEARN_STATS
+
+    assert LAST_LEARN_STATS["path"] == "driver"
+    got = learn_bpe(
+        wc, n_merges=24, min_count=2, batch=8, driver_threshold=0,
+        checkpoint_every=2,
+    )
+    stats = dict(LAST_LEARN_STATS)
+    assert stats["path"] == "distributed"
+    assert got == want
+    assert len(got) == 24
+    # the job economy IS the feature: 24 merges in <= ceil(24/8) rounds
+    # + count + initial checkpoint + periodic checkpoints — far under
+    # the one-job-per-merge regime
+    assert stats["rounds"] <= 3
+    assert stats["jobs"] <= 2 + stats["rounds"] * 2
+
+
+def test_batched_vocab_overlap_with_serial(spark, docs):
+    """Quality sanity (not a parity gate — batched BPE legitimately
+    reorders near-tie merges): on the synthetic corpus, whose w0000-
+    style words are maximally chain-heavy (serial BPE's favorite
+    merges all share symbols, the batched path's worst case), the
+    64-merge vocabularies still agree on >= 45% of merges (measured
+    0.547; natural-text overlap is higher — recorded in
+    BENCH/BASELINE.md)."""
+    wc = word_counts(docs).cache()
+    serial = learn_bpe(wc, n_merges=64, min_count=2)
+    batched = learn_bpe(wc, n_merges=64, min_count=2, batch=8)
+    overlap = len(set(batched) & set(serial)) / len(serial)
+    assert overlap >= 0.45, overlap
+
+
+def test_sampled_path(spark):
+    from mwmbl_spark.operators.bpe import LAST_LEARN_STATS, _pure_bpe_batched
+
+    rows = [(f"word{i:04d}", 1000 - i) for i in range(100)]
+    wc = _wc(spark, rows)
+    got = learn_bpe(wc, n_merges=10, min_count=1, sample_words=20)
+    assert LAST_LEARN_STATS["path"] == "sampled"
+    want = _pure_bpe_batched(rows[:20], 10, 1, 1, 64)
+    assert got == want
+    # sample >= vocab: falls through to the exact driver path
+    got_all = learn_bpe(wc, n_merges=10, min_count=1, sample_words=1000)
+    assert LAST_LEARN_STATS["path"] == "driver"
+    assert got_all == learn_bpe(wc, n_merges=10, min_count=1)
+
+
 def test_merges_table_artifact(spark):
     wc = _wc(spark, [("low", 5), ("newest", 6)])
     merges = learn_bpe(wc, n_merges=3, min_count=1)
