@@ -141,6 +141,92 @@ def q_bm25_conjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+NEGATED_TERMS: list[tuple[int, str]] = [
+    (0, "slow"),
+    (3, "value"),
+    (5, "spark"),
+]
+
+TYPO_QUERIES: list[tuple[int, str]] = [
+    (0, "spar queryy"),
+    (1, "windoe slaw"),
+    (2, "tabel jion"),  # transpositions: distance 2, no suggestion at max_edit=1
+]
+
+
+def _bm25_inputs(spark: SparkSession, sf_dir: str):
+    t = _docs_as_transcripts(spark, sf_dir)
+    p = post_ops.build_postings(t)
+    dl = post_ops.doc_lengths(t)
+    stats = post_ops.term_stats(p)
+    cs = post_ops.corpus_stats(dl)
+    return t, p, dl, stats, cs
+
+
+def q_bm25_negated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term NEGATION (round-5, 'spark -slow'): docs containing an
+    excluded term are dropped from that query's results before the
+    top-k — the kill list is one broadcast join at posting grain."""
+    _t, p, dl, stats, cs = _bm25_inputs(spark, sf_dir)
+    excl = spark.createDataFrame(NEGATED_TERMS, "query_id long, term string")
+    out = bm25_ops.bm25_topk(
+        p, dl, stats, _queries_df(spark), cs.n_docs, cs.avg_doc_len, k=10,
+        exclude=excl,
+    )
+    return out.select(
+        "query_id", "doc_id", F.round("score", 6).alias("score"), "rank"
+    )
+
+
+def q_conversation_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-grained retrieval (round-5): top-5 CONVERSATIONS
+    per query by best-turn BM25 — the transcript-native result grain."""
+    from mwmbl_spark.operators.conversations import conversation_topk
+
+    t, p, dl, stats, cs = _bm25_inputs(spark, sf_dir)
+    scored = bm25_ops.bm25_scores(
+        p, dl, stats, _queries_df(spark), cs.n_docs, cs.avg_doc_len
+    )
+    out = conversation_topk(scored, t.select("doc_id", "conv_id"), k=5)
+    return out.select(
+        "query_id", "conv_id", "best_doc_id",
+        F.round("score", 6).alias("score"), "rank",
+    )
+
+
+def q_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-capped top-k (round-5): at most 2 results per synthetic
+    source bucket ('d' + doc_id % 7) in each query's top-8 — the
+    host-collapsing rule of web serving, value-gated."""
+    from mwmbl_spark.operators.mmr import diversify_topk
+
+    _t, p, dl, stats, cs = _bm25_inputs(spark, sf_dir)
+    scored = bm25_ops.bm25_scores(
+        p, dl, stats, _queries_df(spark), cs.n_docs, cs.avg_doc_len
+    )
+    keys = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        F.concat(F.lit("d"), (F.col("doc_id") % 7).cast("string")).alias("group_key"),
+    )
+    out = diversify_topk(scored, keys, per_key=2, k=8)
+    return out.select(
+        "query_id", "doc_id", "group_key",
+        F.round("score", 6).alias("score"), "rank",
+    )
+
+
+def q_spell_correct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SymSpell-style 'did you mean' (round-5): deletion-variant index
+    over the vocabulary, exact levenshtein<=1 verify, df-ranked top-3
+    suggestions per typo'd query term."""
+    from mwmbl_spark.operators.spell import spell_corrections
+
+    t = _docs_as_transcripts(spark, sf_dir)
+    stats = post_ops.term_stats(post_ops.build_postings(t))
+    tq = spark.createDataFrame(TYPO_QUERIES, "query_id long, query string")
+    return spell_corrections(tq, stats, n=3)
+
+
 def q_wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-10 through the COMPRESSED path: salted block-max
     segments (delta+varbyte) + MaxScore-pruned kernel. Gated by the
@@ -2008,6 +2094,121 @@ FROM total, fof""",
 # compaction must preserve the ranking bit for bit — same oracle
 ORACLE["compacted_topk"] = ORACLE["upsert_topk"]
 
+# --- round-5 query-capability contracts --------------------------------------
+
+_NEG_VALUES = ", ".join(f"({q}, '{t}')" for q, t in NEGATED_TERMS)
+
+ORACLE["bm25_negated"] = (
+    _bm25_cand()
+    + f""",
+excl(query_id, term) AS (VALUES {_NEG_VALUES}),
+killed AS (
+  SELECT DISTINCT e.query_id, p.doc_id FROM excl e JOIN post p USING (term)
+),
+kept AS (
+  SELECT s.* FROM scored s LEFT JOIN killed k
+    ON s.query_id = k.query_id AND s.doc_id = k.doc_id
+  WHERE k.doc_id IS NULL
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS rank
+  FROM kept
+)
+SELECT query_id, doc_id, round(score, 6) AS score, rank
+FROM ranked WHERE rank <= 10"""
+)
+
+ORACLE["conversation_topk"] = (
+    _bm25_cand()
+    + """,
+conv AS (
+  SELECT query_id, doc_id, score,
+         'conv-' || (doc_id // 4)::VARCHAR AS conv_id
+  FROM scored
+),
+best AS (
+  SELECT query_id, conv_id, doc_id AS best_doc_id, score FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id, conv_id
+                                 ORDER BY score DESC, doc_id) AS rn
+    FROM conv
+  ) WHERE rn = 1
+),
+ranked AS (
+  SELECT query_id, conv_id, best_doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, best_doc_id) AS rank
+  FROM best
+)
+SELECT query_id, conv_id, best_doc_id, round(score, 6) AS score, rank
+FROM ranked WHERE rank <= 5"""
+)
+
+ORACLE["diverse_topk"] = (
+    _bm25_cand()
+    + """,
+keyed AS (
+  SELECT query_id, doc_id, score,
+         'd' || (doc_id % 7)::VARCHAR AS group_key
+  FROM scored
+),
+capped AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id, group_key
+                                 ORDER BY score DESC, doc_id) AS kr
+    FROM keyed
+  ) WHERE kr <= 2
+),
+ranked AS (
+  SELECT query_id, doc_id, group_key, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS rank
+  FROM capped
+)
+SELECT query_id, doc_id, group_key, round(score, 6) AS score, rank
+FROM ranked WHERE rank <= 8"""
+)
+
+_TYPO_VALUES = ", ".join(f"({q}, '{s}')" for q, s in TYPO_QUERIES)
+_DEL_VARIANTS = (
+    "list_distinct(list_append(list_transform(range(1, length({t}) + 1), "
+    "i -> substr({t}, 1, (i-1)::INT) || substr({t}, (i+1)::INT)), {t}))"
+)
+
+ORACLE["spell_correct"] = f"""
+WITH {_POST_SQL},
+stats AS (SELECT term, count(*) AS df FROM post GROUP BY term),
+vocab AS (SELECT term, df FROM stats WHERE length(term) <= 32),
+vvar AS (
+  SELECT DISTINCT v.term, v.df, u.variant
+  FROM vocab v, unnest({_DEL_VARIANTS.format(t="v.term")}) AS u(variant)
+),
+tq(query_id, query) AS (VALUES {_TYPO_VALUES}),
+qterm AS (
+  SELECT DISTINCT query_id, t.term AS qterm
+  FROM tq, unnest(list_filter(string_split_regex(lower(trim(query)), '\\s+'),
+                              x -> x <> '')) AS t(term)
+),
+qvar AS (
+  SELECT DISTINCT query_id, qterm, u.variant
+  FROM qterm, unnest({_DEL_VARIANTS.format(t="qterm")}) AS u(variant)
+),
+cand AS (
+  SELECT DISTINCT q.query_id, q.qterm, v.term AS suggestion, v.df
+  FROM qvar q JOIN vvar v USING (variant)
+  WHERE v.term <> q.qterm AND levenshtein(q.qterm, v.term) <= 1
+),
+ranked AS (
+  SELECT query_id, qterm, suggestion, df,
+         levenshtein(qterm, suggestion)::INT AS distance,
+         row_number() OVER (PARTITION BY query_id, qterm
+                            ORDER BY df DESC, suggestion) AS rank
+  FROM cand
+)
+SELECT query_id, qterm, suggestion, df, distance, rank
+FROM ranked WHERE rank <= 3"""
+
 # streamed-then-queried index == plain BM25 over the final corpus state
 # (epoch 2 re-crawled every doc_id%10==3 through the streaming upsert)
 ORACLE["stream_topk"] = _bm25_sql("", src="stream_docs", prelude="""
@@ -3713,6 +3914,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_pixels": _shipped(q_mm_pixels),
         "span_dedup": _shipped(q_span_dedup),
         "dedup_canonical": _shipped(q_dedup_canonical),
+        "bm25_negated": _shipped(q_bm25_negated),
+        "conversation_topk": _shipped(q_conversation_topk),
+        "diverse_topk": _shipped(q_diverse_topk),
+        "spell_correct": _shipped(q_spell_correct),
         # -- driver-verified green in CORRECTNESS_r04 --
         "postings": _shipped(q_postings),
         "doc_lengths": _shipped(q_doc_lengths),

@@ -56,24 +56,28 @@ def bm25_partial(tf, df, doc_len, n_docs, avg_len, k1: float = BM25_K1, b: float
     return idf * tf_d * (k1 + 1.0) / denom
 
 
-def bm25_topk(
+def bm25_scores(
     postings: DataFrame,
     doc_lens: DataFrame,
     stats: DataFrame,
     queries: DataFrame,
     n_docs: int,
     avg_len: float,
-    k: int = 10,
     mode: str = "disjunctive",
     k1: float = BM25_K1,
     b: float = BM25_B,
+    exclude: DataFrame | None = None,
 ) -> DataFrame:
-    """Top-k BM25 per query -> (query_id, doc_id, score, rank).
+    """The full scored relation behind ``bm25_topk``:
+    (query_id, doc_id, score, matched, n_terms) — the composable form
+    conversation-level ranking, diversification and re-rankers consume.
 
-    mode: 'disjunctive' | 'conjunctive' (all terms) | 'majority'
-    (reference semantics: score zeroed unless matched terms > half,
-    /root/reference/mwmbl/tinysearchengine/rank.py:47-48).
-    Ties broken by doc_id ascending — both here and in the oracle.
+    ``exclude``: optional (query_id, term) NEGATION table — a doc
+    containing an excluded term is dropped from that query's results
+    entirely ('spark -slow' semantics). One broadcast join builds the
+    per-query kill list at posting grain; the scored relation
+    anti-joins it on (query_id, doc_id), so exclusion cost tracks the
+    excluded terms' posting lists, never the corpus.
     """
     qt = query_terms(queries)
     cand = postings.join(F.broadcast(qt), "term")
@@ -91,6 +95,42 @@ def bm25_topk(
         scored = scored.where(F.col("matched") == F.col("n_terms"))
     elif mode == "majority":
         scored = scored.where(F.col("matched") * 2 > F.col("n_terms"))
+    if exclude is not None:
+        killed = (
+            postings.join(
+                F.broadcast(exclude.select("query_id", "term")), "term"
+            )
+            .select("query_id", "doc_id")
+            .distinct()
+        )
+        scored = scored.join(killed, ["query_id", "doc_id"], "left_anti")
+    return scored
+
+
+def bm25_topk(
+    postings: DataFrame,
+    doc_lens: DataFrame,
+    stats: DataFrame,
+    queries: DataFrame,
+    n_docs: int,
+    avg_len: float,
+    k: int = 10,
+    mode: str = "disjunctive",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    exclude: DataFrame | None = None,
+) -> DataFrame:
+    """Top-k BM25 per query -> (query_id, doc_id, score, rank).
+
+    mode: 'disjunctive' | 'conjunctive' (all terms) | 'majority'
+    (reference semantics: score zeroed unless matched terms > half,
+    /root/reference/mwmbl/tinysearchengine/rank.py:47-48).
+    Ties broken by doc_id ascending — both here and in the oracle.
+    ``exclude``: per-query negated terms, see ``bm25_scores``.
+    """
+    scored = bm25_scores(
+        postings, doc_lens, stats, queries, n_docs, avg_len, mode, k1, b, exclude
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -85,3 +85,41 @@ def training_pairs(
         F.col("text").alias("target"),
         F.size("ctx").alias("n_context_turns"),
     )
+
+
+def conversation_topk(
+    scored: DataFrame, conv_map: DataFrame, k: int = 10
+) -> DataFrame:
+    """Conversation-grained retrieval (round-5): rank CONVERSATIONS by
+    their best turn's relevance score — the result grain a transcript
+    user actually wants back ("which conversations discuss X", not
+    "which isolated turns"). Consumes any (query_id, doc_id, score)
+    relation (bm25_scores, the WAND kernel output, tf-idf) plus a
+    (doc_id, conv_id) mapping; returns
+    (query_id, conv_id, best_doc_id, score, rank) with rank <= k.
+
+    Plan shape: one join to attach conv_id, then two windows — best
+    turn per (query, conv) and top-k conversations per query. Both are
+    row_number cuts, so Catalyst inserts map-side WindowGroupLimits:
+    only ~1 row per (partition, conv) reaches the first shuffle and
+    ~k rows per partition reach the second. Ties: score desc, doc_id
+    asc within a conversation; score desc, best_doc_id asc across
+    conversations — a total order shared with the oracle.
+    """
+    j = scored.join(conv_map, "doc_id")
+    w_turn = Window.partitionBy("query_id", "conv_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    best = (
+        j.withColumn("_rn", F.row_number().over(w_turn))
+        .where(F.col("_rn") == 1)
+        .select("query_id", "conv_id", F.col("doc_id").alias("best_doc_id"), "score")
+    )
+    w_conv = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("best_doc_id")
+    )
+    return (
+        best.withColumn("rank", F.row_number().over(w_conv))
+        .where(F.col("rank") <= k)
+        .select("query_id", "conv_id", "best_doc_id", "score", "rank")
+    )

@@ -23,7 +23,8 @@ from collections import Counter
 from urllib.parse import urlparse
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
 
 from mwmbl_spark.functions.tokenize import tokenize_py
 
@@ -93,3 +94,44 @@ def mmr_rerank(results: DataFrame) -> DataFrame:
         return out[cols + ["mmr_rank"]]
 
     return results.groupBy("query_id").applyInPandas(kernel, schema=out_schema)
+
+
+def diversify_topk(
+    scored: DataFrame,
+    keys: DataFrame,
+    per_key: int = 2,
+    k: int = 10,
+    id_col: str = "doc_id",
+    key_col: str = "group_key",
+) -> DataFrame:
+    """Source-capped top-k (round-5): at most ``per_key`` results per
+    group key (domain, conversation, source site) in each query's
+    final top-``k`` — the deterministic sibling of MMR when the
+    diversity axis is categorical rather than embedding distance (the
+    classic host-collapsing rule of web search serving).
+
+    ``keys``: (id_col, key_col). Docs missing from it form the NULL
+    group (capped together — unknown-source results shouldn't flood).
+    Two row_number windows, both WindowGroupLimit-eligible; ties break
+    (score desc, doc_id asc) everywhere, matching the oracle.
+    """
+    j = scored.join(
+        keys.select(F.col(id_col).alias("doc_id"), F.col(key_col).alias("_key")),
+        "doc_id",
+        "left",
+    )
+    w_key = Window.partitionBy("query_id", "_key").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    capped = (
+        j.withColumn("_kr", F.row_number().over(w_key))
+        .where(F.col("_kr") <= per_key)
+    )
+    w_q = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        capped.withColumn("rank", F.row_number().over(w_q))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id", "doc_id", F.col("_key").alias(key_col), "score", "rank"
+        )
+    )

@@ -1,0 +1,132 @@
+"""Round-5 query-capability features: term negation, conversation-
+grained retrieval, source-capped diversification, spell correction."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mwmbl_spark.operators import bm25 as bm25_ops
+from mwmbl_spark.operators import postings as post_ops
+
+
+@pytest.fixture(scope="module")
+def tiny_index(spark):
+    rows = [
+        (0, "spark query engine fast"),
+        (1, "spark query slow scan"),
+        (2, "spark query fast join"),
+        (3, "unrelated words entirely"),
+        (4, "spark query slow table"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    p = post_ops.build_postings(docs)
+    dl = post_ops.doc_lengths(docs)
+    st = post_ops.term_stats(p)
+    cs = post_ops.corpus_stats(dl)
+    return docs, p, dl, st, cs
+
+
+def _q(spark, s="spark query"):
+    return spark.createDataFrame([(0, s)], "query_id long, query string")
+
+
+def test_negation_removes_matching_docs(spark, tiny_index):
+    _docs, p, dl, st, cs = tiny_index
+    base = bm25_ops.bm25_topk(p, dl, st, _q(spark), cs.n_docs, cs.avg_doc_len, k=10)
+    assert {r["doc_id"] for r in base.collect()} == {0, 1, 2, 4}
+    excl = spark.createDataFrame([(0, "slow")], "query_id long, term string")
+    neg = bm25_ops.bm25_topk(
+        p, dl, st, _q(spark), cs.n_docs, cs.avg_doc_len, k=10, exclude=excl
+    )
+    got = {r["doc_id"] for r in neg.collect()}
+    assert got == {0, 2}  # docs 1 and 4 contain 'slow'
+    # exclusion is per-query: another query id keeps everything
+    excl_other = spark.createDataFrame([(99, "slow")], "query_id long, term string")
+    assert (
+        bm25_ops.bm25_topk(
+            p, dl, st, _q(spark), cs.n_docs, cs.avg_doc_len, k=10,
+            exclude=excl_other,
+        ).count()
+        == 4
+    )
+
+
+def test_conversation_topk_best_turn(spark, tiny_index):
+    from mwmbl_spark.operators.conversations import conversation_topk
+
+    _docs, p, dl, st, cs = tiny_index
+    scored = bm25_ops.bm25_scores(p, dl, st, _q(spark), cs.n_docs, cs.avg_doc_len)
+    conv = spark.createDataFrame(
+        [(0, "c0"), (1, "c0"), (2, "c1"), (3, "c1"), (4, "c2")],
+        "doc_id long, conv_id string",
+    )
+    out = conversation_topk(scored, conv, k=10).orderBy("rank").collect()
+    # one row per conversation that matched; best_doc belongs to it
+    assert [r["conv_id"] for r in out] == sorted(
+        {"c0", "c1", "c2"},
+        key=lambda c: [r["rank"] for r in out if r["conv_id"] == c][0],
+    )
+    by_conv = {r["conv_id"]: r for r in out}
+    assert by_conv["c1"]["best_doc_id"] == 2  # doc 3 never matches
+    assert len(out) == 3
+    # the conv score is its best turn's score exactly
+    turn = {(r["query_id"], r["doc_id"]): r["score"] for r in scored.collect()}
+    for r in out:
+        member_scores = [
+            v for (qid, d), v in turn.items()
+            if qid == 0 and {"c0": {0, 1}, "c1": {2, 3}, "c2": {4}}[r["conv_id"]] >= {d}
+        ]
+        assert r["score"] == max(member_scores)
+
+
+def test_diversify_topk_cap_binds(spark, tiny_index):
+    from mwmbl_spark.operators.mmr import diversify_topk
+
+    _docs, p, dl, st, cs = tiny_index
+    scored = bm25_ops.bm25_scores(p, dl, st, _q(spark), cs.n_docs, cs.avg_doc_len)
+    keys = spark.createDataFrame(
+        [(0, "siteA"), (1, "siteA"), (2, "siteA"), (4, "siteB")],
+        "doc_id long, group_key string",
+    )
+    out = diversify_topk(scored, keys, per_key=1, k=10).collect()
+    per_key = {}
+    for r in out:
+        per_key[r["group_key"]] = per_key.get(r["group_key"], 0) + 1
+    assert all(v <= 1 for v in per_key.values())
+    assert len(out) == 2  # one siteA, one siteB (doc 3 matched nothing)
+    # rank order is still global score order after the cap
+    assert [r["rank"] for r in sorted(out, key=lambda r: -r["score"])] == [1, 2]
+
+
+def test_spell_corrections_hand_case(spark):
+    from mwmbl_spark.operators.spell import spell_corrections
+
+    stats = spark.createDataFrame(
+        [("spark", 50, 80), ("spars", 3, 3), ("sharp", 9, 9), ("query", 40, 60)],
+        "term string, df long, cf long",
+    )
+    q = spark.createDataFrame([(0, "spar quer")], "query_id long, query string")
+    out = spell_corrections(q, stats, n=3).collect()
+    by_term = {}
+    for r in out:
+        by_term.setdefault(r["qterm"], []).append((r["rank"], r["suggestion"], r["df"]))
+    # 'spar': spark (insert, df 50) ranks above spars (insert, df 3);
+    # 'sharp' is distance 2 and must NOT appear
+    assert [s for _, s, _ in sorted(by_term["spar"])] == ["spark", "spars"]
+    assert [s for _, s, _ in sorted(by_term["quer"])] == ["query"]
+    for r in out:
+        assert r["distance"] == 1
+
+
+def test_spell_skips_in_vocabulary_terms(spark):
+    from mwmbl_spark.operators.spell import spell_corrections
+
+    stats = spark.createDataFrame(
+        [("spark", 50, 80), ("spars", 3, 3)], "term string, df long, cf long"
+    )
+    q = spark.createDataFrame([(0, "spark")], "query_id long, query string")
+    # identical term excluded; 'spars' (distance 1) still suggested —
+    # callers decide whether to surface suggestions for in-vocab terms
+    out = spell_corrections(q, stats, n=3).collect()
+    assert [(r["suggestion"], r["distance"]) for r in out] == [("spars", 1)]
