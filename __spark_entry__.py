@@ -1043,6 +1043,46 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, ANN_QUERY_IDS, k=10)
 
 
+def q_embedding_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search (round-5): exact cosine top-10 restricted
+    to the label-even half of the corpus — the metadata-predicate
+    retrieval mode every vector store serves; the filter semi-joins the
+    candidate set BEFORE scoring (predicate reaches the scan)."""
+    from mwmbl_spark.operators.similarity import cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    allowed = emb.where(F.col("label") % 2 == 0)
+    return cosine_topk(emb, ANN_QUERY_IDS, k=10, allowed=allowed)
+
+
+HYBRID_EXEMPLARS = [3, 58, 137]
+
+
+def q_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID more-like-this retrieval (round-5): for each exemplar
+    doc, fuse (a) lexical BM25 over the exemplar's own distinct terms
+    and (b) exact cosine over its embedding, by reciprocal-rank fusion
+    (Cormack et al. SIGIR'09, c=60) — the modern two-tower serving
+    stack end to end, value-gated (ranks are integers, so the fused
+    score is engine-exact)."""
+    from mwmbl_spark.operators.fusion import rrf_fuse
+    from mwmbl_spark.operators.similarity import cosine_topk
+
+    _t, p, dl, stats, cs = _bm25_inputs(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    qdf = docs.where(F.col("doc_id").isin(HYBRID_EXEMPLARS)).select(
+        F.col("doc_id").alias("query_id"), F.col("text").alias("query")
+    )
+    text_rank = bm25_ops.bm25_topk(
+        p, dl, stats, qdf, cs.n_docs, cs.avg_doc_len, k=20
+    ).select("query_id", "doc_id", "rank")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    vec_rank = cosine_topk(emb, HYBRID_EXEMPLARS, k=20).select(
+        "query_id", F.col("vec_id").alias("doc_id"), "rank"
+    )
+    return rrf_fuse([text_rank, vec_rank], k=10)
+
+
 def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-bit LSH ANN (single-probe): the md5-derived hyperplanes are
     deterministic and engine-portable, so the WHOLE approximate path —
@@ -1876,12 +1916,25 @@ qterm AS (
   )
 )"""
 
-def _bm25_cand(src: str = "documents", prelude: str = "") -> str:
+def _bm25_cand(src: str = "documents", prelude: str = "", ordered: bool = False) -> str:
+    # ordered=True: accumulate each doc's per-term partials in SORTED
+    # TERM ORDER via a single-row list sum — the kernel's canonical
+    # accumulation order. DuckDB's parallel hash-agg sum() associates
+    # floats nondeterministically run-to-run (measured round 5: the
+    # multi_index_topk near-tie pair flipped ranks 9/10 across
+    # invocations), so kernel-path oracles with 1-ulp near-ties MUST
+    # state the deterministic order; plain sum() is kept for the
+    # exhaustive-plan oracles whose Spark side is itself a hash agg.
+    score_expr = (
+        "list_aggregate(list(partial ORDER BY term), 'sum')"
+        if ordered
+        else "sum(partial)"
+    )
     return f"""
 WITH {prelude}{_post_sql(src)},
 {_QTERM_SQL},
 cand AS (
-  SELECT q.query_id, p.doc_id, q.n_terms,
+  SELECT q.query_id, p.doc_id, q.n_terms, q.term,
          ln((c.n_docs - s.df + 0.5) / (s.df + 0.5) + 1.0)
            * p.tf * ({BM25_K1} + 1.0)
            / (p.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * dl.doc_len / c.avg_len))
@@ -1893,7 +1946,7 @@ cand AS (
   CROSS JOIN corpus c
 ),
 scored AS (
-  SELECT query_id, doc_id, sum(partial) AS score,
+  SELECT query_id, doc_id, {score_expr} AS score,
          count(*) AS matched, max(n_terms) AS n_terms
   FROM cand GROUP BY query_id, doc_id
 )"""
@@ -1902,9 +1955,12 @@ scored AS (
 _BM25_CAND = _bm25_cand()
 
 
-def _bm25_sql(mode_filter: str, src: str = "documents", prelude: str = "") -> str:
+def _bm25_sql(
+    mode_filter: str, src: str = "documents", prelude: str = "",
+    ordered: bool = False,
+) -> str:
     return (
-        _bm25_cand(src, prelude)
+        _bm25_cand(src, prelude, ordered)
         + f""",
 ranked AS (
   SELECT query_id, doc_id, score,
@@ -1924,8 +1980,8 @@ ORACLE: dict[str, str] = {
 SELECT term, count(*) AS df, sum(tf)::BIGINT AS cf FROM post GROUP BY term""",
     "bm25_topk": _bm25_sql(""),
     "bm25_conjunctive": _bm25_sql("WHERE matched = n_terms"),
-    "wand_topk": _bm25_sql(""),
-    "upsert_topk": _bm25_sql("", src="mod_docs", prelude="""
+    "wand_topk": _bm25_sql("", ordered=True),
+    "upsert_topk": _bm25_sql("", ordered=True, src="mod_docs", prelude="""
 mod_docs AS (
   SELECT doc_id,
          CASE WHEN doc_id % 10 = 3 THEN text || ' spark upsert refreshed'
@@ -2211,7 +2267,7 @@ FROM ranked WHERE rank <= 3"""
 
 # streamed-then-queried index == plain BM25 over the final corpus state
 # (epoch 2 re-crawled every doc_id%10==3 through the streaming upsert)
-ORACLE["stream_topk"] = _bm25_sql("", src="stream_docs", prelude="""
+ORACLE["stream_topk"] = _bm25_sql("", ordered=True, src="stream_docs", prelude="""
 stream_docs AS (
   SELECT doc_id,
          CASE WHEN doc_id % 10 = 3 THEN text || ' stream refreshed'
@@ -2222,7 +2278,7 @@ stream_docs AS (
 
 # time-travel: the snapshot captured BEFORE the upsert/delete mutations
 # must equal plain BM25 over the ORIGINAL corpus — bit-identical scores
-ORACLE["time_travel_topk"] = _bm25_sql("")
+ORACLE["time_travel_topk"] = _bm25_sql("", ordered=True)
 
 # sharded scatter-gather: two independent indexes + an upsert on shard A
 # must equal plain BM25 over the updated union corpus
@@ -2233,11 +2289,11 @@ shard_docs AS (
               ELSE text END AS text
   FROM documents
 ),
-""")
+""", ordered=True)
 
 # rollback: after restore(as_of=pre-mutation), the LIVE index equals
 # plain BM25 over the ORIGINAL corpus again
-ORACLE["restore_topk"] = _bm25_sql("")
+ORACLE["restore_topk"] = _bm25_sql("", ordered=True)
 
 # snapshot diff pre-mutation -> live: the mutation recipe stated as SQL
 ORACLE["snapshot_diff"] = """
@@ -2551,6 +2607,100 @@ r AS (
   FROM s
 )
 SELECT query_id, vec_id, round(sim, 6) AS sim, rank FROM r WHERE rank <= 10"""
+
+ORACLE["embedding_topk_filtered"] = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id IN ({", ".join(map(str, ANN_QUERY_IDS))})
+),
+c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      WHERE label % 2 = 0),
+s AS (
+  SELECT q.query_id, c.vec_id,
+         list_dot_product(c.v, q.qv)
+           / (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(q.qv, q.qv))) AS sim
+  FROM c, q WHERE c.vec_id != q.query_id
+),
+r AS (
+  SELECT query_id, vec_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+  FROM s
+)
+SELECT query_id, vec_id, round(sim, 6) AS sim, rank FROM r WHERE rank <= 10"""
+
+# hybrid more-like-this: BM25 over the exemplar's distinct terms (the
+# posting relation IS the tokenization) + exact cosine, fused by RRF.
+_HYB_IDS = ", ".join(str(i) for i in [3, 58, 137])
+ORACLE["hybrid_topk"] = f"""
+WITH {_POST_SQL},
+dl AS (SELECT doc_id, len(toks) AS doc_len FROM tok),
+stats AS (SELECT term, count(*) AS df FROM post GROUP BY term),
+corpus AS (SELECT count(*)::DOUBLE AS n_docs, avg(doc_len)::DOUBLE AS avg_len FROM dl),
+qterm AS (
+  SELECT query_id, term, count(*) OVER (PARTITION BY query_id) AS n_terms
+  FROM (SELECT DISTINCT doc_id AS query_id, term FROM post
+        WHERE doc_id IN ({_HYB_IDS}))
+),
+cand AS (
+  SELECT q.query_id, p.doc_id, q.n_terms,
+         ln((c.n_docs - s.df + 0.5) / (s.df + 0.5) + 1.0)
+           * p.tf * ({BM25_K1} + 1.0)
+           / (p.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * dl.doc_len / c.avg_len))
+           AS partial
+  FROM qterm q
+  JOIN post p USING (term)
+  JOIN stats s ON p.term = s.term
+  JOIN dl ON p.doc_id = dl.doc_id
+  CROSS JOIN corpus c
+),
+scored AS (
+  SELECT query_id, doc_id, sum(partial) AS score
+  FROM cand GROUP BY query_id, doc_id
+),
+text_rank AS (
+  SELECT query_id, doc_id, rank FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, doc_id) AS rank
+    FROM scored
+  ) WHERE rank <= 20
+),
+qv AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id IN ({_HYB_IDS})
+),
+vs AS (
+  SELECT q.query_id, c.vec_id AS doc_id,
+         list_dot_product(c.v, q.qv)
+           / (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(q.qv, q.qv))) AS sim
+  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) c, qv q
+  WHERE c.vec_id != q.query_id
+),
+vec_rank AS (
+  SELECT query_id, doc_id, rank FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY sim DESC, doc_id) AS rank
+    FROM vs
+  ) WHERE rank <= 20
+),
+contrib AS (
+  SELECT query_id, doc_id, 1.0 / (60.0 + rank) AS contrib FROM text_rank
+  UNION ALL
+  SELECT query_id, doc_id, 1.0 / (60.0 + rank) AS contrib FROM vec_rank
+),
+fused AS (
+  SELECT query_id, doc_id, round(sum(contrib), 9) AS rrf_score,
+         count(*) AS n_lists
+  FROM contrib GROUP BY query_id, doc_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY rrf_score DESC, doc_id) AS rank
+  FROM fused
+)
+SELECT query_id, doc_id, rrf_score, n_lists, rank
+FROM ranked WHERE rank <= 10"""
 
 # sign-bit LSH: bit j of the bucket = sign of <v, h_j>, h_j[i] = +-1 by
 # the parity of the md5-derived hash60(f"{j}:{i}") — identical in SQL.
@@ -3918,6 +4068,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conversation_topk": _shipped(q_conversation_topk),
         "diverse_topk": _shipped(q_diverse_topk),
         "spell_correct": _shipped(q_spell_correct),
+        "hybrid_topk": _shipped(q_hybrid_topk),
+        "embedding_topk_filtered": _shipped(q_embedding_topk_filtered),
         # -- driver-verified green in CORRECTNESS_r04 --
         "postings": _shipped(q_postings),
         "doc_lengths": _shipped(q_doc_lengths),

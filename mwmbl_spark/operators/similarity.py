@@ -61,13 +61,24 @@ def cosine_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    allowed: DataFrame | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query id (excluding self).
-    -> (query_id, vec_id, sim, rank); ties broken by vec_id."""
+    -> (query_id, vec_id, sim, rank); ties broken by vec_id.
+
+    ``allowed`` (round-5, FILTERED vector search): an (id_col) relation
+    restricting the CANDIDATE set — metadata-filtered retrieval
+    ("nearest neighbors among label=3 docs"). The filter is a left-semi
+    join applied BEFORE scoring, so pushdown reaches the parquet scan
+    when the predicate is a column filter; query vectors are looked up
+    in the unfiltered table (a query need not satisfy its own filter)."""
     q = embeddings.where(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_emb")
     )
-    pairs = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("emb")).join(
+    corpus = embeddings
+    if allowed is not None:
+        corpus = corpus.join(allowed.select(id_col), id_col, "left_semi")
+    pairs = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("emb")).join(
         F.broadcast(q), F.col("vec_id") != F.col("query_id")
     )
     scored = pairs.select(
