@@ -336,6 +336,40 @@ def main() -> None:
         print(f"BENCH ERROR q16 setup: {exc}", file=sys.stderr)
         timings["q16_multi_shard_topk"] = -1.0
 
+    # q17: hybrid more-like-this serving — exemplar BM25 + exact cosine
+    # fused by RRF (the round-5 two-tower serving path, one number)
+    try:
+        timed(
+            "q17_hybrid_topk",
+            lambda: entrymod.q_hybrid_topk(spark, sf_dir).count(),
+        )
+    except Exception as exc:  # noqa: BLE001
+        print(f"BENCH ERROR q17 setup: {exc}", file=sys.stderr)
+        timings["q17_hybrid_topk"] = -1.0
+
+    # q18: batched BPE at depth — 512 merges via the O(n/32)-job
+    # batched rounds (q15 keeps the 64-merge serial-exact number)
+    try:
+        from mwmbl_spark.operators.bpe import learn_bpe as _learn_b
+        from mwmbl_spark.operators.bpe import word_counts as _wc_b
+
+        bdocs2 = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        timed(
+            "q18_bpe_batched_512",
+            lambda: len(
+                _learn_b(
+                    _wc_b(bdocs2), n_merges=512, min_count=2, batch=32,
+                    driver_threshold=0, checkpoint_every=4,
+                )
+            ),
+            reps=1,
+        )
+    except Exception as exc:  # noqa: BLE001
+        print(f"BENCH ERROR q18 setup: {exc}", file=sys.stderr)
+        timings["q18_bpe_batched_512"] = -1.0
+
     build_s = timings.get("q1_index_build", -1.0)
     total = round(sum(v for k, v in timings.items() if v > 0 and k in CORE), 4)
     print(
