@@ -249,6 +249,32 @@ def q_wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_wand_scoped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCOPED serving (round-5): BM25/MaxScore top-10 restricted to the
+    doc_id % 3 == 0 third of the corpus via a per-salt allowlist masked
+    at block-decode time (the delete-vector machinery inverted). Scores
+    keep GLOBAL corpus statistics — the filter restricts results, never
+    re-weights idf — which is exactly what the oracle states."""
+    from mwmbl_spark.operators.segments import build_segments
+    from mwmbl_spark.operators.wand import build_doc_filter, wand_topk
+
+    t = _docs_as_transcripts(spark, sf_dir)
+    p = post_ops.build_postings(t)
+    dl = post_ops.doc_lengths(t)
+    stats = post_ops.term_stats(p)
+    cs = post_ops.corpus_stats(dl)
+    segs = build_segments(p, dl, stats, cs.n_docs, cs.avg_doc_len, num_buckets=32, nsalt=8)
+    allowed = t.select("doc_id").where(F.col("doc_id") % 3 == 0)
+    filt = build_doc_filter(allowed, nsalt=8)
+    out = wand_topk(
+        segs, stats, _queries_df(spark), cs.n_docs, cs.avg_doc_len, k=10,
+        num_buckets=32, doc_filter=filt,
+    )
+    return out.select(
+        "query_id", "doc_id", F.round("score", 6).alias("score"), "rank"
+    )
+
+
 # (term, position, doc_id, state): curated entries keyed by the FULL
 # query term (reference rank.py:289-293 curation probe). NULL state is
 # not curated; "merge sort" matches no full query -> inert.
@@ -1981,6 +2007,10 @@ SELECT term, count(*) AS df, sum(tf)::BIGINT AS cf FROM post GROUP BY term""",
     "bm25_topk": _bm25_sql(""),
     "bm25_conjunctive": _bm25_sql("WHERE matched = n_terms"),
     "wand_topk": _bm25_sql("", ordered=True),
+    # scoped serving: results restricted to the allowlist, scores keep
+    # GLOBAL statistics — so the oracle filters the scored relation,
+    # never the corpus the stats are computed from
+    "wand_scoped": _bm25_sql("WHERE doc_id % 3 = 0", ordered=True),
     "upsert_topk": _bm25_sql("", ordered=True, src="mod_docs", prelude="""
 mod_docs AS (
   SELECT doc_id,
@@ -4070,6 +4100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spell_correct": _shipped(q_spell_correct),
         "hybrid_topk": _shipped(q_hybrid_topk),
         "embedding_topk_filtered": _shipped(q_embedding_topk_filtered),
+        "wand_scoped": _shipped(q_wand_scoped),
         # -- driver-verified green in CORRECTNESS_r04 --
         "postings": _shipped(q_postings),
         "doc_lengths": _shipped(q_doc_lengths),

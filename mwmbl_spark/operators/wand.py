@@ -112,13 +112,22 @@ def make_kernel(
     mode: str = "disjunctive",
     stats_sink: dict | None = None,
     deletes=None,
+    doc_filter=None,
 ):
     """``deletes``: per-salt delete map (operators/upsert.load_delete_map,
     plain dict or a SparkContext broadcast) — postings whose doc has a
     newer version in a later fragment are masked at block-decode time.
     Bounds stay valid (dropping rows can only lower a max); masked docs
     can never become candidates because candidates come from decoded
-    (already-masked) ids."""
+    (already-masked) ids.
+
+    ``doc_filter`` (round-5, SCOPED serving): per-salt sorted uint64
+    ALLOWLIST arrays (build_doc_filter; dict or broadcast) — postings
+    whose doc is outside the scope are masked at the same decode site.
+    Strict: when a filter is passed, a salt missing from it allows
+    nothing. Scores keep GLOBAL corpus statistics (scoped search
+    restricts results, it does not re-weight idf — the metadata-filter
+    semantics every serving stack uses)."""
     n_docs_f, avg_len_f = float(n_docs), float(avg_len)
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -127,6 +136,12 @@ def make_kernel(
         dmap = deletes.value if hasattr(deletes, "value") else deletes
         dead_entry = (
             dmap.get(int(pdf["salt"].iloc[0])) if dmap and "salt" in pdf else None
+        )
+        fmap = doc_filter.value if hasattr(doc_filter, "value") else doc_filter
+        filt_entry = (
+            fmap.get(int(pdf["salt"].iloc[0]), _EMPTY_FILTER)
+            if fmap is not None and "salt" in pdf
+            else None
         )
         ctr = {"blocks_decoded": 0, "blocks_total": 0, "rows_full": 0,
                "rows_total": 0, "rows_untouched": 0}
@@ -177,6 +192,15 @@ def make_kernel(
                 keep = dead_mask(ids, lst.seq, dead_entry)
                 if keep is not None:
                     ids, tf, dl = ids[keep], tf[keep], dl[keep]
+            if filt_entry is not None and ids.size:
+                if filt_entry.size == 0:
+                    keep = np.zeros(len(ids), dtype=bool)
+                else:
+                    at = np.minimum(
+                        np.searchsorted(filt_entry, ids), len(filt_entry) - 1
+                    )
+                    keep = filt_entry[at] == ids
+                ids, tf, dl = ids[keep], tf[keep], dl[keep]
             got = (ids, _partial(lst.idf, tf, dl, avg_len_f))
             lst.blocks[blk] = got
             ctr["blocks_decoded"] += 1
@@ -344,6 +368,49 @@ def make_kernel(
     return kernel
 
 
+_EMPTY_FILTER = np.array([], dtype=np.uint64)
+
+
+def build_doc_filter(allowed, nsalt: int, id_col: str = "doc_id") -> dict:
+    """Per-salt sorted allowlist arrays for SCOPED serving
+    (wand_topk(doc_filter=...)): dict[salt] -> sorted uint64 doc ids.
+    ``allowed`` is a DataFrame holding the permitted doc ids (one Spark
+    job computes each id's salt with the build's own salt_of
+    expression, so filter/build hash parity is by construction).
+
+    Collected driver-side and broadcast per query batch — the same
+    cost/size envelope as the delete map (warn past 10M ids; a scope
+    that large belongs in the query predicate or its own index, not a
+    broadcast allowlist). Every salt gets an entry (possibly empty):
+    the filter is a strict allowlist."""
+    from pyspark.sql import functions as _F
+
+    from mwmbl_spark.operators.segments import salt_of
+
+    rows = (
+        allowed.select(
+            _F.col(id_col).cast("long").alias("doc_id"),
+            salt_of(_F.col(id_col), nsalt).alias("salt"),
+        )
+        .distinct()
+        .collect()
+    )
+    if len(rows) > 10_000_000:
+        import logging
+
+        logging.getLogger("mwmbl_spark.wand").warning(
+            "doc filter holds %d ids (~%d MB broadcast per query batch) "
+            "— scope this via a dedicated index instead", len(rows),
+            len(rows) * 8 // 1_000_000,
+        )
+    per: dict[int, list[int]] = {s: [] for s in range(nsalt)}
+    for r in rows:
+        per[int(r["salt"])].append(int(r["doc_id"]))
+    return {
+        s: np.array(sorted(ids), dtype=np.uint64) for s, ids in per.items()
+    }
+
+
 def wand_topk(
     segments: DataFrame,
     stats: DataFrame,
@@ -354,6 +421,7 @@ def wand_topk(
     mode: str = "disjunctive",
     num_buckets: int | None = None,
     deletes=None,
+    doc_filter=None,
 ) -> DataFrame:
     """Top-k over the compressed segment table -> (query_id, doc_id,
     score, rank). Rank-identical to bm25.bm25_topk / the oracle.
@@ -394,8 +462,13 @@ def wand_topk(
         deletes = None  # empty map: zero kernel overhead
     if deletes is not None and not hasattr(deletes, "value"):
         deletes = segments.sparkSession.sparkContext.broadcast(deletes)
+    if doc_filter is not None and not hasattr(doc_filter, "value"):
+        # NB an EMPTY dict stays a filter (strict allowlist: nothing
+        # allowed), unlike the delete map's empty-means-none shortcut
+        doc_filter = segments.sparkSession.sparkContext.broadcast(doc_filter)
     local = joined.groupBy("query_id", "salt").applyInPandas(
-        make_kernel(n_docs, avg_len, k, mode, deletes=deletes), schema=KERNEL_OUT_SCHEMA
+        make_kernel(n_docs, avg_len, k, mode, deletes=deletes, doc_filter=doc_filter),
+        schema=KERNEL_OUT_SCHEMA,
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     return (

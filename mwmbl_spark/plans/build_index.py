@@ -466,6 +466,7 @@ class IndexBuilder:
         k: int = 10,
         mode: str = "disjunctive",
         as_of: int | None = None,
+        doc_filter=None,
     ) -> DataFrame:
         """BM25/MaxScore top-k over the live index — or, with ``as_of``,
         over the index AS OF an earlier commit seq (time travel: audits,
@@ -473,7 +474,19 @@ class IndexBuilder:
         The as-of path deliberately bypasses the stats/delete-map memo
         caches (they key the CURRENT live set; audit queries are rare
         and must not thrash the serving caches) — it pays its own stats
-        jobs and a per-call delete-map broadcast."""
+        jobs and a per-call delete-map broadcast.
+
+        ``doc_filter`` (round-5, SCOPED serving): restrict results to an
+        allowlist of doc ids — a DataFrame of permitted ids (a 'doc_id'
+        column; per-salt arrays are built via wand.build_doc_filter), a
+        prebuilt per-salt dict (hoist it when many batches share one
+        scope), or a SparkContext broadcast thereof. Scores keep GLOBAL
+        corpus statistics (the filter restricts results, it does not
+        re-weight idf)."""
+        from mwmbl_spark.operators.wand import build_doc_filter
+
+        if doc_filter is not None and hasattr(doc_filter, "sparkSession"):
+            doc_filter = build_doc_filter(doc_filter, self.cfg.nsalt)
         if as_of is not None:
             from mwmbl_spark.operators.upsert import load_delete_map
 
@@ -501,6 +514,7 @@ class IndexBuilder:
             mode=mode,
             num_buckets=self.cfg.num_buckets,
             deletes=deletes,
+            doc_filter=doc_filter,
         )
 
     # -- snapshot history (time travel; manifest seq versioning) --------------

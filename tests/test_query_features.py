@@ -130,3 +130,76 @@ def test_spell_skips_in_vocabulary_terms(spark):
     # callers decide whether to surface suggestions for in-vocab terms
     out = spell_corrections(q, stats, n=3).collect()
     assert [(r["suggestion"], r["distance"]) for r in out] == [("spars", 1)]
+
+
+# ---------------------------------------------------------------------------
+# scoped serving (doc_filter through the WAND kernel)
+# ---------------------------------------------------------------------------
+
+
+def test_scoped_serving_matches_filtered_results(spark, tmp_path):
+    from mwmbl_spark.plans.build_index import IndexBuilder, IndexConfig
+    from mwmbl_spark.synth import synth_transcripts, with_doc_id
+
+    t = with_doc_id(synth_transcripts(spark, n_conv=25, turns_per_conv=4, seed=9))
+    cfg = IndexConfig(path=str(tmp_path / "idx"), num_buckets=16, nsalt=4,
+                      n_src_partitions=2)
+    b = IndexBuilder(spark, cfg)
+    b.build(t)
+    qdf = spark.createDataFrame(
+        [(0, "the spark data"), (1, "fast query")], "query_id long, query string"
+    )
+    allowed = t.select("doc_id").where(F.col("doc_id") % 2 == 0)
+    scoped = b.query_topk(qdf, k=10, doc_filter=allowed).collect()
+    assert scoped and all(r["doc_id"] % 2 == 0 for r in scoped)
+    # identical to filtering a big unscoped run: same docs, same scores
+    # (global stats — the filter never re-weights idf)
+    full = b.query_topk(qdf, k=1000).collect()
+    want = {}
+    for r in full:
+        if r["doc_id"] % 2 == 0:
+            want.setdefault(r["query_id"], []).append((r["doc_id"], round(r["score"], 9)))
+    for qid in want:
+        want[qid] = [
+            d for d, _ in sorted(want[qid], key=lambda x: (-x[1], x[0]))
+        ][:10]
+    got = {}
+    for r in sorted(scoped, key=lambda r: (r["query_id"], r["rank"])):
+        got.setdefault(r["query_id"], []).append(r["doc_id"])
+    assert got == want
+
+
+def test_scoped_serving_composes_with_upserts(spark, tmp_path):
+    from mwmbl_spark.plans.build_index import IndexBuilder, IndexConfig
+    from mwmbl_spark.synth import synth_transcripts, with_doc_id
+
+    t = with_doc_id(synth_transcripts(spark, n_conv=20, turns_per_conv=3, seed=21))
+    cfg = IndexConfig(path=str(tmp_path / "idx2"), num_buckets=8, nsalt=2,
+                      n_src_partitions=2)
+    b = IndexBuilder(spark, cfg)
+    b.build(t)
+    b.upsert(t.limit(6).select(
+        "doc_id", F.concat("text", F.lit(" scoped spark v2")).alias("text")
+    ))
+    qdf = spark.createDataFrame([(0, "the spark")], "query_id long, query string")
+    allowed = t.select("doc_id").where(F.col("doc_id") % 2 == 1)
+    scoped = b.query_topk(qdf, k=10, doc_filter=allowed).collect()
+    assert scoped and all(r["doc_id"] % 2 == 1 for r in scoped)
+    # delete-vector masking still applies inside the scope: no doc twice
+    seen = [r["doc_id"] for r in scoped]
+    assert len(seen) == len(set(seen))
+
+
+def test_scoped_serving_empty_scope_returns_nothing(spark, tmp_path):
+    from mwmbl_spark.operators.wand import build_doc_filter
+    from mwmbl_spark.plans.build_index import IndexBuilder, IndexConfig
+    from mwmbl_spark.synth import synth_transcripts, with_doc_id
+
+    t = with_doc_id(synth_transcripts(spark, n_conv=10, turns_per_conv=3, seed=2))
+    cfg = IndexConfig(path=str(tmp_path / "idx3"), num_buckets=8, nsalt=2,
+                      n_src_partitions=1)
+    b = IndexBuilder(spark, cfg)
+    b.build(t)
+    qdf = spark.createDataFrame([(0, "the spark")], "query_id long, query string")
+    empty = build_doc_filter(t.select("doc_id").where(F.lit(False)), nsalt=2)
+    assert b.query_topk(qdf, k=10, doc_filter=empty).count() == 0
