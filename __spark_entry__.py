@@ -1352,6 +1352,22 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remove_duplicate_spans(_docs_with_toks(spark, sf_dir), n=3)
 
 
+PHRASES: list[tuple[int, str]] = [
+    (0, "the spark"),
+    (1, "window agg"),
+    (2, "value table part"),
+]
+
+
+def q_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT phrase verification (round-5): contiguous token-run
+    matching as pure JVM higher-order functions — the verifier the
+    reference's bigram index (P3) never had."""
+    from mwmbl_spark.operators.phrase import phrase_match
+
+    return phrase_match(_docs_with_toks(spark, sf_dir), PHRASES)
+
+
 def q_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-3-style eval-set decontamination: the eval set is the
     12-token prefix of every 29th document, so each seed doc must
@@ -2985,6 +3001,27 @@ SELECT CAST(0 AS BIGINT) AS n_truly_seen_in_output,
        (SELECT count(*) FROM documents WHERE doc_id % 3 <> 0)
          AS n_truly_unseen"""
 
+_PHRASE_VALUES = ", ".join(
+    "({}, [{}])".format(i, ", ".join(f"'{w}'" for w in p.split()))
+    for i, p in PHRASES
+)
+
+ORACLE["phrase_match"] = f"""
+WITH {_TOK_SQL},
+ph(phrase_id, ptoks) AS (VALUES {_PHRASE_VALUES}),
+pos AS (
+  SELECT ph.phrase_id, t.doc_id,
+         CASE WHEN len(t.toks) >= len(ph.ptoks)
+              THEN list_filter(range(1, len(t.toks) - len(ph.ptoks) + 2),
+                   i -> len(list_filter(range(1, len(ph.ptoks) + 1),
+                        j -> t.toks[i + j - 1] = ph.ptoks[j])) = len(ph.ptoks))
+              ELSE []::BIGINT[] END AS p
+  FROM tok t, ph
+)
+SELECT phrase_id::BIGINT AS phrase_id, doc_id,
+       len(p)::BIGINT AS n_matches, p[1]::INT AS first_pos
+FROM pos WHERE len(p) > 0"""
+
 # span-dedup REMOVAL: same order-3 gram hashing as dup_spans; a token
 # at position j is cut iff some duplicated window starts in [j-2, j]
 ORACLE["span_dedup"] = f"""
@@ -4101,6 +4138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_topk": _shipped(q_hybrid_topk),
         "embedding_topk_filtered": _shipped(q_embedding_topk_filtered),
         "wand_scoped": _shipped(q_wand_scoped),
+        "phrase_match": _shipped(q_phrase_match),
         # -- driver-verified green in CORRECTNESS_r04 --
         "postings": _shipped(q_postings),
         "doc_lengths": _shipped(q_doc_lengths),

@@ -203,3 +203,44 @@ def test_scoped_serving_empty_scope_returns_nothing(spark, tmp_path):
     qdf = spark.createDataFrame([(0, "the spark")], "query_id long, query string")
     empty = build_doc_filter(t.select("doc_id").where(F.lit(False)), nsalt=2)
     assert b.query_topk(qdf, k=10, doc_filter=empty).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# exact phrase matching
+# ---------------------------------------------------------------------------
+
+
+def test_phrase_match_hand_cases(spark):
+    from mwmbl_spark.operators.phrase import phrase_match
+
+    docs = spark.createDataFrame(
+        [
+            (1, ["a", "b", "c", "a", "b"]),
+            (2, ["b", "a", "c"]),       # tokens present, order wrong
+            (3, ["a"]),                  # shorter than the phrase
+            (4, ["a", "b"]),             # exact-length match
+        ],
+        "doc_id long, toks array<string>",
+    )
+    out = {
+        (r["phrase_id"], r["doc_id"]): (r["n_matches"], r["first_pos"])
+        for r in phrase_match(docs, [(0, "a b"), (1, "c a b")]).collect()
+    }
+    assert out[(0, 1)] == (2, 1)   # overlapping scan finds both runs
+    assert out[(0, 4)] == (1, 1)
+    assert out[(1, 1)] == (1, 3)
+    assert (0, 2) not in out and (0, 3) not in out
+    assert (1, 2) not in out
+
+
+def test_phrase_match_uses_corpus_tokenizer(spark):
+    from mwmbl_spark.functions.tokenize import tokenize_pd
+    from mwmbl_spark.operators.phrase import phrase_match
+
+    docs = spark.createDataFrame(
+        [(7, "Hello, World! Hello world again")], "doc_id long, text string"
+    ).select("doc_id", tokenize_pd(F.col("text")).alias("toks"))
+    # the corpus (reference) tokenizer lowercases but KEEPS punctuation
+    # attached: 'hello,' != 'hello', so only the clean second run hits
+    out = phrase_match(docs, [(0, "HELLO world")]).collect()
+    assert [(r["doc_id"], r["n_matches"], r["first_pos"]) for r in out] == [(7, 1, 3)]
