@@ -318,3 +318,64 @@ def test_refresh_priority_aggs_are_partial(spark):
     plan = _explain(refresh_priority(log))
     assert "partial_count" in plan and "partial_sum" in plan, plan
     assert re.search(r"partial_min|partial_max", plan), plan
+
+
+def test_conversation_topk_window_group_limits(spark):
+    """Both cuts (best turn per conv, top-k convs) must get map-side
+    WindowGroupLimits — only ~1 row per (partition, group) shuffles."""
+    from mwmbl_spark.operators.conversations import conversation_topk
+
+    scored = spark.createDataFrame(
+        [(0, i, float(i % 7)) for i in range(40)],
+        "query_id long, doc_id long, score double",
+    )
+    conv = spark.createDataFrame(
+        [(i, f"c{i % 5}") for i in range(40)], "doc_id long, conv_id string"
+    )
+    plan = _explain(conversation_topk(scored, conv, k=3))
+    assert plan.count("WindowGroupLimit") >= 2
+
+
+def test_diversify_topk_window_group_limits(spark):
+    from mwmbl_spark.operators.mmr import diversify_topk
+
+    scored = spark.createDataFrame(
+        [(0, i, float(i)) for i in range(40)],
+        "query_id long, doc_id long, score double",
+    )
+    keys = spark.createDataFrame(
+        [(i, f"d{i % 4}") for i in range(40)], "doc_id long, group_key string"
+    )
+    plan = _explain(diversify_topk(scored, keys, per_key=2, k=5))
+    assert plan.count("WindowGroupLimit") >= 2
+
+
+def test_spell_corrections_no_cartesian(spark):
+    """The variant join must stay an equi-join (hash/broadcast) — a
+    Cartesian over the vocabulary would be the classic fuzzy-match
+    scale bug; the query side is tiny and broadcast."""
+    from mwmbl_spark.operators.spell import spell_corrections
+
+    stats = spark.createDataFrame(
+        [(f"term{i:03d}", i + 1, i + 1) for i in range(50)],
+        "term string, df long, cf long",
+    )
+    q = spark.createDataFrame([(0, "term01")], "query_id long, query string")
+    plan = _explain(spell_corrections(q, stats, n=3))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_phrase_match_no_python_no_explode(spark):
+    """The phrase scan is pure JVM HOFs over the tokens array: no Arrow
+    UDF, no generator explosion — one projection + a broadcast of the
+    tiny phrase table."""
+    from mwmbl_spark.operators.phrase import phrase_match
+
+    docs = spark.createDataFrame(
+        [(1, ["a", "b", "c"])], "doc_id long, toks array<string>"
+    )
+    plan = _explain(phrase_match(docs, [(0, "a b")]))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "Generate" not in plan  # no explode: HOF filter, not fan-out
