@@ -110,15 +110,20 @@ def remove_duplicate_spans(
     input doc — text_clean is the surviving tokens re-joined; docs
     shorter than ``n`` tokens pass through untouched.
 
-    Plan shape (100 TB lens): one posexplode of gram hashes (60-bit
-    md5-derived — hashes shuffle, gram text never), a global hash
-    count with map-side partials, a hash-partitioned join back to
-    occurrences, then ONE per-doc aggregation collecting the (bounded
-    by doc length) duplicated-window start list; the token mask and
-    reassembly are pure JVM higher-order functions over the tokens
-    array — no Python, no window function, no self-join. The collected
-    start array is at most |doc| ints, the same grain as the tokens
-    column itself.
+    Plan shape (100 TB lens), LINEAR in every dimension: one posexplode
+    of gram hashes (60-bit md5-derived — hashes shuffle, gram text
+    never), a global hash count with map-side partials, a join back to
+    occurrences, then coverage at EXPLODED (doc, position) grain — each
+    duplicated window fans out to its n covered positions, tokens
+    anti-join the covered set, and one per-doc aggregation reassembles
+    survivors in position order. Total row volume is
+    O(|corpus tokens| + n * |duplicated windows|); the per-doc state is
+    never worse than the tokens column itself. (The first-cut HOF form
+    evaluated `exists` over the start list PER TOKEN — O(len^2) on a
+    boilerplate-saturated mega-doc, the exact single-doc-is-the-job
+    hazard the per-doc PMI cap exists for — so the exploded plan is the
+    right shape even though it pays two more hash shuffles at toy
+    scale.)
     """
     from mwmbl_spark.operators.dedup import hash60
 
@@ -126,37 +131,46 @@ def remove_duplicate_spans(
     occ = docs.select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(ngrams_expr(toks, n)).alias("p", "gram"),
-    ).select("doc_id", (F.col("p") + 1).alias("s"), hash60(F.col("gram")).alias("h"))
+    ).select(
+        "doc_id",
+        (F.col("p") + 1).cast("int").alias("s"),
+        hash60(F.col("gram")).alias("h"),
+    )
     freq = occ.groupBy("h").agg(F.count(F.lit(1)).alias("total"))
-    dup_starts = (
+    covered = (
         occ.join(freq, "h")
         .where(F.col("total") > 1)
-        .groupBy("doc_id")
-        .agg(F.sort_array(F.collect_list("s")).alias("starts"))
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("s"), F.col("s") + F.lit(n - 1))).alias("j"),
+        )
+        .distinct()
     )
-    base = docs.select(F.col(id_col).alias("doc_id"), toks.alias("_toks"))
-    joined = base.join(dup_starts, "doc_id", "left").select(
-        "doc_id",
-        "_toks",
-        F.coalesce(F.col("starts"), F.array().cast("array<int>")).alias("starts"),
-    )
-    j_covered = lambda j: F.exists(  # noqa: E731 — token j sits in some
-        # duplicated window [s, s+n-1]  <=>  s in [j-n+1, j]
-        F.col("starts"), lambda s: (s >= j - F.lit(n - 1)) & (s <= j)
-    )
-    # sequence(1, 0) DESCENDS for an empty tokens array (the ngrams_expr
-    # guard note) — fabricating index 1 on a 0-element array; gate it
-    kept = F.when(
-        F.size("_toks") > 0,
-        F.filter(F.sequence(F.lit(1), F.size("_toks")), lambda j: ~j_covered(j)),
-    ).otherwise(F.array().cast("array<int>"))
-    return joined.select(
-        "doc_id",
-        F.size("_toks").cast("long").alias("n_tokens"),
-        (F.size("_toks") - F.size(kept)).cast("long").alias("n_removed"),
+    toks_e = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(toks).alias("p", "tok"),
+    ).select("doc_id", (F.col("p") + 1).cast("int").alias("j"), "tok")
+    kept = toks_e.join(covered, ["doc_id", "j"], "left_anti")
+    agg = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("_n_kept"),
         F.array_join(
-            F.transform(kept, lambda j: F.element_at(F.col("_toks"), j)), " "
-        ).alias("text_clean"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("j", "tok"))),
+                lambda x: x["tok"],
+            ),
+            " ",
+        ).alias("_clean"),
+    )
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), F.size(toks).cast("long").alias("n_tokens")
+    )
+    return base.join(agg, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        (F.col("n_tokens") - F.coalesce("_n_kept", F.lit(0))).cast("long").alias(
+            "n_removed"
+        ),
+        F.coalesce(F.col("_clean"), F.lit("")).alias("text_clean"),
     )
 
 
