@@ -4081,7 +4081,7 @@ def _shipped(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSes
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # ROTATION POLICY (round-5+): the driver's correctness window covers
+    # ROTATION POLICY (round-5+, re-rotated for round 6): the driver's correctness window covers
     # only the FIRST 50 entries, so the dict is ordered
     # least-recently-driver-verified first — (1) entries never yet
     # driver-green (or newest this round), (2) entries whose last
@@ -4089,59 +4089,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the new CORRECTNESS_r{N}.json to the back) so every contract earns
     # a driver-green row at least once every two rounds.
     return {
-        # -- never driver-verified (outside CORRECTNESS_r04's window) --
-        "fingerprint": _shipped(q_fingerprint),
-        "repetition": _shipped(q_repetition),
-        "top_ngrams": _shipped(q_top_ngrams),
-        "pmi_pairs": _shipped(q_pmi_pairs),
-        "corpus_stats": _shipped(q_corpus_stats),
-        "doc_keywords": _shipped(q_doc_keywords),
-        "domain_quality": _shipped(q_domain_quality),
-        "unigram_logprob": _shipped(q_unigram_logprob),
-        "bigram_logprob": _shipped(q_bigram_logprob),
-        "stream_dedup": _shipped(q_stream_dedup),
-        "pii_redact": _shipped(q_pii_redact),
-        "decontam": _shipped(q_decontam),
-        "dup_spans": _shipped(q_dup_spans),
-        "bloom_unseen": _shipped(q_bloom_unseen),
-        "split_assign": _shipped(q_split_assign),
-        "hash_sample": _shipped(q_hash_sample),
-        "quota_sample": _shipped(q_quota_sample),
-        "temperature_mix": _shipped(q_temperature_mix),
-        "pack_sequences": _shipped(q_pack_sequences),
-        "conversation_stats": _shipped(q_conversation_stats),
-        "training_pairs": _shipped(q_training_pairs),
-        "content_extract_cf": _shipped(q_content_extract_cf),
-        "html_paragraphs": _shipped(q_html_paragraphs),
-        "mm_decode": _shipped(q_mm_decode),
-        "mm_resize": _shipped(q_mm_resize),
-        "mm_frames": _shipped(q_mm_frames),
-        "url_tokens": _shipped(q_url_tokens),
-        "frontier": _shipped(q_frontier),
-        "link_graph": _shipped(q_link_graph),
-        "domain_pagerank": _shipped(q_domain_pagerank),
-        "new_urls": _shipped(q_new_urls),
-        "url_errors": _shipped(q_url_errors),
-        "record_urls": _shipped(q_record_urls),
-        "record_url_links": _shipped(q_record_url_links),
-        "ndcg": _shipped(q_ndcg),
-        "ndcg_summary": _shipped(q_ndcg_summary),
-        "curation_apply": _shipped(q_curation_apply),
-        # -- new round-5 contracts --
-        "mm_pixels": _shipped(q_mm_pixels),
-        "span_dedup": _shipped(q_span_dedup),
-        "dedup_canonical": _shipped(q_dedup_canonical),
-        "bm25_negated": _shipped(q_bm25_negated),
-        "conversation_topk": _shipped(q_conversation_topk),
-        "diverse_topk": _shipped(q_diverse_topk),
-        "spell_correct": _shipped(q_spell_correct),
-        "hybrid_topk": _shipped(q_hybrid_topk),
-        "embedding_topk_filtered": _shipped(q_embedding_topk_filtered),
-        "wand_scoped": _shipped(q_wand_scoped),
-        "phrase_match": _shipped(q_phrase_match),
-        # -- driver-verified green in CORRECTNESS_r04 --
-        "postings": _shipped(q_postings),
-        "doc_lengths": _shipped(q_doc_lengths),
+        # -- round-6 new contracts land here (front of window) --
+        # -- last driver-verified in CORRECTNESS_r04 (oldest green) --
         "term_stats": _shipped(q_term_stats),
         "bm25_topk": _shipped(q_bm25_topk),
         "bm25_conjunctive": _shipped(q_bm25_conjunctive),
@@ -4190,6 +4139,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _shipped(q_lang_id),
         "text_features": _shipped(q_text_features),
         "token_stats": _shipped(q_token_stats),
+        # -- driver-verified green in CORRECTNESS_r05 (back of window) --
+        "fingerprint": _shipped(q_fingerprint),
+        "repetition": _shipped(q_repetition),
+        "top_ngrams": _shipped(q_top_ngrams),
+        "pmi_pairs": _shipped(q_pmi_pairs),
+        "corpus_stats": _shipped(q_corpus_stats),
+        "doc_keywords": _shipped(q_doc_keywords),
+        "domain_quality": _shipped(q_domain_quality),
+        "unigram_logprob": _shipped(q_unigram_logprob),
+        "bigram_logprob": _shipped(q_bigram_logprob),
+        "stream_dedup": _shipped(q_stream_dedup),
+        "pii_redact": _shipped(q_pii_redact),
+        "decontam": _shipped(q_decontam),
+        "dup_spans": _shipped(q_dup_spans),
+        "bloom_unseen": _shipped(q_bloom_unseen),
+        "split_assign": _shipped(q_split_assign),
+        "hash_sample": _shipped(q_hash_sample),
+        "quota_sample": _shipped(q_quota_sample),
+        "temperature_mix": _shipped(q_temperature_mix),
+        "pack_sequences": _shipped(q_pack_sequences),
+        "conversation_stats": _shipped(q_conversation_stats),
+        "training_pairs": _shipped(q_training_pairs),
+        "content_extract_cf": _shipped(q_content_extract_cf),
+        "html_paragraphs": _shipped(q_html_paragraphs),
+        "mm_decode": _shipped(q_mm_decode),
+        "mm_resize": _shipped(q_mm_resize),
+        "mm_frames": _shipped(q_mm_frames),
+        "url_tokens": _shipped(q_url_tokens),
+        "frontier": _shipped(q_frontier),
+        "link_graph": _shipped(q_link_graph),
+        "domain_pagerank": _shipped(q_domain_pagerank),
+        "new_urls": _shipped(q_new_urls),
+        "url_errors": _shipped(q_url_errors),
+        "record_urls": _shipped(q_record_urls),
+        "record_url_links": _shipped(q_record_url_links),
+        "ndcg": _shipped(q_ndcg),
+        "ndcg_summary": _shipped(q_ndcg_summary),
+        "curation_apply": _shipped(q_curation_apply),
+        "mm_pixels": _shipped(q_mm_pixels),
+        "span_dedup": _shipped(q_span_dedup),
+        "dedup_canonical": _shipped(q_dedup_canonical),
+        "bm25_negated": _shipped(q_bm25_negated),
+        "conversation_topk": _shipped(q_conversation_topk),
+        "diverse_topk": _shipped(q_diverse_topk),
+        "spell_correct": _shipped(q_spell_correct),
+        "hybrid_topk": _shipped(q_hybrid_topk),
+        "embedding_topk_filtered": _shipped(q_embedding_topk_filtered),
+        "wand_scoped": _shipped(q_wand_scoped),
+        "phrase_match": _shipped(q_phrase_match),
+        "postings": _shipped(q_postings),
+        "doc_lengths": _shipped(q_doc_lengths),
     }
 
 

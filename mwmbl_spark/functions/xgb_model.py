@@ -191,15 +191,18 @@ class XgbTreesModel:
         base_score = float(learner["learner_model_param"]["base_score"])
         # stored base_score is in OUTPUT space; move it to margin space
         # via the objective's link (xgboost ProbToMargin semantics:
-        # logit for binary:*, log for count:*/poisson-family, identity
-        # for rank:* and reg:*)
+        # logit for binary:*, log for the poisson family — count:*,
+        # reg:gamma, reg:tweedie — identity for rank:* and other reg:*)
         if self.objective.startswith("binary:"):
             eps = 1e-16
             p = min(max(base_score, eps), 1.0 - eps)
             self.base_margin = math.log(p / (1.0 - p))
-        elif self.objective.startswith("count:"):
+        elif self.objective.startswith("count:") or self.objective in (
+            "reg:gamma",
+            "reg:tweedie",
+        ):
             self.base_margin = math.log(max(base_score, 1e-16))
-        else:  # rank:*, reg:* — identity link
+        else:  # rank:*, other reg:* — identity link
             self.base_margin = base_score
         self.feature_names = learner.get("feature_names") or None
 

@@ -182,12 +182,19 @@ def _pure_bpe_batched(
 #: learn_bpe() records its last run here: path taken, rounds, Spark
 #: jobs issued (count/collect/checkpoint actions), merges learned.
 #: Mutated IN PLACE so `from ... import LAST_LEARN_STATS` stays live.
+#: PROCESS-GLOBAL: two concurrent learn_bpe calls on one driver will
+#: interleave here — callers that run pipelines in parallel must pass
+#: their own ``stats_sink`` (the wand.make_kernel convention) and read
+#: that instead.
 LAST_LEARN_STATS: dict = {}
 
 
-def _set_stats(d: dict) -> None:
+def _set_stats(d: dict, sink: dict | None = None) -> None:
     LAST_LEARN_STATS.clear()
     LAST_LEARN_STATS.update(d)
+    if sink is not None:
+        sink.clear()
+        sink.update(d)
 
 
 def learn_bpe(
@@ -199,6 +206,7 @@ def learn_bpe(
     batch: int = 1,
     candidates_per_round: int | None = None,
     sample_words: int | None = None,
+    stats_sink: dict | None = None,
 ) -> list[tuple[str, str]]:
     """Learn ``n_merges`` BPE merges from a (word, n) table. Returns the
     ordered merge list.
@@ -234,7 +242,7 @@ def learn_bpe(
     jobs = 1
     n_words = words.count()
     if n_words == 0:
-        _set_stats({"path": "empty", "rounds": 0, "jobs": jobs, "merges": 0})
+        _set_stats({"path": "empty", "rounds": 0, "jobs": jobs, "merges": 0}, stats_sink)
         return []
     if sample_words is not None and n_words > sample_words:
         rows = (
@@ -247,7 +255,7 @@ def learn_bpe(
         _set_stats({
             "path": "sampled", "rounds": 0, "jobs": jobs + 1,
             "merges": len(merges), "batch": batch, "sample_words": sample_words,
-        })
+        }, stats_sink)
         return merges
     if n_words <= driver_threshold:
         rows = words.collect()
@@ -260,7 +268,7 @@ def learn_bpe(
         _set_stats({
             "path": "driver", "rounds": 0, "jobs": jobs + 1,
             "merges": len(merges), "batch": batch,
-        })
+        }, stats_sink)
         return merges
 
     spark = words.sparkSession
@@ -322,7 +330,7 @@ def learn_bpe(
     _set_stats({
         "path": "distributed", "rounds": rounds, "jobs": jobs,
         "merges": len(merges), "batch": batch,
-    })
+    }, stats_sink)
     return merges
 
 

@@ -100,7 +100,11 @@ def repetition_features(
 
 
 def remove_duplicate_spans(
-    docs: DataFrame, n: int = 50, id_col: str = "doc_id", toks_col: str = "toks"
+    docs: DataFrame,
+    n: int = 50,
+    id_col: str = "doc_id",
+    toks_col: str = "toks",
+    keep_first: bool = False,
 ) -> DataFrame:
     """The REMOVAL transform behind ``duplicated_span_stats`` (Lee et
     al. 2022, arXiv:2107.06499 §4 — exact substring dedup): drop every
@@ -109,6 +113,18 @@ def remove_duplicate_spans(
     twin). Returns (doc_id, n_tokens, n_removed, text_clean) for every
     input doc — text_clean is the surviving tokens re-joined; docs
     shorter than ``n`` tokens pass through untouched.
+
+    DEVIATION from Lee et al. §4 when ``keep_first=False`` (the
+    default, and the span_dedup contract's shape): ALL copies of a
+    duplicated span are removed, including the first/original — a
+    document whose full text is duplicated once elsewhere is emptied
+    entirely. This matches ``duplicated_span_stats`` (which counts
+    every occurrence) but is stricter than the paper, which keeps one
+    copy. ``keep_first=True`` restores the paper's semantics: the
+    lowest (doc_id, position) occurrence of each duplicated gram is
+    exempt, so one copy of each span survives. The exemption costs no
+    extra shuffle — the per-hash first occurrence rides the same
+    groupBy(h) aggregate as the count.
 
     Plan shape (100 TB lens), LINEAR in every dimension: one posexplode
     of gram hashes (60-bit md5-derived — hashes shuffle, gram text
@@ -136,10 +152,17 @@ def remove_duplicate_spans(
         (F.col("p") + 1).cast("int").alias("s"),
         hash60(F.col("gram")).alias("h"),
     )
-    freq = occ.groupBy("h").agg(F.count(F.lit(1)).alias("total"))
+    freq = occ.groupBy("h").agg(
+        F.count(F.lit(1)).alias("total"),
+        F.min(F.struct("doc_id", "s")).alias("_first"),
+    )
+    dup_occ = occ.join(freq, "h").where(F.col("total") > 1)
+    if keep_first:
+        dup_occ = dup_occ.where(
+            F.struct(F.col("doc_id"), F.col("s")) != F.col("_first")
+        )
     covered = (
-        occ.join(freq, "h")
-        .where(F.col("total") > 1)
+        dup_occ
         .select(
             "doc_id",
             F.explode(F.sequence(F.col("s"), F.col("s") + F.lit(n - 1))).alias("j"),

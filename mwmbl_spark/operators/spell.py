@@ -33,14 +33,18 @@ MAX_TERM_LEN = 32
 
 def deletion_variants(col: Column) -> Column:
     """The term plus every string formed by deleting ONE character —
-    the SymSpell max_edit=1 key set, distinct."""
+    the SymSpell max_edit=1 key set, distinct. Guarded for the empty
+    string: sequence(1, 0) DESCENDS in Spark and would fabricate bogus
+    variants (same trap ngrams_expr / phrase_positions guard against)."""
     dels = F.transform(
         F.sequence(F.lit(1), F.length(col)),
         lambda i: F.concat(
             col.substr(F.lit(1), i - 1), col.substr(i + 1, F.length(col))
         ),
     )
-    return F.array_distinct(F.concat(F.array(col), dels))
+    return F.when(
+        F.length(col) > 0, F.array_distinct(F.concat(F.array(col), dels))
+    ).otherwise(F.array(col))
 
 
 def spell_index(stats: DataFrame, max_term_len: int = MAX_TERM_LEN) -> DataFrame:
