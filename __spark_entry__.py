@@ -1154,6 +1154,24 @@ def q_ivfpq_refine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivfpq_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED IVF-PQ ANN (round-6): metadata predicate (label-even
+    half) pushed into the IVFADC path — the filter semi-joins the
+    ENCODED corpus before ADC scoring, so the shortlist is drawn
+    entirely from the allowed set. Probe-all + corpus-covering refine
+    makes it value-identical to the exact filtered scan (shares
+    embedding_topk_filtered's oracle); BINDING probe/refine recall is
+    pytest-gated (tests/test_training_ops.py)."""
+    from mwmbl_spark.operators.similarity import ivfpq_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    allowed = emb.where(F.col("label") % 2 == 0)
+    return ivfpq_topk(
+        emb, ANN_QUERY_IDS, k=10, n_centroids=8, n_probe=8, m=8,
+        k_codes=16, n_iters=2, refine=10**6, allowed=allowed,
+    )
+
+
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (sign-bucket LSH pruning +
     exact cosine >= 0.3): the whole path — md5-derived hyperplane
@@ -2767,6 +2785,10 @@ ORACLE["pq_refine_topk"] = ORACLE["embedding_topk"]
 # IVF-PQ with probe-all + corpus-covering refine reduces the same way
 ORACLE["ivfpq_refine_topk"] = ORACLE["embedding_topk"]
 
+# filtered IVF-PQ with probe-all + covering refine reduces to the exact
+# filtered scan (filter-then-score == the oracle's WHERE before ranking)
+ORACLE["ivfpq_filtered_topk"] = ORACLE["embedding_topk_filtered"]
+
 ORACLE["lsh_topk"] = f"""
 WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
@@ -4090,6 +4112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # a driver-green row at least once every two rounds.
     return {
         # -- round-6 new contracts land here (front of window) --
+        "ivfpq_filtered_topk": _shipped(q_ivfpq_filtered_topk),
         # -- last driver-verified in CORRECTNESS_r04 (oldest green) --
         "term_stats": _shipped(q_term_stats),
         "bm25_topk": _shipped(q_bm25_topk),

@@ -92,6 +92,13 @@ def cosine_topk(
     )
 
 
+
+def _allowed_ids(allowed: DataFrame, id_col: str) -> DataFrame:
+    """Normalize a metadata filter relation to a (vec_id) key frame for
+    the pre-scoring left-semi join every ANN path shares."""
+    return allowed.select(F.col(id_col).alias("vec_id"))
+
+
 N_HYPERPLANE_BITS = 8
 
 
@@ -164,18 +171,27 @@ def lsh_bucket_topk(
     vec_col: str = "embedding",
     n_bits: int = N_HYPERPLANE_BITS,
     n_probe: int = 1,
+    allowed: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k: score only corpus vectors in the query's
     sign-bit bucket, plus (``n_probe`` > 1) the Hamming-adjacent buckets
     of its least-confident bits — multi-probe LSH. Probe buckets are
     distinct and a corpus vector lives in exactly one bucket, so no
     (query, vec) pair is scored twice. Same output shape as
-    cosine_topk; only the tiny broadcast query side fans out."""
+    cosine_topk; only the tiny broadcast query side fans out.
+
+    ``allowed`` (round-6, FILTERED ANN): an (id_col) relation semi-
+    joined against the bucketed corpus BEFORE the bucket join — filtered
+    buckets are smaller, never post-filtered, so the top-k is exact
+    within the probed buckets of the filtered set. Selective filters
+    thin the buckets; raise ``n_probe`` to recover recall."""
     bucketed = embeddings.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("emb"),
         _sign_bucket(F.col(vec_col), n_bits).alias("bucket"),
     )
+    if allowed is not None:
+        bucketed = bucketed.join(_allowed_ids(allowed, id_col), "vec_id", "left_semi")
     q = (
         embeddings.where(F.col(id_col).isin(query_ids))
         .select(
@@ -302,12 +318,18 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: DataFrame | None = None,
+    allowed: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k via IVF probe: score only the corpus vectors
     assigned to each query's ``n_probe`` nearest centroids. Same output
     shape as cosine_topk; recall is pytest-gated vs the exact baseline.
     Pass a pre-trained ``centroids`` frame to skip training (the
-    production shape: train once, probe per batch)."""
+    production shape: train once, probe per batch).
+
+    ``allowed`` (round-6): metadata filter semi-joined against the
+    assigned corpus BEFORE probing/scoring (never post-filtered).
+    Training still sees the full corpus — the quantizer is a corpus
+    artifact, the filter is a per-query predicate."""
     cents = centroids if centroids is not None else ivf_train(
         embeddings, n_centroids, n_iters, id_col, vec_col
     )
@@ -315,6 +337,8 @@ def ivf_topk(
         F.col(id_col).alias("vec_id"), _to64(F.col(vec_col)).alias("v")
     )
     assigned = _ivf_assign(corpus, cents)
+    if allowed is not None:
+        assigned = assigned.join(_allowed_ids(allowed, id_col), "vec_id", "left_semi")
     q = corpus.where(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("q_emb")
     )
@@ -606,8 +630,15 @@ def pq_topk(
     codes: DataFrame | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    allowed: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k via PQ/ADC, same output shape as cosine_topk.
+
+    ``allowed`` (round-6, FILTERED ANN): semi-joined against the codes
+    column BEFORE ADC scoring — the shortlist is drawn entirely from
+    the filtered set, so no over-fetch is needed for post-filter
+    attrition (there is none); ``refine`` re-ranks filtered candidates
+    only. Codebooks still train on the full corpus.
 
     Per query the m x k lookup table of subspace dot products is
     computed driver-side and broadcast; a corpus vector's approximate
@@ -626,6 +657,8 @@ def pq_topk(
     m = len(cbl)
     sub = len(cbl[0][0])
     codes_df = codes if codes is not None else pq_encode(embeddings, cb, id_col, vec_col)
+    if allowed is not None:
+        codes_df = codes_df.join(_allowed_ids(allowed, id_col), "vec_id", "left_semi")
     corpus = embeddings.select(
         F.col(id_col).alias("vec_id"), _unit(_to64(F.col(vec_col))).alias("v")
     )
@@ -798,8 +831,21 @@ def ivfpq_topk(
     codes: DataFrame | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    allowed: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k via IVFADC, same output shape as cosine_topk.
+
+    ``allowed`` (round-6, FILTERED ANN — the production predicate+ANN
+    mode): the filter is semi-joined against the ENCODED corpus before
+    ADC scoring, so probed lists shrink to their filtered members and
+    the ADC shortlist contains only allowed ids — filter-then-score,
+    never score-then-filter, hence no over-fetch multiplier for
+    attrition. Residual recall risk is probe-side only (a selective
+    filter can empty a probed list); raise ``n_probe`` for very
+    selective filters. With probe-all + corpus-covering ``refine`` the
+    result is exactly ``cosine_topk(allowed=)`` (the
+    ivfpq_filtered_topk contract). Train/encode remain corpus
+    artifacts, unfiltered.
 
     Driver-side per query (all tiny): the m x k residual LUT, and the
     per-probe constant <q, c> for the n_probe coarse centroids nearest
@@ -821,6 +867,8 @@ def ivfpq_topk(
         if codes is not None
         else ivfpq_encode(embeddings, centroids, codebooks, id_col, vec_col)
     )
+    if allowed is not None:
+        codes_df = codes_df.join(_allowed_ids(allowed, id_col), "vec_id", "left_semi")
     cbl = _collect_codebook(codebooks)
     m = len(cbl)
     sub = len(cbl[0][0])

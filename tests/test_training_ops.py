@@ -451,3 +451,84 @@ def test_embedding_near_duplicates_pipes_into_group_resolution(embeddings):
         for r in resolve_duplicate_groups(pairs).collect()
     }
     assert {(8, 0), (9, 1), (10, 2), (11, 3)} <= groups
+
+
+# --- filtered ANN (round-6: predicate + ANN) ---------------------------------
+
+def test_filtered_ann_probe_all_equals_exact_filtered(embeddings):
+    """IVF-PQ / PQ with a metadata filter, probe-all + covering refine,
+    must equal the exact filtered scan exactly (filter-then-score)."""
+    from mwmbl_spark.operators.similarity import (
+        cosine_topk, ivfpq_topk, pq_topk,
+    )
+
+    allowed = embeddings.where(F.col("vec_id") % 2 == 0)
+    exact = {
+        (r["query_id"], r["rank"], r["vec_id"], r["sim"])
+        for r in cosine_topk(
+            embeddings, query_ids=[0, 1, 2], k=5, allowed=allowed
+        ).collect()
+    }
+    got_ivfpq = {
+        (r["query_id"], r["rank"], r["vec_id"], r["sim"])
+        for r in ivfpq_topk(
+            embeddings, query_ids=[0, 1, 2], k=5, n_centroids=4, n_probe=4,
+            m=4, k_codes=4, n_iters=2, refine=100, allowed=allowed,
+        ).collect()
+    }
+    assert got_ivfpq == exact
+    got_pq = {
+        (r["query_id"], r["rank"], r["vec_id"], r["sim"])
+        for r in pq_topk(
+            embeddings, query_ids=[0, 1, 2], k=5, m=4, k_codes=4, n_iters=2,
+            refine=100, allowed=allowed,
+        ).collect()
+    }
+    assert got_pq == exact
+
+
+def test_filtered_ann_results_respect_filter(embeddings):
+    """EVERY filtered ANN path returns only allowed ids — the hard
+    guarantee of filter-then-score (no post-filter leakage)."""
+    from mwmbl_spark.operators.similarity import (
+        ivf_topk, ivfpq_topk, lsh_bucket_topk, pq_topk,
+    )
+
+    allowed = embeddings.where(F.col("vec_id") % 3 == 0)
+    allowed_ids = {r["vec_id"] for r in allowed.collect()}
+    outs = [
+        lsh_bucket_topk(embeddings, query_ids=[0, 1], k=5, n_probe=4, allowed=allowed),
+        ivf_topk(embeddings, query_ids=[0, 1], k=5, n_centroids=4, n_probe=2,
+                 n_iters=2, allowed=allowed),
+        pq_topk(embeddings, query_ids=[0, 1], k=5, m=4, k_codes=4, n_iters=2,
+                allowed=allowed),
+        ivfpq_topk(embeddings, query_ids=[0, 1], k=5, n_centroids=4, n_probe=2,
+                   m=4, k_codes=4, n_iters=2, allowed=allowed),
+    ]
+    for out in outs:
+        rows = out.collect()
+        assert rows, "filtered path returned nothing"
+        assert all(r["vec_id"] in allowed_ids for r in rows)
+
+
+def test_filtered_ivfpq_realistic_probe_recall(embeddings):
+    """Binding probes + filter: recall vs the exact filtered scan stays
+    above the unclustered-synthetic floor (probed fraction)."""
+    from mwmbl_spark.operators.similarity import cosine_topk, ivfpq_topk
+
+    allowed = embeddings.where(F.col("vec_id") % 2 == 0)
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in cosine_topk(
+            embeddings, query_ids=[0, 1, 2], k=4, allowed=allowed
+        ).collect()
+    }
+    got = {
+        (r["query_id"], r["vec_id"])
+        for r in ivfpq_topk(
+            embeddings, query_ids=[0, 1, 2], k=4, n_centroids=4, n_probe=2,
+            m=4, k_codes=4, n_iters=2, refine=8, allowed=allowed,
+        ).collect()
+    }
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.35, recall
