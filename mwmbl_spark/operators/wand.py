@@ -50,6 +50,9 @@ when the kernel is driven directly in tests.
 
 from __future__ import annotations
 
+from collections import OrderedDict
+from dataclasses import dataclass
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
@@ -139,7 +142,7 @@ def make_kernel(
         )
         fmap = doc_filter.value if hasattr(doc_filter, "value") else doc_filter
         filt_entry = (
-            fmap.get(int(pdf["salt"].iloc[0]), _EMPTY_FILTER)
+            _resolve_filter_entry(fmap, int(pdf["salt"].iloc[0]))
             if fmap is not None and "salt" in pdf
             else None
         )
@@ -370,39 +373,136 @@ def make_kernel(
 
 _EMPTY_FILTER = np.array([], dtype=np.uint64)
 
+#: collect()-free scope ceiling: above this many ids build_doc_filter
+#: refuses to materialize the allowlist driver-side and (given a spill
+#: path) writes per-salt files instead
+DOC_FILTER_COLLECT_MAX = 10_000_000
 
-def build_doc_filter(allowed, nsalt: int, id_col: str = "doc_id") -> dict:
+
+@dataclass(frozen=True)
+class DocFilterFiles:
+    """Descriptor of a DISTRIBUTED per-salt allowlist: parquet files
+    partitioned by salt under ``path`` (write_doc_filter). Only this
+    tiny descriptor ships to executors; each kernel task reads its OWN
+    salt's sorted id array straight from storage (executor-side, the
+    delete-vector-file shape — no driver collect, no broadcast), cached
+    per Python worker so a query batch pays one read per (salt,
+    executor). Works on any pyarrow-readable filesystem (local, HDFS,
+    s3://) — the files live next to the index in production."""
+
+    path: str
+    nsalt: int
+
+
+def write_doc_filter(
+    allowed, path: str, nsalt: int, id_col: str = "doc_id"
+) -> DocFilterFiles:
+    """Persist an allowlist DataFrame as per-salt sorted parquet files —
+    the SCALE form of build_doc_filter (a tenant scope of 10^8-10^9 ids
+    never touches the driver). One Spark job: salt with the build's own
+    salt_of expression (filter/build hash parity by construction),
+    cluster by salt (one writer per salt directory), sort within
+    partitions so each file is searchsorted-ready on read."""
+    from pyspark.sql import functions as _F
+
+    from mwmbl_spark.operators.segments import salt_of
+
+    (
+        allowed.select(
+            _F.col(id_col).cast("long").alias("doc_id"),
+            salt_of(_F.col(id_col), nsalt).alias("salt"),
+        )
+        .distinct()
+        .repartition(nsalt, "salt")
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite")
+        .partitionBy("salt")
+        .parquet(path)
+    )
+    return DocFilterFiles(path=path, nsalt=nsalt)
+
+
+#: per-Python-worker cache of loaded allowlist salts — workers are
+#: reused across tasks, so a serving loop reads each (path, salt) once
+_FILTER_FILE_CACHE: "OrderedDict[tuple[str, int], np.ndarray]" = OrderedDict()
+_FILTER_FILE_CACHE_MAX = 64
+
+
+def _load_filter_salt(path: str, salt: int) -> np.ndarray:
+    """Executor-side read of one salt's allowlist file (sorted uint64).
+    A salt directory that does not exist holds no ids — strict
+    allowlist, nothing allowed in that salt."""
+    key = (path, salt)
+    hit = _FILTER_FILE_CACHE.get(key)
+    if hit is not None:
+        _FILTER_FILE_CACHE.move_to_end(key)
+        return hit
+    import pyarrow.dataset as pads
+
+    try:
+        tbl = pads.dataset(f"{path}/salt={salt}", format="parquet").to_table(
+            columns=["doc_id"]
+        )
+        arr = tbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        arr = np.sort(arr)  # files are written sorted; cheap no-op guard
+    except FileNotFoundError:
+        arr = _EMPTY_FILTER
+    _FILTER_FILE_CACHE[key] = arr
+    if len(_FILTER_FILE_CACHE) > _FILTER_FILE_CACHE_MAX:
+        _FILTER_FILE_CACHE.popitem(last=False)
+    return arr
+
+
+def _resolve_filter_entry(fmap, salt: int):
+    """The kernel's per-salt allowlist lookup over either form: an
+    in-memory dict (small scopes) or a DocFilterFiles descriptor
+    (distributed scopes, executor-side file read)."""
+    if isinstance(fmap, DocFilterFiles):
+        return _load_filter_salt(fmap.path, salt)
+    return fmap.get(salt, _EMPTY_FILTER)
+
+
+def build_doc_filter(
+    allowed,
+    nsalt: int,
+    id_col: str = "doc_id",
+    max_collect: int = DOC_FILTER_COLLECT_MAX,
+    spill_path: str | None = None,
+):
     """Per-salt sorted allowlist arrays for SCOPED serving
     (wand_topk(doc_filter=...)): dict[salt] -> sorted uint64 doc ids.
     ``allowed`` is a DataFrame holding the permitted doc ids (one Spark
     job computes each id's salt with the build's own salt_of
     expression, so filter/build hash parity is by construction).
 
-    Collected driver-side and broadcast per query batch — the same
-    cost/size envelope as the delete map (warn past 10M ids; a scope
-    that large belongs in the query predicate or its own index, not a
-    broadcast allowlist). Every salt gets an entry (possibly empty):
-    the filter is a strict allowlist."""
+    SMALL scopes collect driver-side (same cost/size envelope as the
+    delete map) and broadcast. A scope past ``max_collect`` ids NEVER
+    collects: with ``spill_path`` set it is written as per-salt files
+    (write_doc_filter) and a DocFilterFiles descriptor is returned —
+    the distributed serving form, kernel tasks read their own salt —
+    otherwise this raises (a 10^8-id driver collect is a scale-killer;
+    IndexBuilder.query_topk passes a spill path under the index
+    automatically). Every salt gets an entry (possibly empty): the
+    filter is a strict allowlist."""
     from pyspark.sql import functions as _F
 
     from mwmbl_spark.operators.segments import salt_of
 
-    rows = (
-        allowed.select(
-            _F.col(id_col).cast("long").alias("doc_id"),
-            salt_of(_F.col(id_col), nsalt).alias("salt"),
-        )
-        .distinct()
-        .collect()
-    )
-    if len(rows) > 10_000_000:
-        import logging
-
-        logging.getLogger("mwmbl_spark.wand").warning(
-            "doc filter holds %d ids (~%d MB broadcast per query batch) "
-            "— scope this via a dedicated index instead", len(rows),
-            len(rows) * 8 // 1_000_000,
-        )
+    salted = allowed.select(
+        _F.col(id_col).cast("long").alias("doc_id"),
+        salt_of(_F.col(id_col), nsalt).alias("salt"),
+    ).distinct()
+    n = salted.count()
+    if n > max_collect:
+        if spill_path is None:
+            raise ValueError(
+                f"doc filter holds {n} ids (> max_collect={max_collect}); "
+                "a driver-side collect at this scope is refused — pass "
+                "spill_path= (or use write_doc_filter / "
+                "IndexBuilder.query_topk, which spills next to the index)"
+            )
+        return write_doc_filter(salted, spill_path, nsalt)
+    rows = salted.collect()
     per: dict[int, list[int]] = {s: [] for s in range(nsalt)}
     for r in rows:
         per[int(r["salt"])].append(int(r["doc_id"]))
@@ -462,9 +562,14 @@ def wand_topk(
         deletes = None  # empty map: zero kernel overhead
     if deletes is not None and not hasattr(deletes, "value"):
         deletes = segments.sparkSession.sparkContext.broadcast(deletes)
-    if doc_filter is not None and not hasattr(doc_filter, "value"):
+    if (
+        doc_filter is not None
+        and not hasattr(doc_filter, "value")
+        and not isinstance(doc_filter, DocFilterFiles)
+    ):
         # NB an EMPTY dict stays a filter (strict allowlist: nothing
-        # allowed), unlike the delete map's empty-means-none shortcut
+        # allowed), unlike the delete map's empty-means-none shortcut;
+        # a DocFilterFiles descriptor ships as-is (bytes, not a map)
         doc_filter = segments.sparkSession.sparkContext.broadcast(doc_filter)
     local = joined.groupBy("query_id", "salt").applyInPandas(
         make_kernel(n_docs, avg_len, k, mode, deletes=deletes, doc_filter=doc_filter),

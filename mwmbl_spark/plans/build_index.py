@@ -37,6 +37,7 @@ from __future__ import annotations
 
 import os
 import time
+from collections import OrderedDict
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -115,6 +116,13 @@ class IndexBuilder:
         # otherwise accumulates broadcasts in driver/executor memory,
         # ADVICE r3) — and unpersisted when the live set changes.
         self._deletes_cache: tuple[tuple, dict, object] | None = None
+        # scoped-serving memo: semanticHash(allowlist plan) -> built
+        # doc filter (per-salt dict broadcast OR DocFilterFiles). A
+        # serving loop with a static scope pays ONE build+broadcast (or
+        # one file write), not one per batch — the delete-map rule
+        # applied to filters. Small LRU: distinct concurrent scopes are
+        # few; a tenant fan-out should hoist its own descriptors.
+        self._doc_filter_cache: "OrderedDict[tuple[int, int], object]" = OrderedDict()
 
     def _live(self, as_of: int | None = None) -> dict[str, int]:
         from mwmbl_spark.manifest import partition_seqs
@@ -388,6 +396,34 @@ class IndexBuilder:
             self._deletes_cache = (key, cached_dm, bcast)
         return bcast
 
+    def _resolve_doc_filter(self, allowed):
+        """Memoized doc-filter build (round-6): key = semanticHash of
+        the allowlist's analyzed plan + nsalt. Small scopes return a
+        SparkContext BROADCAST of the per-salt dict (one live broadcast
+        across a serving loop, like delete_broadcast); large scopes
+        return a DocFilterFiles descriptor whose files were written
+        once under <index>/doc_filters/<hash>."""
+        from mwmbl_spark.operators.wand import build_doc_filter
+
+        key = (allowed.semanticHash(), self.cfg.nsalt)
+        hit = self._doc_filter_cache.get(key)
+        if hit is not None:
+            self._doc_filter_cache.move_to_end(key)
+            return hit
+        built = build_doc_filter(
+            allowed,
+            self.cfg.nsalt,
+            spill_path=f"{self.cfg.path}/doc_filters/{key[0] & 0xFFFFFFFF:08x}",
+        )
+        if isinstance(built, dict):
+            built = self.spark.sparkContext.broadcast(built)
+        self._doc_filter_cache[key] = built
+        while len(self._doc_filter_cache) > 8:
+            _, old = self._doc_filter_cache.popitem(last=False)
+            if hasattr(old, "unpersist"):
+                old.unpersist()
+        return built
+
     def doc_totals(self, parts: list[str] | None = None) -> tuple[int, int]:
         """(n_docs, sum_len) over committed partitions — includes
         zero-token docs the posting relation can't see. Local doc_stats
@@ -476,17 +512,20 @@ class IndexBuilder:
         and must not thrash the serving caches) — it pays its own stats
         jobs and a per-call delete-map broadcast.
 
-        ``doc_filter`` (round-5, SCOPED serving): restrict results to an
-        allowlist of doc ids — a DataFrame of permitted ids (a 'doc_id'
-        column; per-salt arrays are built via wand.build_doc_filter), a
-        prebuilt per-salt dict (hoist it when many batches share one
-        scope), or a SparkContext broadcast thereof. Scores keep GLOBAL
-        corpus statistics (the filter restricts results, it does not
-        re-weight idf)."""
-        from mwmbl_spark.operators.wand import build_doc_filter
-
+        ``doc_filter`` (round-5/6, SCOPED serving): restrict results to
+        an allowlist of doc ids — a DataFrame of permitted ids (a
+        'doc_id' column), a prebuilt per-salt dict, a
+        wand.DocFilterFiles descriptor (the distributed form), or a
+        SparkContext broadcast of the dict. A DataFrame is built ONCE
+        per distinct allowlist plan (memoized on semanticHash, the
+        delete-map rule): small scopes become one live broadcast shared
+        across batches; scopes past wand.DOC_FILTER_COLLECT_MAX are
+        written as per-salt files under the index (never collected
+        driver-side) and served by executor-side reads. Scores keep
+        GLOBAL corpus statistics (the filter restricts results, it does
+        not re-weight idf)."""
         if doc_filter is not None and hasattr(doc_filter, "sparkSession"):
-            doc_filter = build_doc_filter(doc_filter, self.cfg.nsalt)
+            doc_filter = self._resolve_doc_filter(doc_filter)
         if as_of is not None:
             from mwmbl_spark.operators.upsert import load_delete_map
 

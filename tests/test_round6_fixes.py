@@ -110,3 +110,115 @@ def test_remove_duplicate_spans_keep_first(spark):
     assert keep["d2"]["text_clean"] == "yy"
     # untouched doc identical in both modes
     assert strict["d3"]["n_removed"] == 0 and keep["d3"]["n_removed"] == 0
+
+
+# ---------------------------------------------------------------------------
+# distributed scoped-WAND allowlist (round-6 verdict #2/#7)
+# ---------------------------------------------------------------------------
+
+
+def _scoped_fixture(spark, tmp_path):
+    from mwmbl_spark.operators.postings import (
+        build_postings, corpus_stats, doc_lengths, term_stats,
+    )
+    from mwmbl_spark.operators.segments import build_segments
+    from mwmbl_spark.synth import synth_transcripts, with_doc_id
+
+    t = with_doc_id(synth_transcripts(spark, n_conv=40, turns_per_conv=3, seed=61))
+    p = build_postings(t)
+    dl = doc_lengths(t)
+    stats = term_stats(p)
+    cs = corpus_stats(dl)
+    segs = build_segments(
+        p, dl, stats, cs.n_docs, cs.avg_doc_len, num_buckets=8, nsalt=4
+    ).localCheckpoint()
+    allowed = t.select("doc_id").where(F.col("doc_id") % 3 == 0)
+    qdf = spark.createDataFrame(
+        [(0, "the spark data"), (1, "query model")], "query_id long, query string"
+    )
+    return t, segs, stats, cs, allowed, qdf
+
+
+def test_doc_filter_files_match_dict_path_without_collect(spark, tmp_path, monkeypatch):
+    """The file-backed allowlist must (a) never touch DataFrame.collect
+    while building or serving, (b) produce rank-identical results to
+    the broadcast-dict path."""
+    from pyspark.sql import DataFrame as SparkDF
+
+    from mwmbl_spark.operators.wand import (
+        build_doc_filter, wand_topk, write_doc_filter,
+    )
+
+    t, segs, stats, cs, allowed, qdf = _scoped_fixture(spark, tmp_path)
+    filt_dict = build_doc_filter(allowed, nsalt=4)
+    expect = sorted(
+        map(tuple, wand_topk(
+            segs, stats, qdf, cs.n_docs, cs.avg_doc_len, k=10,
+            num_buckets=8, doc_filter=filt_dict,
+        ).collect())
+    )
+
+    out_path = str(tmp_path / "scoped_out")
+    real_collect = SparkDF.collect
+
+    def no_collect(self_df):
+        raise AssertionError("driver-side collect in the distributed scoped path")
+
+    monkeypatch.setattr(SparkDF, "collect", no_collect)
+    try:
+        desc = write_doc_filter(allowed, str(tmp_path / "filter_files"), nsalt=4)
+        wand_topk(
+            segs, stats, qdf, cs.n_docs, cs.avg_doc_len, k=10,
+            num_buckets=8, doc_filter=desc,
+        ).write.mode("overwrite").parquet(out_path)
+    finally:
+        monkeypatch.setattr(SparkDF, "collect", real_collect)
+    got = sorted(map(tuple, spark.read.parquet(out_path).collect()))
+    assert got == expect and got
+
+
+def test_build_doc_filter_refuses_or_spills_above_threshold(spark, tmp_path):
+    from mwmbl_spark.operators.wand import DocFilterFiles, build_doc_filter
+
+    allowed = spark.range(0, 100).select(F.col("id").alias("doc_id"))
+    with pytest.raises(ValueError, match="max_collect"):
+        build_doc_filter(allowed, nsalt=4, max_collect=10)
+    desc = build_doc_filter(
+        allowed, nsalt=4, max_collect=10, spill_path=str(tmp_path / "spill")
+    )
+    assert isinstance(desc, DocFilterFiles) and desc.nsalt == 4
+
+
+def test_serving_loop_single_doc_filter_build(spark, tmp_path, monkeypatch):
+    """Task-7 twin of the delete-map hygiene test: 50 scoped batches
+    against one static allowlist build the filter ONCE (memoized on the
+    plan's semanticHash), sharing one live broadcast."""
+    from mwmbl_spark.operators import wand as wand_mod
+    from mwmbl_spark.plans.build_index import IndexBuilder, IndexConfig
+    from mwmbl_spark.synth import synth_transcripts, with_doc_id
+
+    t = with_doc_id(synth_transcripts(spark, n_conv=20, turns_per_conv=3, seed=62))
+    cfg = IndexConfig(
+        path=str(tmp_path / "idx"), num_buckets=8, nsalt=2, n_src_partitions=2
+    )
+    b = IndexBuilder(spark, cfg)
+    b.build(t)
+
+    builds = []
+    real_build = wand_mod.build_doc_filter
+
+    def counting_build(*a, **kw):
+        builds.append(1)
+        return real_build(*a, **kw)
+
+    monkeypatch.setattr(wand_mod, "build_doc_filter", counting_build)
+    allowed = t.select("doc_id").where(F.col("doc_id") % 2 == 0)
+    qdf = spark.createDataFrame([(0, "the spark")], "query_id long, query string")
+    first_ref = None
+    for _ in range(50):
+        b.query_topk(qdf, k=5, doc_filter=allowed).collect()
+        cached = next(iter(b._doc_filter_cache.values()))
+        if first_ref is None:
+            first_ref = cached
+        assert cached is first_ref  # same live broadcast object
+    assert sum(builds) == 1
