@@ -1386,6 +1386,35 @@ def q_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phrase_match(_docs_with_toks(spark, sf_dir), PHRASES)
 
 
+def q_phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INDEX-SIDE phrase serving (round-6): phrase-filtered BM25 top-10
+    from the positional segment payload — candidates intersect the
+    phrase terms' posting lists, contiguity verifies against the
+    per-posting delta-coded position blob (decoded for intersection
+    survivors only), scores accumulate in the kernel's canonical
+    sorted-term order. Only the phrase terms' buckets are read
+    (plan-asserted in tests/test_plan_quality.py)."""
+    from mwmbl_spark.operators.positional import phrase_topk, positional_postings
+    from mwmbl_spark.operators.segments import build_segments
+
+    t = _docs_as_transcripts(spark, sf_dir)
+    pp = positional_postings(t)
+    dl = post_ops.doc_lengths(t)
+    stats = post_ops.term_stats(pp.select("term", "doc_id", "tf"))
+    cs = post_ops.corpus_stats(dl)
+    segs = build_segments(
+        pp, None, stats, cs.n_docs, cs.avg_doc_len, num_buckets=32, nsalt=8,
+        positions_col="positions",
+    )
+    out = phrase_topk(
+        segs, stats, PHRASES, cs.n_docs, cs.avg_doc_len, k=10, num_buckets=32
+    )
+    return out.select(
+        "phrase_id", "doc_id", F.round("score", 6).alias("score"),
+        "n_matches", "first_pos", "rank",
+    )
+
+
 def q_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-3-style eval-set decontamination: the eval set is the
     12-token prefix of every 29th document, so each seed doc must
@@ -3046,6 +3075,60 @@ FROM pos WHERE len(p) > 0"""
 
 # span-dedup REMOVAL: same order-3 gram hashing as dup_spans; a token
 # at position j is cut iff some duplicated window starts in [j-2, j]
+# index-side phrase top-k: BM25 (ordered accumulation — kernel path)
+# over the phrase's distinct terms, restricted to docs containing the
+# phrase contiguously; n_matches/first_pos from the token-scan twin
+ORACLE["phrase_topk"] = f"""
+WITH {_POST_SQL},
+dl AS (SELECT doc_id, len(toks) AS doc_len FROM tok),
+stats AS (SELECT term, count(*) AS df FROM post GROUP BY term),
+corpus AS (SELECT count(*)::DOUBLE AS n_docs, avg(doc_len)::DOUBLE AS avg_len FROM dl),
+ph(phrase_id, ptoks) AS (VALUES {_PHRASE_VALUES}),
+pmatch AS (
+  SELECT phrase_id, doc_id, p FROM (
+    SELECT ph.phrase_id, t.doc_id,
+           CASE WHEN len(t.toks) >= len(ph.ptoks)
+                THEN list_filter(range(1, len(t.toks) - len(ph.ptoks) + 2),
+                     i -> len(list_filter(range(1, len(ph.ptoks) + 1),
+                          j -> t.toks[i + j - 1] = ph.ptoks[j])) = len(ph.ptoks))
+                ELSE []::BIGINT[] END AS p
+    FROM tok t, ph
+  ) WHERE len(p) > 0
+),
+qterm AS (
+  SELECT DISTINCT phrase_id, t.term FROM ph, unnest(ptoks) AS t(term)
+),
+cand AS (
+  SELECT q.phrase_id, p.doc_id, q.term,
+         ln((c.n_docs - s.df + 0.5) / (s.df + 0.5) + 1.0)
+           * p.tf * ({BM25_K1} + 1.0)
+           / (p.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * dl.doc_len / c.avg_len))
+           AS partial
+  FROM qterm q
+  JOIN post p USING (term)
+  JOIN stats s ON p.term = s.term
+  JOIN dl ON p.doc_id = dl.doc_id
+  CROSS JOIN corpus c
+),
+scored AS (
+  SELECT phrase_id, doc_id,
+         list_aggregate(list(partial ORDER BY term), 'sum') AS score
+  FROM cand GROUP BY phrase_id, doc_id
+),
+joined AS (
+  SELECT m.phrase_id, m.doc_id, s.score,
+         len(m.p)::BIGINT AS n_matches, m.p[1]::INT AS first_pos
+  FROM pmatch m JOIN scored s USING (phrase_id, doc_id)
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY phrase_id
+                               ORDER BY score DESC, doc_id) AS rank
+  FROM joined
+)
+SELECT phrase_id::BIGINT AS phrase_id, doc_id,
+       round(score, 6) AS score, n_matches, first_pos, rank
+FROM ranked WHERE rank <= 10"""
+
 ORACLE["span_dedup"] = f"""
 WITH {_TOK_SQL},
 occ AS (
@@ -4113,6 +4196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- round-6 new contracts land here (front of window) --
         "ivfpq_filtered_topk": _shipped(q_ivfpq_filtered_topk),
+        "phrase_topk": _shipped(q_phrase_topk),
         # -- last driver-verified in CORRECTNESS_r04 (oldest green) --
         "term_stats": _shipped(q_term_stats),
         "bm25_topk": _shipped(q_bm25_topk),

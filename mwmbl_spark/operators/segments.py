@@ -119,6 +119,59 @@ def _encode_pd(ids: pd.Series, tfs: pd.Series, lens: pd.Series) -> pd.DataFrame:
     return pd.DataFrame(out)
 
 
+_POS_SCHEMA = StructType(
+    [
+        StructField("pos_offs", ArrayType(IntegerType())),
+        StructField("positions", BinaryType()),
+    ]
+)
+
+
+@pandas_udf(_POS_SCHEMA)
+def _encode_positions_pd(plists: pd.Series) -> pd.DataFrame:
+    """Per-segment positional payload (round-6): each posting's sorted
+    1-based token positions, delta-encoded WITHIN the posting (first
+    value absolute) and varbyte-packed into one blob; ``pos_offs``
+    holds n_postings+1 byte offsets so the phrase kernel decodes ONLY
+    the postings surviving the candidate intersection. Fully
+    vectorized: one concatenate + one vb_encode per segment row."""
+    from mwmbl_spark.functions.codec import _vb_encode_raw
+
+    offs_out, blob_out = [], []
+    for plist in plists:
+        counts = np.fromiter((len(x) for x in plist), dtype=np.int64, count=len(plist))
+        if counts.sum() == 0:
+            offs_out.append(np.zeros(len(plist) + 1, dtype=np.int32))
+            blob_out.append(b"")
+            continue
+        flat = np.concatenate([np.asarray(x, dtype=np.uint64) for x in plist])
+        starts_idx = np.zeros(len(plist) + 1, dtype=np.int64)
+        np.cumsum(counts, out=starts_idx[1:])
+        deltas = flat.copy()
+        deltas[1:] -= flat[:-1]
+        heads = starts_idx[:-1][counts > 0]
+        deltas[heads] = flat[heads]  # restart the chain at each posting
+        blob, val_starts = _vb_encode_raw(deltas)
+        byte_offs = np.empty(len(plist) + 1, dtype=np.int32)
+        # a zero-count posting shares its successor's offset (empty slice)
+        ends = np.append(val_starts, len(blob))
+        byte_offs[:] = ends[np.minimum(starts_idx, len(flat))]
+        offs_out.append(byte_offs)
+        blob_out.append(blob)
+    return pd.DataFrame({"pos_offs": offs_out, "positions": blob_out})
+
+
+def decode_positions(blob: bytes, pos_offs: np.ndarray, i: int) -> np.ndarray:
+    """Positions (1-based, sorted) of posting ``i`` — the phrase
+    kernel's survivor-grain decode (one varbyte slice + cumsum)."""
+    from mwmbl_spark.functions.codec import vb_decode
+
+    lo, hi = int(pos_offs[i]), int(pos_offs[i + 1])
+    if hi <= lo:
+        return np.empty(0, dtype=np.uint64)
+    return np.cumsum(vb_decode(bytes(blob[lo:hi])), dtype=np.uint64)
+
+
 def build_segments(
     postings: DataFrame,
     doc_lens: DataFrame | None,
@@ -127,8 +180,17 @@ def build_segments(
     avg_len: float,
     num_buckets: int = DEFAULT_NUM_BUCKETS,
     nsalt: int = DEFAULT_NSALT,
+    positions_col: str | None = None,
 ) -> DataFrame:
     """postings (+ doc_lens) + stats -> compressed block-max segments.
+
+    ``positions_col`` (round-6, OPTIONAL positional payload): name of an
+    array<int> column on ``postings`` holding each (term, doc)'s sorted
+    1-based token positions (positional_postings builds it). The output
+    then carries two extra columns — ``pos_offs array<int>`` and
+    ``positions binary`` (per-posting delta+varbyte, offset-addressable)
+    — enabling index-side phrase serving (operators/positional.py);
+    the WAND kernel ignores them, so ONE table serves both paths.
 
     When postings already carry ``doc_len``
     (postings.build_postings_with_len) pass ``doc_lens=None`` and the
@@ -154,6 +216,7 @@ def build_segments(
         tf_d + k1 * (1.0 - b + b * F.col("doc_len").cast("double") / F.lit(float(avg_len)))
     )
     with_len = postings if doc_lens is None else postings.join(doc_lens, "doc_id")
+    pos_cols = [F.col(positions_col).alias("plist")] if positions_col else []
     enriched = with_len.select(
         "term",
         "doc_id",
@@ -161,10 +224,12 @@ def build_segments(
         "doc_len",
         salt_of(F.col("doc_id"), nsalt).alias("salt"),
         tfn.alias("tfn"),
+        *pos_cols,
     )
+    struct_cols = ["doc_id", "tf", "doc_len", "tfn"] + (["plist"] if positions_col else [])
     grouped = enriched.groupBy("term", "salt").agg(
         F.sort_array(
-            F.collect_list(F.struct("doc_id", "tf", "doc_len", "tfn"))
+            F.collect_list(F.struct(*struct_cols))
         ).alias("posts"),
         F.count(F.lit(1)).alias("n_postings"),
         F.max("tfn").alias("max_tfn"),
@@ -174,6 +239,17 @@ def build_segments(
         F.transform("posts", lambda p: p["doc_id"]),
         F.transform("posts", lambda p: p["tf"]),
         F.transform("posts", lambda p: p["doc_len"]),
+    )
+    pos_enc = (
+        [_encode_positions_pd(F.transform("posts", lambda p: p["plist"])).alias("penc")]
+        if positions_col
+        else []
+    )
+    pos_out = (
+        [F.col("penc.pos_offs").alias("pos_offs"),
+         F.col("penc.positions").alias("positions")]
+        if positions_col
+        else []
     )
     return grouped.select(
         bucket_of(F.col("term"), num_buckets).alias("bucket"),
@@ -192,6 +268,7 @@ def build_segments(
             ),
         ).alias("block_maxes"),
         enc.alias("enc"),
+        *pos_enc,
     ).select(
         "bucket", "term", "salt", "n_postings", "avg_len_build", "max_tfn",
         "block_maxes",
@@ -202,6 +279,7 @@ def build_segments(
         F.col("enc.doc_ids").alias("doc_ids"),
         F.col("enc.tfs").alias("tfs"),
         F.col("enc.doc_lens").alias("doc_lens"),
+        *pos_out,
     )
 
 

@@ -379,3 +379,41 @@ def test_phrase_match_no_python_no_explode(spark):
     plan = _explain(phrase_match(docs, [(0, "a b")]))
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert "Generate" not in plan  # no explode: HOF filter, not fan-out
+
+
+def test_phrase_topk_prunes_to_phrase_buckets(spark, tmp_path_factory):
+    """Index-side phrase serving (round-6): the positional segment scan
+    must carry a bucket PARTITION filter — only the phrase terms'
+    buckets are read, the wand_topk pruning contract."""
+    from mwmbl_spark.functions.xxhash import bucket_of_py
+    from mwmbl_spark.operators.positional import phrase_topk, positional_postings
+    from mwmbl_spark.operators.postings import corpus_stats, doc_lengths, term_stats
+    from mwmbl_spark.operators.segments import build_segments
+    from mwmbl_spark.synth import synth_transcripts, with_doc_id
+
+    tmp = tmp_path_factory.mktemp("phrase_plan")
+    t = with_doc_id(synth_transcripts(spark, n_conv=20, turns_per_conv=3, seed=77))
+    pp = positional_postings(t)
+    dl = doc_lengths(t)
+    stats = term_stats(pp.select("term", "doc_id", "tf"))
+    cs = corpus_stats(dl)
+    build_segments(
+        pp, None, stats, cs.n_docs, cs.avg_doc_len,
+        num_buckets=16, nsalt=2, positions_col="positions",
+    ).write.mode("overwrite").partitionBy("bucket").parquet(str(tmp / "segs"))
+    segs = spark.read.parquet(str(tmp / "segs"))
+    out = phrase_topk(
+        segs, stats, [(0, "the spark")], cs.n_docs, cs.avg_doc_len,
+        k=5, num_buckets=16,
+    )
+    plan = _explain(out)
+    seg_scan = [
+        blk for blk in plan.split("\n\n")
+        if "segs" in blk and "PartitionFilters" in blk
+    ]
+    assert seg_scan, plan
+    want = sorted({bucket_of_py(w, 16) for w in ["the", "spark"]})
+    blk = seg_scan[0]
+    assert "bucket" in blk and " IN " in blk, blk
+    for b in want:
+        assert str(b) in blk.split("PartitionFilters")[1].split("]")[0], blk
