@@ -43,6 +43,16 @@ QUERY_SET: list[tuple[int, str]] = [
 
 COMPLETION_PREFIXES = ["sp", "fa", "w"]
 
+# typo'd variants of QUERY_SET queries (round-6 search_corrected
+# contract): one OOV term each, edit distance 1 from an in-vocab word,
+# so the correction binds and retrieval recovers the intended docs
+TYPO_QUERY_SET: list[tuple[int, str]] = [
+    (0, "spark qeury"),
+    (1, "fast joyn"),
+    (2, "windoe agg batch"),
+    (3, "the slow sacn"),
+]
+
 # ---------------------------------------------------------------------------
 # Shared SQL fragments (DuckDB dialect) — MUST mirror the Spark semantics
 # ---------------------------------------------------------------------------
@@ -725,6 +735,26 @@ def q_search_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search(
         spark, _web_docs(spark, sf_dir), _queries_df(spark), k=10,
         term_doc_cap=None,
+    )
+
+
+def q_search_corrected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-6 (VERDICT #5): spell correction wired into the query
+    pipeline — every OOV query term is auto-corrected in place
+    (plans/search.corrected_query_meta) before expansion, retrieval,
+    and scoring. Replacement rather than a retrieval-side union because
+    the scorer's majority-match filter (rank.py:50-51) zeroes docs
+    matching only the query's other terms — a retrieval-only correction
+    would change nothing end-to-end for two-term queries. The typo
+    query set has one edit-distance-1 OOV term per query. Twin-oracle
+    gated like search_pipeline (oracle/search.search_py with
+    correct_oov=True)."""
+    from mwmbl_spark.plans.search import search
+
+    qdf = spark.createDataFrame(TYPO_QUERY_SET, "query_id long, query string")
+    return search(
+        spark, _web_docs(spark, sf_dir), qdf, k=10,
+        term_doc_cap=None, correct_oov=True,
     )
 
 
@@ -3943,6 +3973,18 @@ def _twin_search_oracles() -> dict[str, str]:
         {**d, "score": 1.0 + (d["doc_id"] % 7) * 0.25} for d in docs
     ]
 
+    # round-6: corrected-expansion twin over the TYPO query set
+    corrected_vals = []
+    for qid, q in TYPO_QUERY_SET:
+        for crank, d in enumerate(
+            search_py(docs, q, k=10, correct_oov=True), 1
+        ):
+            corrected_vals.append(
+                f"({qid}, {crank}, {d['doc_id']}, "
+                f"'{esc(d['title'])}', '{esc(d['url'])}', '{esc(d['extract'])}', "
+                f"NULL, CAST('{d['result_score']!r}' AS DOUBLE))"
+            )
+
     search_vals, mmr_vals, capped_vals, reranked_vals = [], [], [], []
     for qid, q in QUERY_SET:
         for crank, d in enumerate(
@@ -4001,6 +4043,12 @@ def _twin_search_oracles() -> dict[str, str]:
         "search_pipeline_reranked": (
             f"SELECT {base_cols} FROM (VALUES {', '.join(reranked_vals)}) "
             "t(query_id, rank, doc_id, title, url, extract, state, result_score)"
+        ),
+        "search_corrected": (
+            f"SELECT {base_cols} FROM (VALUES "
+            f"{', '.join(corrected_vals) or '(0,0,0,NULL,NULL,NULL,0,0.0)'}) "
+            "t(query_id, rank, doc_id, title, url, extract, state, result_score)"
+            + (" WHERE false" if not corrected_vals else "")
         ),
         "mmr_rerank": (
             f"SELECT {base_cols}, mmr_rank::INT AS mmr_rank "
@@ -4197,6 +4245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- round-6 new contracts land here (front of window) --
         "ivfpq_filtered_topk": _shipped(q_ivfpq_filtered_topk),
         "phrase_topk": _shipped(q_phrase_topk),
+        "search_corrected": _shipped(q_search_corrected),
         # -- last driver-verified in CORRECTNESS_r04 (oldest green) --
         "term_stats": _shipped(q_term_stats),
         "bm25_topk": _shipped(q_bm25_topk),

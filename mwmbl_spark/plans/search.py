@@ -115,7 +115,11 @@ def query_meta(queries: DataFrame) -> DataFrame:
     ).where(F.size("terms") > 0)
 
 
-def expanded_terms(qmeta: DataFrame, counts: DataFrame, n_completions: int = 3) -> DataFrame:
+def expanded_terms(
+    qmeta: DataFrame,
+    counts: DataFrame,
+    n_completions: int = 3,
+) -> DataFrame:
     """(query_id, term) retrieval set: terms ∪ bigrams ∪ completions."""
     base = qmeta.select(
         "query_id", F.explode(F.array_union(F.col("terms"), bigrams_expr(F.col("terms"), 10**6))).alias("term")
@@ -136,6 +140,82 @@ def expanded_terms(qmeta: DataFrame, counts: DataFrame, n_completions: int = 3) 
     return base.unionByName(compl).distinct()
 
 
+def oov_corrections(qmeta: DataFrame, counts: DataFrame) -> DataFrame:
+    """(query_id, qterm, corrected): the top-1 SymSpell correction for
+    every OUT-OF-VOCABULARY query term (round-6; the reference's only
+    typo tolerance is prefix completion, completer.py:24-35 — a
+    mid-query typo retrieves nothing there).
+
+    OOV = the term holds no posting in the index (count absent) —
+    in-vocabulary terms are never second-guessed. Candidates come from
+    the deletion-variant join (operators/spell.spell_index over the
+    index's OWN term counts: vocabulary grain x (1+len) rows, one
+    shuffle, no pairwise vocabulary compare; query-side variants are
+    tiny and broadcast), verified by exact levenshtein <= 1 and ranked
+    (count desc, term asc) — spell_corrections' most-common-wins rule."""
+    from mwmbl_spark.operators.spell import deletion_variants, spell_index
+
+    qterms = qmeta.select("query_id", F.explode("terms").alias("qterm")).distinct()
+    oov = qterms.join(
+        counts.select(F.col("term").alias("qterm")), "qterm", "left_anti"
+    )
+    idx = spell_index(counts.select("term", F.col("cnt").alias("df")))
+    qvars = oov.select(
+        "query_id",
+        "qterm",
+        F.explode(deletion_variants(F.col("qterm"))).alias("variant"),
+    )
+    cand = (
+        idx.join(F.broadcast(qvars), "variant")
+        .select("query_id", "qterm", "term", "df")
+        .distinct()
+        .where(F.levenshtein("qterm", "term") <= 1)
+    )
+    w = Window.partitionBy("query_id", "qterm").orderBy(F.desc("df"), F.asc("term"))
+    return (
+        cand.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") == 1)
+        .select("query_id", "qterm", F.col("term").alias("corrected"))
+    )
+
+
+def corrected_query_meta(qmeta: DataFrame, counts: DataFrame) -> DataFrame:
+    """query_meta with every OOV term REPLACED in place by its top-1
+    correction (oov_corrections) — auto-correct, THEN run the reference
+    pipeline verbatim: expansion (bigrams/completions), retrieval, and
+    the heuristic scorer all see the corrected query.
+
+    Replacement (not retrieval-side union) is deliberate: the scorer's
+    majority-match filter (rank.py:50-51 — match_terms <= len(terms)/2
+    scores 0) zeroes every doc that matches only the query's OTHER
+    terms, so for a two-term query with one typo a retrieval-only
+    correction changes nothing end-to-end; rewriting the term is what
+    actually serves the user. Terms that are OOV with no distance-1
+    correction stay as typed (retrieving nothing, exactly the reference
+    behavior). One extra vocabulary-grain join per query batch; the
+    correction table itself is query-batch-grain and broadcast."""
+    corr = oov_corrections(qmeta, counts)
+    pos = qmeta.select(
+        "query_id", "query", "is_complete",
+        F.posexplode("terms").alias("pos", "qterm"),
+    )
+    return (
+        pos.join(F.broadcast(corr), ["query_id", "qterm"], "left")
+        .select(
+            "query_id", "query", "is_complete", "pos",
+            F.coalesce("corrected", "qterm").alias("term"),
+        )
+        .groupBy("query_id", "query", "is_complete")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "term"))),
+                lambda s: s["term"],
+            ).alias("terms")
+        )
+        .select("query_id", "query", "terms", "is_complete")
+    )
+
+
 def search(
     spark: SparkSession,
     docs: DataFrame,
@@ -149,6 +229,7 @@ def search(
     counts: DataFrame | None = None,
     term_doc_cap: int | None = 512,
     rerank_n: int | None = None,
+    correct_oov: bool = False,
 ) -> DataFrame:
     """docs: (doc_id, title, url, extract, score, state); queries:
     (query_id, query). Returns ranked results per query.
@@ -182,12 +263,19 @@ def search(
     pinned ahead of every organic result in the final ranking anyway,
     rank.py:289-293), so they are never cut unless a single query
     carries more than ``rerank_n`` curated docs. None (default) scores
-    every candidate — the exact reference pipeline."""
+    every candidate — the exact reference pipeline.
+
+    ``correct_oov`` (round-6): auto-correct — each out-of-vocabulary
+    query term is replaced in place by its top-1 SymSpell correction
+    (``corrected_query_meta``) before expansion, retrieval, AND
+    scoring; in-vocabulary terms are never second-guessed."""
     index = index if index is not None else build_term_index(docs)
     counts = counts if counts is not None else term_counts(index)
     if term_doc_cap is not None:
         index = cap_term_index(index, docs.select("doc_id", "score"), term_doc_cap)
     qmeta = query_meta(queries)
+    if correct_oov:
+        qmeta = corrected_query_meta(qmeta, counts)
     retrieval = expanded_terms(qmeta, counts)
 
     matched = index.join(F.broadcast(retrieval), "term")

@@ -20,6 +20,42 @@ def build_term_index_py(docs: list[dict]) -> dict[str, set[int]]:
     return index
 
 
+def _edit1(a: str, b: str) -> bool:
+    """levenshtein(a, b) <= 1."""
+    if a == b:
+        return True
+    la, lb = len(a), len(b)
+    if abs(la - lb) > 1:
+        return False
+    if la == lb:
+        return sum(x != y for x, y in zip(a, b)) == 1
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    i = 0
+    while i < la and a[i] == b[i]:
+        i += 1
+    return a[i:] == b[i + 1 :]
+
+
+def correct_oov_py(
+    counts: dict[str, int], term: str, max_term_len: int = 32
+) -> str | None:
+    """Twin of plans/search.oov_corrections for ONE term: top-1
+    vocabulary term (len <= max_term_len, spell_index's junk-token
+    guard) within edit distance 1, ranked (count desc, term asc). The
+    Spark side pre-filters candidates through the deletion-variant
+    collision, which is a superset of every distance-1 pair, so the
+    exact-levenshtein post-filter makes the sets identical."""
+    best = None
+    for t, c in counts.items():
+        if len(t) > max_term_len or t == term or not _edit1(t, term):
+            continue
+        key = (-c, t)
+        if best is None or key < best:
+            best = key
+    return best[1] if best else None
+
+
 def complete_py(counts: dict[str, int], prefix: str, n: int = 3) -> list[str]:
     """Completer.complete twin [completer.py:24-35]: prefix-matching
     terms sorted as (count, term) tuples reverse=True — equal counts
@@ -38,6 +74,7 @@ def search_py(
     n_completions: int = 3,
     term_doc_cap: int | None = None,
     rerank_n: int | None = None,
+    correct_oov: bool = False,
 ) -> list[dict]:
     by_id = {d["doc_id"]: d for d in docs}
     index = build_term_index_py(docs)
@@ -60,6 +97,14 @@ def search_py(
     terms = tokenize_py(query)
     if not terms:
         return []
+    if correct_oov:
+        # auto-correct twin (plans/search.corrected_query_meta): OOV
+        # terms are REPLACED in place before expansion and scoring; a
+        # term with no distance-1 correction stays as typed
+        terms = [
+            t if t in counts else (correct_oov_py(counts, t) or t)
+            for t in terms
+        ]
     is_complete = query.endswith(" ")
 
     retrieval = set(terms) | set(get_bigrams_py(len(terms), terms))
