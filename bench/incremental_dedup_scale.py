@@ -3,6 +3,11 @@ item 8 'Done' evidence): with persisted staging tables, an epoch of
 |changed|=60 docs must cost roughly the SAME against a 10x larger
 corpus — the work is |changed|-proportional, not corpus-proportional.
 
+Round-6 adds the DISK-BACKED store (operators/dedup_store.py): each
+run reports the in-memory staging ratio (the r5 form, whose epoch
+re-checkpoints the corpus tables — the 1.47x residual) AND the store
+ratio (delta-only writes, pruned scans — the VERDICT #8 target <=1.2).
+
 Usage: python bench/incremental_dedup_scale.py
 Prints one JSON line; copy results into BENCH/BASELINE.md by hand.
 """
@@ -10,7 +15,9 @@ Prints one JSON line; copy results into BENCH/BASELINE.md by hand.
 from __future__ import annotations
 
 import json
+import shutil
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, ".")
@@ -23,6 +30,7 @@ from mwmbl_spark.operators.dedup import (
     incremental_near_duplicates,
     update_dedup_staging,
 )
+from mwmbl_spark.operators.dedup_store import build_dedup_staging_store
 from mwmbl_spark.synth import synth_transcripts, with_doc_id
 
 N_CHANGED = 60
@@ -59,6 +67,30 @@ def epoch(spark, corpus, staging):
     return t1 - t0, t2 - t1, n
 
 
+def store_epoch(spark, corpus, store):
+    """The same epoch through the disk-backed store."""
+    changed = corpus.select("doc_id").orderBy("doc_id").limit(N_CHANGED)
+    neighbor = corpus.select(
+        (F.col("doc_id") - 1).alias("doc_id"),
+        F.concat("text", F.lit(" tiny epoch edit")).alias("new_text"),
+    )
+    updated = (
+        corpus.join(changed, "doc_id", "left_semi")
+        .join(neighbor, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("new_text", F.concat("text", F.lit(" refreshed"))).alias("text"),
+        )
+    )
+    v1 = corpus.join(changed, "doc_id", "left_anti").unionByName(updated)
+    t0 = time.perf_counter()
+    store.update(v1, changed)
+    t1 = time.perf_counter()
+    n = store.near_duplicates(changed, threshold=0.35).count()
+    t2 = time.perf_counter()
+    return t1 - t0, t2 - t1, n
+
+
 def run(spark, n_conv: int) -> dict:
     corpus = (
         with_doc_id(synth_transcripts(spark, n_conv=n_conv, turns_per_conv=4, seed=13))
@@ -75,6 +107,23 @@ def run(spark, n_conv: int) -> dict:
         u, q, n_pairs = epoch(spark, corpus, staging)
         upds.append(u)
         qrys.append(q)
+
+    tmp = tempfile.mkdtemp(prefix="dedup_store_bench_")
+    try:
+        t0 = time.perf_counter()
+        store = build_dedup_staging_store(spark, corpus, f"{tmp}/store")
+        store_build = time.perf_counter() - t0
+        s_upds, s_qrys = [], []
+        s_pairs = 0
+        for _ in range(REPS):
+            # NB chained epochs: each rep layers another delta — the
+            # realistic accumulation shape, unlike the memory form's
+            # from-base reps
+            u, q, s_pairs = store_epoch(spark, corpus, store)
+            s_upds.append(u)
+            s_qrys.append(q)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
     med = lambda xs: sorted(xs)[len(xs) // 2]  # noqa: E731
     return {
         "n_docs": n_docs,
@@ -82,6 +131,10 @@ def run(spark, n_conv: int) -> dict:
         "epoch_update_sec": round(med(upds), 2),
         "epoch_query_sec": round(med(qrys), 2),
         "epoch_pairs": n_pairs,
+        "store_build_sec": round(store_build, 2),
+        "store_epoch_update_sec": round(med(s_upds), 2),
+        "store_epoch_query_sec": round(med(s_qrys), 2),
+        "store_epoch_pairs": s_pairs,
     }
 
 
@@ -94,12 +147,21 @@ def main() -> None:
         / max(0.01, small["epoch_update_sec"] + small["epoch_query_sec"]),
         2,
     )
+    store_ratio = round(
+        (large["store_epoch_update_sec"] + large["store_epoch_query_sec"])
+        / max(
+            0.01,
+            small["store_epoch_update_sec"] + small["store_epoch_query_sec"],
+        ),
+        2,
+    )
     print(json.dumps({
         "metric": "staged incremental dedup epoch cost vs corpus size",
         "n_changed": N_CHANGED,
         "small": small,
         "large_10x": large,
         "epoch_cost_ratio_10x": ratio,
+        "store_epoch_cost_ratio_10x": store_ratio,
     }))
     spark.stop()
 
