@@ -102,15 +102,19 @@ def _pixel_decoder():
 
         return dec
     except ImportError:
+        from mwmbl_spark.jpeg import decode_jpeg
         from mwmbl_spark.png import decode_png
 
         def dec(b: bytes):
-            if not b.startswith(_PNG_SIG):
-                raise NotImplementedError(
-                    "non-PNG payload and Pillow is not installed — the "
-                    "stdlib fallback (mwmbl_spark/png.py) decodes PNG only"
-                )
-            return decode_png(b)
+            if b.startswith(_PNG_SIG):
+                return decode_png(b)
+            if b.startswith(b"\xff\xd8"):
+                return decode_jpeg(b)  # round-6: baseline JPEG, stdlib
+            raise NotImplementedError(
+                "payload is neither PNG nor JPEG and Pillow is not "
+                "installed — the stdlib fallbacks (mwmbl_spark/png.py, "
+                "mwmbl_spark/jpeg.py) decode only those formats"
+            )
 
         return dec
 
@@ -214,6 +218,45 @@ def synth_png_payloads(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 
 RESIZE_OUT = "doc_id long, width int, height int, thumb binary"
+
+
+def synth_jpeg_payloads(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic synthetic JPEG fixture (round-6): for each doc, a
+    baseline grayscale JPEG of FLAT 8x8 blocks — bw = doc_id % 3 + 1
+    blocks wide, bh = (doc_id // 3) % 2 + 1 blocks tall, block i
+    (row-major) filled with v = (doc_id*29 + i*17) % 256, encoded with
+    the tie-free QUANT_ORACLE table. A flat block decodes to the
+    closed-form quantization round-trip of v (jpeg.py docstring), so
+    pixel_sum/mean have an exact SQL restatement (the mm_pixels_jpeg
+    oracle) despite the codec being lossy."""
+    import numpy as np
+
+    from mwmbl_spark.jpeg import QUANT_ORACLE, encode_jpeg_gray
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                bw = d % 3 + 1
+                bh = (d // 3) % 2 + 1
+                vals = ((d * 29 + np.arange(bw * bh) * 17) % 256).reshape(bh, bw)
+                img = np.repeat(np.repeat(vals, 8, 0), 8, 1).astype(np.uint8)
+                payloads.append(encode_jpeg_gray(img, quant=QUANT_ORACLE))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        batches, schema="doc_id long, payload binary"
+    ).select(
+        "doc_id",
+        F.lit("image/jpeg").alias("media_type"),
+        "payload",
+        F.struct(
+            F.lit("synthetic-jpeg").alias("source"),
+            F.lit(None).cast("int").alias("declared_w"),
+            F.lit(None).cast("int").alias("declared_h"),
+        ).alias("meta"),
+    )
 
 
 def resize_stub(media: DataFrame, max_side: int = 32) -> DataFrame:
