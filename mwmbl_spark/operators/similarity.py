@@ -388,9 +388,42 @@ def ivf_topk(
 
 def _unit(vec: Column) -> Column:
     """L2-normalize (zero vectors pass through): cosine == dot on the
-    normalized corpus, which is what ADC approximates additively."""
+    normalized corpus, which is what ADC approximates additively.
+
+    EXPRESSION form — use only at query-batch grain. Catalyst
+    projection collapse re-inlines the O(d) norm aggregate into every
+    element's division (O(d^2) interpreted evaluation per row, HOFs
+    never codegen) and again into every downstream consumer; at corpus
+    grain use ``_unit_corpus``, whose Arrow barrier stops the collapse
+    (round-6: the 2M-doc hybrid bench found ivfpq_train spending
+    half an hour inside this expression's interpreted eval)."""
     n = F.sqrt(_dot(vec, vec))
     return F.when(n > 0, F.transform(vec, lambda x: x / n)).otherwise(vec)
+
+
+def _unit_pd_factory():
+    """Arrow-barrier L2 normalizer, BIT-IDENTICAL to ``_unit``: the
+    squared norm sums via ``np.cumsum`` (sequential left-fold — the
+    same float association as Spark's ``aggregate`` and the oracles'
+    ordered ``list_aggregate``; ``np.sum``'s pairwise blocking would
+    drift at the ulp and break the value-gated ANN contracts), and the
+    division is the same elementwise ``x / sqrt(nsq)``."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, DoubleType
+
+    @pandas_udf(ArrayType(DoubleType()))
+    def _unit_pd(vecs):
+        import numpy as np
+        import pandas as pd
+
+        out = []
+        for v in vecs:
+            a = np.asarray(v, dtype=np.float64)
+            nsq = float(np.cumsum(a * a)[-1]) if a.size else 0.0
+            out.append(a / np.sqrt(nsq) if nsq > 0 else a)
+        return pd.Series(out)
+
+    return _unit_pd
 
 
 def _arrow_lloyd_partials(corpus: DataFrame, cb_np, metric: str) -> DataFrame:
@@ -558,9 +591,10 @@ def pq_train(
     import numpy as np
 
     vexpr = _to64(F.col(vec_col))
-    corpus = embeddings.select(
-        F.col(id_col).alias("vec_id"),
-        (_unit(vexpr) if normalize else vexpr).alias("v"),
+    corpus = (
+        _unit_corpus(embeddings, id_col, vec_col)  # Arrow barrier, see _unit
+        if normalize
+        else embeddings.select(F.col(id_col).alias("vec_id"), vexpr.alias("v"))
     )
     first = corpus.select(F.size("v").alias("d")).first()
     if first is None:
@@ -607,9 +641,10 @@ def pq_encode(
     m = len(cbl)
     flat_lit, hn_lit, k_, sub = _flat_codebook(cbl)
     vexpr = _to64(F.col(vec_col))
-    corpus = embeddings.select(
-        F.col(id_col).alias("vec_id"),
-        (_unit(vexpr) if normalize else vexpr).alias("v"),
+    corpus = (
+        _unit_corpus(embeddings, id_col, vec_col)  # Arrow barrier, see _unit
+        if normalize
+        else embeddings.select(F.col(id_col).alias("vec_id"), vexpr.alias("v"))
     )
     codes = [
         _nearest_code(F.slice("v", i * sub + 1, sub), i, flat_lit, hn_lit, k_, sub)
@@ -659,9 +694,7 @@ def pq_topk(
     codes_df = codes if codes is not None else pq_encode(embeddings, cb, id_col, vec_col)
     if allowed is not None:
         codes_df = codes_df.join(_allowed_ids(allowed, id_col), "vec_id", "left_semi")
-    corpus = embeddings.select(
-        F.col(id_col).alias("vec_id"), _unit(_to64(F.col(vec_col))).alias("v")
-    )
+    corpus = _unit_corpus(embeddings, id_col, vec_col)
     qrows = corpus.where(F.col("vec_id").isin(query_ids)).collect()
     spark = embeddings.sparkSession
     # LUTs for the whole query batch in one einsum: (Q, m, sub) x
@@ -762,8 +795,13 @@ def _residuals(unit_corpus: DataFrame, cents: DataFrame) -> DataFrame:
 
 
 def _unit_corpus(embeddings: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Corpus-grain normalize behind an Arrow barrier (see _unit): one
+    vectorized pass, and the ArrowEvalPython node is a projection
+    barrier, so downstream HOF consumers (assign/residual/encode) see a
+    plain column instead of re-inlining the norm lineage."""
     return embeddings.select(
-        F.col(id_col).alias("vec_id"), _unit(_to64(F.col(vec_col))).alias("v")
+        F.col(id_col).alias("vec_id"),
+        _unit_pd_factory()(_to64(F.col(vec_col))).alias("v"),
     )
 
 
