@@ -271,24 +271,87 @@ def ivf_train(
     )
 
 
+def _chunked_argmax_pd_factory(mat, offsets=None, m: int | None = None):
+    """Arrow argmax kernel shared by assignment and PQ encoding,
+    BIT-IDENTICAL to the expression forms (_ivf_assign's struct-max /
+    _nearest_code): scores sum products via np.cumsum along the dim
+    axis — the same left-fold float association as Spark's aggregate —
+    and np.argmax's first-max tie rule equals the struct max on
+    (score, -cid) (both pick the smallest id). Vectorized in row
+    chunks so a 2M-row corpus is dense numpy work instead of
+    interpreted HOF evaluation (round-6: the 2M hybrid bench measured
+    the expression encode dominating ivfpq build cost).
+
+    ``mat`` (k, d): one codeword table -> pandas_udf int (assignment).
+    ``mat`` (m, k, sub) with ``m`` set -> pandas_udf array<int> (one
+    code per subspace; ``offsets`` is the (m, k) half-norm table
+    subtracted after the fold, the _nearest_code score)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    mat = np.asarray(mat, dtype=np.float64)
+    offs = None if offsets is None else np.asarray(offsets, dtype=np.float64)
+    chunk_rows = 1024
+
+    def _chunks(vs):
+        vals = list(vs)
+        for i in range(0, len(vals), chunk_rows):
+            yield np.array(
+                [np.asarray(v, dtype=np.float64) for v in vals[i:i + chunk_rows]]
+            )
+
+    if m is None:
+
+        @pandas_udf(IntegerType())
+        def assign_pd(vs):
+            import pandas as pd
+
+            out = []
+            for a in _chunks(vs):
+                scores = np.cumsum(a[:, None, :] * mat[None, :, :], axis=2)[:, :, -1]
+                out.extend(np.argmax(scores, axis=1).astype("int32"))
+            return pd.Series(out, dtype="int32")
+
+        return assign_pd
+
+    k, sub = mat.shape[1], mat.shape[2]
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def codes_pd(vs):
+        import pandas as pd
+
+        out = []
+        for a in _chunks(vs):
+            r3 = a.reshape(a.shape[0], m, sub)
+            prods = r3[:, :, None, :] * mat[None, :, :, :]
+            scores = np.cumsum(prods, axis=3)[..., -1]
+            if offs is not None:
+                scores = scores - offs[None, :, :]
+            out.extend(list(np.argmax(scores, axis=2).astype("int32")))
+        return pd.Series(out)
+
+    return codes_pd
+
+
 def _ivf_assign(corpus: DataFrame, cents: DataFrame) -> DataFrame:
     """argmax-cosine cluster id per vector — NO shuffle, NO window.
 
     The centroids are tiny (~sqrt(N) by the IVF sizing rule): collect
-    them, L2-normalize driver-side, and fold them into ONE array
-    literal; assignment is then a per-row argmax of <v, c'_j> (cosine
-    argmax is invariant to the row vector's own norm, so per-row
-    normalization drops out entirely). Ties break to the smallest cid
-    via the struct max on (sim, -cid), matching the previous
-    row_number(sim DESC, cid ASC) semantics.
+    and L2-normalize them driver-side; assignment is a per-row argmax
+    of <v, c'_j> (cosine argmax is invariant to the row vector's own
+    norm, so per-row normalization drops out entirely). Ties break to
+    the smallest cid (np.argmax first-max — identical to the former
+    struct max on (sim, -cid) and the row_number(sim DESC, cid ASC)
+    reference, pinned in tests/test_plan_quality.py).
 
-    The round-2 implementation ranked the N×C crossJoin through a
-    window partitioned by the near-unique vec_id — a full shuffle+sort
-    of N×C rows per Lloyd iteration and per probe. This plan keeps
-    every row in its scan partition (asserted shuffle-free in
-    tests/test_plan_quality.py). If C*d outgrows a comfortable plan
-    literal (>~1e6 values), switch to groupBy(vec_id).agg(max_by(...))
-    over the broadcast join — partial-agg, still no window sort."""
+    Round-6: the argmax runs in the Arrow kernel
+    (_chunked_argmax_pd_factory) instead of a C-way HOF expression —
+    Catalyst HOFs evaluate interpreted and projection collapse
+    re-inlined the normalize lineage into every centroid's dot,
+    making corpus-grain assignment the ivfpq build bottleneck at 2M
+    docs. Still shuffle-free (plan-asserted): ArrowEvalPython is a
+    projection, not an Exchange."""
     import math
 
     rows = sorted(cents.collect(), key=lambda r: r["cid"])
@@ -296,16 +359,8 @@ def _ivf_assign(corpus: DataFrame, cents: DataFrame) -> DataFrame:
     for r in rows:
         n = math.sqrt(sum(x * x for x in r["c"]))
         normed.append([x / n if n > 0 else 0.0 for x in r["c"]])
-    cent_lit = F.array(*[F.array(*[F.lit(x) for x in c]) for c in normed])
-    scores = F.transform(cent_lit, lambda c: _dot(F.col("v"), c))
-    best = F.array_max(
-        F.zip_with(
-            scores,
-            F.sequence(F.lit(0), F.lit(len(normed) - 1)),
-            lambda s, i: F.struct(s.alias("sim"), (-i).alias("ncid")),
-        )
-    )
-    return corpus.select("vec_id", "v", (-best["ncid"]).cast("int").alias("cid"))
+    assign_pd = _chunked_argmax_pd_factory(normed)
+    return corpus.select("vec_id", "v", assign_pd(F.col("v")).alias("cid"))
 
 
 def ivf_topk(
@@ -533,9 +588,16 @@ def _flat_codebook(cbl: list[list[list[float]]]):
     sub = len(cbl[0][0])
     flat = np.array([x for s in cbl for cw in s for x in cw], dtype=np.float64)
     hn = np.array(
-        [0.5 * sum(x * x for x in cw) for s in cbl for cw in s], dtype=np.float64
+        [x for row in _half_norms(cbl) for x in row], dtype=np.float64
     )
     return F.lit(flat), F.lit(hn), k, sub
+
+
+def _half_norms(cbl: list[list[list[float]]]) -> list[list[float]]:
+    """|cw|^2/2 per (subspace, code) — ONE arithmetic shared by the
+    expression literal and the Arrow kernel (Python left-fold sum), so
+    the two encode paths subtract bit-identical offsets."""
+    return [[0.5 * sum(x * x for x in cw) for cw in s] for s in cbl]
 
 
 def _nearest_code(
@@ -632,20 +694,30 @@ def pq_encode(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     normalize: bool = True,
+    arrow: bool = True,
 ) -> DataFrame:
-    """-> (vec_id, codes array<int>): all m codes computed in ONE
-    per-row expression over static slices — no explode, no shuffle
-    (plan-asserted in tests); at scale this is the column you persist
-    next to (or instead of) the raw vectors."""
+    """-> (vec_id, codes array<int>): all m codes per row, no explode,
+    no shuffle (plan-asserted in tests); at scale this is the column
+    you persist next to (or instead of) the raw vectors.
+
+    ``arrow=True`` (round-6 default) computes the codes in the chunked
+    numpy kernel — corpus-grain encoding is dense matmul work, and the
+    HOF expression form evaluates interpreted (the 2M-doc bench found
+    it dominating ivfpq build). ``arrow=False`` keeps the expression
+    path (_nearest_code over static slices) as the bit-parity twin;
+    tests/test_training_ops.py pins arrow == expression codes."""
     cbl = _collect_codebook(codebooks)
     m = len(cbl)
-    flat_lit, hn_lit, k_, sub = _flat_codebook(cbl)
     vexpr = _to64(F.col(vec_col))
     corpus = (
         _unit_corpus(embeddings, id_col, vec_col)  # Arrow barrier, see _unit
         if normalize
         else embeddings.select(F.col(id_col).alias("vec_id"), vexpr.alias("v"))
     )
+    if arrow:
+        codes_pd = _chunked_argmax_pd_factory(cbl, offsets=_half_norms(cbl), m=m)
+        return corpus.select("vec_id", codes_pd(F.col("v")).alias("codes"))
+    flat_lit, hn_lit, k_, sub = _flat_codebook(cbl)
     codes = [
         _nearest_code(F.slice("v", i * sub + 1, sub), i, flat_lit, hn_lit, k_, sub)
         for i in range(m)
@@ -845,13 +917,9 @@ def ivfpq_encode(
     no shuffle (the pq_encode static-slice shape)."""
     cbl = _collect_codebook(codebooks)
     m = len(cbl)
-    flat_lit, hn_lit, k_, sub = _flat_codebook(cbl)
     resid = _residuals(_unit_corpus(embeddings, id_col, vec_col), centroids)
-    codes = [
-        _nearest_code(F.slice("r", i * sub + 1, sub), i, flat_lit, hn_lit, k_, sub)
-        for i in range(m)
-    ]
-    return resid.select("vec_id", "cid", F.array(*codes).alias("codes"))
+    codes_pd = _chunked_argmax_pd_factory(cbl, offsets=_half_norms(cbl), m=m)
+    return resid.select("vec_id", "cid", codes_pd(F.col("r")).alias("codes"))
 
 
 def ivfpq_topk(

@@ -532,3 +532,19 @@ def test_filtered_ivfpq_realistic_probe_recall(embeddings):
     }
     recall = len(got & exact) / len(exact)
     assert recall >= 0.35, recall
+
+
+def test_pq_encode_arrow_equals_expression(spark, embeddings):
+    """Round-6: the Arrow encode kernel must produce BIT-identical
+    codes to the expression path (_nearest_code) — same left-fold
+    dot order (np.cumsum), same half-norm arithmetic, same
+    first-max tie rule."""
+    from mwmbl_spark.operators.similarity import pq_encode, pq_train
+
+    cb = pq_train(embeddings, m=4, k_codes=4, n_iters=2)
+    a = {r["vec_id"]: list(r["codes"]) for r in pq_encode(embeddings, cb).collect()}
+    b = {
+        r["vec_id"]: list(r["codes"])
+        for r in pq_encode(embeddings, cb, arrow=False).collect()
+    }
+    assert a == b and len(a) == 12
