@@ -1139,6 +1139,37 @@ def q_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rrf_fuse([text_rank, vec_rank], k=10)
 
 
+def q_hybrid_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED production hybrid plan (round-6, VERDICT #4),
+    value-gated: block-max WAND lexical leg over the segment index +
+    IVFADC vector leg -> RRF, as one DataFrame plan
+    (operators/fusion.hybrid_topk). At probe-all + corpus-covering
+    refine the plan is row-identical to the exact-leg fusion, so it
+    shares hybrid_topk's SQL oracle — the two legs' rank identities
+    are separately contract-anchored (wand_topk == exhaustive BM25;
+    ivfpq_refine_topk == brute-force cosine). Binding-probe behavior
+    is bench/hybrid_scale.py's job; THIS contract pins the
+    composition's correctness."""
+    from mwmbl_spark.operators.fusion import hybrid_topk
+    from mwmbl_spark.operators.segments import build_segments
+
+    t, p, dl, stats, cs = _bm25_inputs(spark, sf_dir)
+    segs = build_segments(
+        p, dl, stats, cs.n_docs, cs.avg_doc_len, num_buckets=32, nsalt=8
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    qdf = docs.where(F.col("doc_id").isin(HYBRID_EXEMPLARS)).select(
+        F.col("doc_id").alias("query_id"), F.col("text").alias("query")
+    )
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n_emb = emb.count()
+    return hybrid_topk(
+        segs, stats, qdf, cs.n_docs, cs.avg_doc_len, emb, HYBRID_EXEMPLARS,
+        k=10, leg_k=20, num_buckets=32,
+        ann=dict(n_centroids=8, n_probe=8, m=8, k_codes=16, refine=n_emb),
+    )
+
+
 def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-bit LSH ANN (single-probe): the md5-derived hyperplanes are
     deterministic and engine-portable, so the WHOLE approximate path —
@@ -1438,6 +1469,44 @@ def q_phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = phrase_topk(
         segs, stats, PHRASES, cs.n_docs, cs.avg_doc_len, k=10, num_buckets=32
+    )
+    return out.select(
+        "phrase_id", "doc_id", F.round("score", 6).alias("score"),
+        "n_matches", "first_pos", "rank",
+    )
+
+
+PROX_PHRASES: list[tuple[int, str]] = [
+    (0, "the spark"),
+    (1, "spark query"),
+    (2, "the data query"),
+]
+PROX_SLOP = 2
+
+
+def q_proximity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered PROXIMITY ranking (round-6, Lucene sloppy-PhraseQuery
+    shape): docs whose phrase tokens appear IN ORDER within a window of
+    len+slop tokens, BM25-ranked — served from the same positional
+    segment payload as phrase_topk (slop=0 IS contiguity under this
+    definition). The kernel verifies via a greedy chain per start
+    (greedy-minimal next position is optimal, so greedy failure == no
+    chain); the oracle restates the identical chain in SQL."""
+    from mwmbl_spark.operators.positional import phrase_topk, positional_postings
+    from mwmbl_spark.operators.segments import build_segments
+
+    t = _docs_as_transcripts(spark, sf_dir)
+    pp = positional_postings(t)
+    dl = post_ops.doc_lengths(t)
+    stats = post_ops.term_stats(pp.select("term", "doc_id", "tf"))
+    cs = post_ops.corpus_stats(dl)
+    segs = build_segments(
+        pp, None, stats, cs.n_docs, cs.avg_doc_len, num_buckets=32, nsalt=8,
+        positions_col="positions",
+    )
+    out = phrase_topk(
+        segs, stats, PROX_PHRASES, cs.n_docs, cs.avg_doc_len, k=10,
+        num_buckets=32, slop=PROX_SLOP,
     )
     return out.select(
         "phrase_id", "doc_id", F.round("score", 6).alias("score"),
@@ -2842,6 +2911,11 @@ ranked AS (
 SELECT query_id, doc_id, rrf_score, n_lists, rank
 FROM ranked WHERE rank <= 10"""
 
+# the COMPOSED plan (WAND leg + probe-all IVFADC leg -> RRF) must fuse
+# to the same rows: each leg's rank identity is separately anchored
+# (wand_topk == exhaustive BM25, ivfpq_refine_topk == brute cosine)
+ORACLE["hybrid_ann_topk"] = ORACLE["hybrid_topk"]
+
 # sign-bit LSH: bit j of the bucket = sign of <v, h_j>, h_j[i] = +-1 by
 # the parity of the md5-derived hash60(f"{j}:{i}") — identical in SQL.
 _LSH_PROJ = " + ".join(
@@ -3175,6 +3249,92 @@ ranked AS (
 SELECT phrase_id::BIGINT AS phrase_id, doc_id,
        round(score, 6) AS score, n_matches, first_pos, rank
 FROM ranked WHERE rank <= 10"""
+
+
+def _prox_sql() -> str:
+    """Generated ordered-proximity oracle: per phrase, the kernel's
+    greedy chain restated as one CTE per token — q_j = the smallest
+    position of token j strictly after q_{j-1}; a start q0 is valid iff
+    the chain completes with span <= len-1+slop. Greedy-minimal next is
+    optimal, so this names exactly the kernel's valid-start set."""
+    prox_values = ", ".join(
+        "({}, [{}])".format(i, ", ".join(f"'{w}'" for w in p.split()))
+        for i, p in PROX_PHRASES
+    )
+    blocks, unions = [], []
+    for pid, phrase in PROX_PHRASES:
+        toks = phrase.split()
+        m = len(toks)
+        bound = m - 1 + PROX_SLOP
+        for j, t in enumerate(toks):
+            blocks.append(
+                f"p{pid}_{j} AS (SELECT doc_id, list_filter(range(1, len(toks) + 1), "
+                f"i -> toks[i] = '{t}') AS ps FROM tok)"
+            )
+        blocks.append(
+            f"c{pid}_0 AS (SELECT doc_id, u.q AS q0 FROM p{pid}_0, unnest(ps) AS u(q))"
+        )
+        for j in range(1, m):
+            blocks.append(
+                f"c{pid}_{j} AS (SELECT c.doc_id, c.q0, "
+                f"list_min(list_filter(p.ps, i -> i > c.q{j - 1})) AS q{j} "
+                f"FROM c{pid}_{j - 1} c JOIN p{pid}_{j} p USING (doc_id)"
+                + (f" WHERE c.q{j - 1} IS NOT NULL)" if j > 1 else ")")
+            )
+        unions.append(
+            f"SELECT {pid} AS phrase_id, doc_id, count(*) AS nm, min(q0) AS fp "
+            f"FROM c{pid}_{m - 1} "
+            f"WHERE q{m - 1} IS NOT NULL AND q{m - 1} - q0 <= {bound} "
+            f"GROUP BY doc_id"
+        )
+    chain = ",\n".join(blocks)
+    pm = "\n  UNION ALL\n  ".join(unions)
+    return f"""
+WITH {_POST_SQL},
+dl AS (SELECT doc_id, len(toks) AS doc_len FROM tok),
+stats AS (SELECT term, count(*) AS df FROM post GROUP BY term),
+corpus AS (SELECT count(*)::DOUBLE AS n_docs, avg(doc_len)::DOUBLE AS avg_len FROM dl),
+ph(phrase_id, ptoks) AS (VALUES {prox_values}),
+{chain},
+pmatch AS (
+  {pm}
+),
+qterm AS (
+  SELECT DISTINCT phrase_id, t.term FROM ph, unnest(ptoks) AS t(term)
+),
+cand AS (
+  SELECT q.phrase_id, p.doc_id, q.term,
+         ln((c.n_docs - s.df + 0.5) / (s.df + 0.5) + 1.0)
+           * p.tf * ({BM25_K1} + 1.0)
+           / (p.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * dl.doc_len / c.avg_len))
+           AS partial
+  FROM qterm q
+  JOIN post p USING (term)
+  JOIN stats s ON p.term = s.term
+  JOIN dl ON p.doc_id = dl.doc_id
+  CROSS JOIN corpus c
+),
+scored AS (
+  SELECT phrase_id, doc_id,
+         list_aggregate(list(partial ORDER BY term), 'sum') AS score
+  FROM cand GROUP BY phrase_id, doc_id
+),
+joined AS (
+  SELECT m.phrase_id, m.doc_id, s.score,
+         m.nm::BIGINT AS n_matches, m.fp::INT AS first_pos
+  FROM pmatch m JOIN scored s USING (phrase_id, doc_id)
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY phrase_id
+                               ORDER BY score DESC, doc_id) AS rank
+  FROM joined
+)
+SELECT phrase_id::BIGINT AS phrase_id, doc_id,
+       round(score, 6) AS score, n_matches, first_pos, rank
+FROM ranked WHERE rank <= 10"""
+
+
+ORACLE["proximity_topk"] = _prox_sql()
 
 ORACLE["span_dedup"] = f"""
 WITH {_TOK_SQL},
@@ -4295,6 +4455,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_topk": _shipped(q_phrase_topk),
         "search_corrected": _shipped(q_search_corrected),
         "mm_pixels_jpeg": _shipped(q_mm_pixels_jpeg),
+        "hybrid_ann_topk": _shipped(q_hybrid_ann_topk),
+        "proximity_topk": _shipped(q_proximity_topk),
         # -- last driver-verified in CORRECTNESS_r04 (oldest green) --
         "term_stats": _shipped(q_term_stats),
         "bm25_topk": _shipped(q_bm25_topk),

@@ -92,9 +92,44 @@ def _decode_full_ids(row) -> np.ndarray:
     return np.concatenate(out) if out else np.empty(0, dtype=np.uint64)
 
 
-def make_phrase_kernel(n_docs: int, avg_len: float, k: int):
+def _greedy_chain_starts(
+    tok_pos: list[np.ndarray], bound: int
+) -> tuple[int, int]:
+    """Ordered proximity verify (the slop>0 path): a start q0 (an
+    occurrence of phrase token 0) is VALID iff the greedy chain —
+    q_i = smallest position of token i strictly greater than q_{i-1}
+    — completes with q_{m-1} - q0 <= bound. Greedy-minimal at each
+    step minimizes the chain end, so greedy failure == no chain from
+    that start (the well-definedness the SQL oracle restates).
+    Returns (n_valid_starts, first_valid_start) — (0, 0) if none."""
+    n = 0
+    first = 0
+    for q0 in tok_pos[0]:
+        q = int(q0)
+        ok = True
+        for ps in tok_pos[1:]:
+            j = int(np.searchsorted(ps, q, side="right"))
+            if j >= len(ps):
+                ok = False
+                break
+            q = int(ps[j])
+        if ok and q - int(q0) <= bound:
+            n += 1
+            if n == 1:
+                first = int(q0)
+    return n, first
+
+
+def make_phrase_kernel(n_docs: int, avg_len: float, k: int, slop: int = 0):
     """applyInPandas kernel over (phrase_id, salt) groups of positional
-    segment rows joined with the phrase-term table and df stats."""
+    segment rows joined with the phrase-term table and df stats.
+
+    ``slop=0``: exact contiguity via vectorized shifted-set key
+    intersection. ``slop>0``: ordered proximity — positions
+    q_0 < ... < q_{m-1} for the phrase tokens IN ORDER with span
+    q_{m-1} - q_0 <= (m-1) + slop (Lucene sloppy-PhraseQuery-shaped;
+    slop=0 under this definition IS contiguity) — verified by the
+    greedy chain over intersection survivors only."""
     n_docs_f, avg_len_f = float(n_docs), float(avg_len)
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -137,44 +172,78 @@ def make_phrase_kernel(n_docs: int, avg_len: float, k: int):
             if cand.size == 0:
                 return empty()
 
-        # contiguity verify on survivors only: for the term at phrase
-        # offset o, a valid phrase start s satisfies (s + o) in the
-        # term's position set — intersect shifted (doc, start) keys
-        # across every (term, offset). Keys pack as candidate_index<<32
-        # | start (token positions < 2^32; candidate count < 2^31).
-        match_keys = None
-        for t in terms.values():
-            idx = np.searchsorted(t["ids"], cand)
-            starts_per_doc = [
-                (ci, decode_positions(t["blob"], t["pos_offs"], int(pi)).astype(np.int64))
-                for ci, pi in enumerate(idx)
-            ]
-            for off in t["offsets"]:
-                flat = (
-                    np.concatenate(
-                        [
-                            (np.int64(ci) << np.int64(32))
-                            | (pos[pos - int(off) >= 1] - int(off))
-                            for ci, pos in starts_per_doc
-                        ]
+        if slop == 0:
+            # contiguity verify on survivors only: for the term at phrase
+            # offset o, a valid phrase start s satisfies (s + o) in the
+            # term's position set — intersect shifted (doc, start) keys
+            # across every (term, offset). Keys pack as candidate_index<<32
+            # | start (token positions < 2^32; candidate count < 2^31).
+            match_keys = None
+            for t in terms.values():
+                idx = np.searchsorted(t["ids"], cand)
+                starts_per_doc = [
+                    (ci, decode_positions(t["blob"], t["pos_offs"], int(pi)).astype(np.int64))
+                    for ci, pi in enumerate(idx)
+                ]
+                for off in t["offsets"]:
+                    flat = (
+                        np.concatenate(
+                            [
+                                (np.int64(ci) << np.int64(32))
+                                | (pos[pos - int(off) >= 1] - int(off))
+                                for ci, pos in starts_per_doc
+                            ]
+                        )
+                        if starts_per_doc
+                        else np.empty(0, dtype=np.int64)
                     )
-                    if starts_per_doc
-                    else np.empty(0, dtype=np.int64)
-                )
-                match_keys = (
-                    flat if match_keys is None else np.intersect1d(match_keys, flat)
-                )
-                if match_keys.size == 0:
-                    return empty()
+                    match_keys = (
+                        flat if match_keys is None else np.intersect1d(match_keys, flat)
+                    )
+                    if match_keys.size == 0:
+                        return empty()
 
-        match_doc_idx = (match_keys >> np.int64(32)).astype(np.int64)
-        match_start = (match_keys & np.int64((1 << 32) - 1)).astype(np.int64)
-        uniq_idx, first_at, counts = np.unique(
-            match_doc_idx, return_index=True, return_counts=True
-        )
-        # keys sort ascending => the first key per doc carries min start
-        first_pos = match_start[first_at]
-        matched_docs = cand[uniq_idx]
+            match_doc_idx = (match_keys >> np.int64(32)).astype(np.int64)
+            match_start = (match_keys & np.int64((1 << 32) - 1)).astype(np.int64)
+            uniq_idx, first_at, counts = np.unique(
+                match_doc_idx, return_index=True, return_counts=True
+            )
+            # keys sort ascending => the first key per doc carries min start
+            first_pos = match_start[first_at]
+            matched_docs = cand[uniq_idx]
+        else:
+            # ordered proximity: greedy chain per start over the
+            # intersection survivors only (positions still decode
+            # per-survivor slice, never the whole posting list)
+            tok_terms: dict[int, str] = {}
+            for tname, t in terms.items():
+                for off in t["offsets"]:
+                    tok_terms[int(off)] = tname
+            length = len(tok_terms)
+            bound = length - 1 + slop
+            idx_per_term = {
+                tname: np.searchsorted(t["ids"], cand)
+                for tname, t in terms.items()
+            }
+            kept, counts_l, first_l = [], [], []
+            for ci in range(cand.size):
+                pos = {
+                    tname: decode_positions(
+                        t["blob"], t["pos_offs"], int(idx_per_term[tname][ci])
+                    ).astype(np.int64)
+                    for tname, t in terms.items()
+                }
+                tok_pos = [pos[tok_terms[i]] for i in range(length)]
+                nvs, first = _greedy_chain_starts(tok_pos, bound)
+                if nvs:
+                    kept.append(ci)
+                    counts_l.append(nvs)
+                    first_l.append(first)
+            if not kept:
+                return empty()
+            matched_docs = cand[np.asarray(kept, dtype=np.int64)]
+            counts = np.asarray(counts_l, dtype=np.int64)
+            first_pos = np.asarray(first_l, dtype=np.int64)
 
         # exact BM25 over the phrase's distinct terms, canonical
         # (sorted-term) accumulation — the WAND kernel's score order
@@ -216,9 +285,17 @@ def phrase_topk(
     avg_len: float,
     k: int = 10,
     num_buckets: int | None = None,
+    slop: int = 0,
 ) -> DataFrame:
     """Phrase-filtered BM25 top-k served FROM the positional index ->
     (phrase_id, doc_id, score, n_matches, first_pos, rank).
+
+    ``slop`` (round-6, Lucene sloppy-PhraseQuery-shaped): 0 requires
+    exact contiguity; slop=s admits docs whose phrase tokens appear IN
+    ORDER within a window of len(phrase)+s tokens (span
+    q_last - q_first <= len-1+s). Candidate generation, bucket pruning
+    and BM25 scoring are identical — only the position verify differs
+    (make_phrase_kernel).
 
     ``segments`` must carry the positional payload
     (build_segments(positions_col=...)). Planning is the wand_topk
@@ -255,7 +332,7 @@ def phrase_topk(
         F.broadcast(stats.select("term", "df")), "term"
     )
     local = joined.groupBy("phrase_id", "salt").applyInPandas(
-        make_phrase_kernel(n_docs, avg_len, k), schema=PHRASE_OUT_SCHEMA
+        make_phrase_kernel(n_docs, avg_len, k, slop=slop), schema=PHRASE_OUT_SCHEMA
     )
     w = Window.partitionBy("phrase_id").orderBy(F.desc("score"), F.asc("doc_id"))
     return (
