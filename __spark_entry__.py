@@ -4448,7 +4448,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # driver-green (or newest this round), (2) entries whose last
     # driver-green row is oldest. Re-rotate each round (move the keys of
     # the new CORRECTNESS_r{N}.json to the back) so every contract earns
-    # a driver-green row at least once every two rounds.
+    # a driver-green row at least once every two rounds. Round-6 NB: 7
+    # new contracts push the last 3 r04-window keys (dedup_embedding,
+    # lang_id, text_features) past position 50 — rotate them FIRST in
+    # round 7 (dedup_embedding/lang_id were locally sweep-verified green
+    # this round at sf0.01).
     return {
         # -- round-6 new contracts land here (front of window) --
         "ivfpq_filtered_topk": _shipped(q_ivfpq_filtered_topk),
