@@ -1514,6 +1514,68 @@ def q_proximity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# phrase serving × index lifecycle (round 6): phrases 1 and 2 only
+# match text injected by the UPSERT, so a green row proves the
+# positional payload rides through fragment writes, delete-vector
+# masking, and delta-corrected stats — not just the fresh build path
+UPSERT_PHRASES: list[tuple[int, str]] = [
+    (0, "the spark"),
+    (1, "upsert refreshed"),
+    (2, "fresh upsert spark"),
+]
+
+_POS_UPSERT_BUILDERS: dict = {}
+
+
+def q_phrase_upserted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase top-10 through the FULL index lifecycle: a POSITIONAL
+    index (IndexConfig(positions=True)) takes the upsert_topk corpus
+    transform (re-crawl every doc_id%10==3, add doc_id%25==7 as new
+    docs) plus a delete vector over the final id space (doc_id%31==5),
+    then serves phrases from the live fragments via phrase_query_topk —
+    delete-masked, fragment-merged, delta-corrected-stats. Must be
+    value-identical to the phrase/BM25 SQL over the final corpus
+    state (reference merge semantics: indexer/index_batches.py:150-173;
+    its bigram terms, tokenizer.py:10-13, cannot express this)."""
+    import tempfile
+
+    from mwmbl_spark.plans.build_index import IndexBuilder, IndexConfig
+
+    key = (id(spark), sf_dir)
+    b = _POS_UPSERT_BUILDERS.get(key)
+    if b is None:
+        t = _docs_as_transcripts(spark, sf_dir)
+        cfg = IndexConfig(
+            path=tempfile.mkdtemp(prefix="mwmbl_posup_idx_"),
+            num_buckets=32, nsalt=8, n_src_partitions=4, positions=True,
+        )
+        b = IndexBuilder(spark, cfg)
+        b.build(t)
+        updated = t.where(F.col("doc_id") % 10 == 3).select(
+            "doc_id",
+            F.concat(F.col("text"), F.lit(" spark upsert refreshed")).alias("text"),
+        )
+        new = t.where(F.col("doc_id") % 25 == 7).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat(
+                F.lit("fresh upsert spark doc "), (F.col("doc_id") % 7).cast("string")
+            ).alias("text"),
+        )
+        b.upsert(updated.unionByName(new))
+        final_ids = t.select("doc_id").unionByName(
+            t.where(F.col("doc_id") % 25 == 7).select(
+                (F.col("doc_id") + 1000000).alias("doc_id")
+            )
+        )
+        b.delete_docs(final_ids.where(F.col("doc_id") % 31 == 5))
+        _POS_UPSERT_BUILDERS[key] = b
+    out = b.phrase_query_topk(UPSERT_PHRASES, k=10)
+    return out.select(
+        "phrase_id", "doc_id", F.round("score", 6).alias("score"),
+        "n_matches", "first_pos", "rank",
+    )
+
+
 def q_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-3-style eval-set decontamination: the eval set is the
     12-token prefix of every 29th document, so each seed doc must
@@ -3199,12 +3261,18 @@ FROM pos WHERE len(p) > 0"""
 # index-side phrase top-k: BM25 (ordered accumulation — kernel path)
 # over the phrase's distinct terms, restricted to docs containing the
 # phrase contiguously; n_matches/first_pos from the token-scan twin
-ORACLE["phrase_topk"] = f"""
-WITH {_POST_SQL},
+def _phrase_topk_sql(
+    phrase_values: str, src: str = "documents", prelude: str = ""
+) -> str:
+    """Phrase-filtered BM25 top-10 oracle, parameterized over the doc
+    source (the lifecycle contract replays the upsert+delete corpus
+    transform as ``prelude`` CTEs feeding ``src``) and the phrase set."""
+    return f"""
+WITH {prelude}{_post_sql(src)},
 dl AS (SELECT doc_id, len(toks) AS doc_len FROM tok),
 stats AS (SELECT term, count(*) AS df FROM post GROUP BY term),
 corpus AS (SELECT count(*)::DOUBLE AS n_docs, avg(doc_len)::DOUBLE AS avg_len FROM dl),
-ph(phrase_id, ptoks) AS (VALUES {_PHRASE_VALUES}),
+ph(phrase_id, ptoks) AS (VALUES {phrase_values}),
 pmatch AS (
   SELECT phrase_id, doc_id, p FROM (
     SELECT ph.phrase_id, t.doc_id,
@@ -3249,6 +3317,34 @@ ranked AS (
 SELECT phrase_id::BIGINT AS phrase_id, doc_id,
        round(score, 6) AS score, n_matches, first_pos, rank
 FROM ranked WHERE rank <= 10"""
+
+
+ORACLE["phrase_topk"] = _phrase_topk_sql(_PHRASE_VALUES)
+
+_UPSERT_PHRASE_VALUES = ", ".join(
+    "({}, [{}])".format(i, ", ".join(f"'{w}'" for w in p.split()))
+    for i, p in UPSERT_PHRASES
+)
+
+# the lifecycle twin: identical phrase/BM25 algebra over the FINAL
+# corpus state (upsert_topk's mod_docs transform + the delete vector)
+ORACLE["phrase_upserted_topk"] = _phrase_topk_sql(
+    _UPSERT_PHRASE_VALUES,
+    src="mod_docs",
+    prelude="""
+mod0 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 = 3 THEN text || ' spark upsert refreshed'
+              ELSE text END AS text
+  FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id,
+         'fresh upsert spark doc ' || (doc_id % 7)::VARCHAR AS text
+  FROM documents WHERE doc_id % 25 = 7
+),
+mod_docs AS (SELECT * FROM mod0 WHERE doc_id % 31 <> 5),
+""",
+)
 
 
 def _prox_sql() -> str:
@@ -4448,15 +4544,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # driver-green (or newest this round), (2) entries whose last
     # driver-green row is oldest. Re-rotate each round (move the keys of
     # the new CORRECTNESS_r{N}.json to the back) so every contract earns
-    # a driver-green row at least once every two rounds. Round-6 NB: 7
-    # new contracts push the last 3 r04-window keys (dedup_embedding,
-    # lang_id, text_features) past position 50 — rotate them FIRST in
-    # round 7 (dedup_embedding/lang_id were locally sweep-verified green
+    # a driver-green row at least once every two rounds. Round-6 NB: 8
+    # new contracts push the last 4 r04-window keys (dedup_embedding,
+    # lang_id, text_features, token_stats) past position 50 — rotate
+    # them FIRST in round 7 (all four were locally sweep-verified green
     # this round at sf0.01).
     return {
         # -- round-6 new contracts land here (front of window) --
         "ivfpq_filtered_topk": _shipped(q_ivfpq_filtered_topk),
         "phrase_topk": _shipped(q_phrase_topk),
+        "phrase_upserted_topk": _shipped(q_phrase_upserted_topk),
         "search_corrected": _shipped(q_search_corrected),
         "mm_pixels_jpeg": _shipped(q_mm_pixels_jpeg),
         "hybrid_ann_topk": _shipped(q_hybrid_ann_topk),

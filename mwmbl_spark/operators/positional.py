@@ -55,28 +55,14 @@ def positional_postings(
     """(term, doc_id, tf, doc_len, positions): the posting relation
     carrying each term's sorted 1-based occurrence positions — ONE
     tokenize pass + one posexplode; tf is derived from the position
-    list, so the relation is self-consistent by construction."""
-    from mwmbl_spark.operators.postings import tokenized
+    list, so the relation is self-consistent by construction.
+    Delegates to postings.build_postings_with_len(positions=True) (the
+    positional INDEX build path, IndexConfig(positions=True)) so there
+    is exactly one positional-posting definition in the engine."""
+    from mwmbl_spark.operators.postings import build_postings_with_len
 
-    toks = tokenized(transcripts, text_col, id_col)
-    return (
-        toks.select(
-            "doc_id",
-            "doc_len",
-            F.posexplode("tokens").alias("p", "term"),
-        )
-        .groupBy("term", "doc_id", "doc_len")
-        .agg(
-            F.sort_array(F.collect_list(F.col("p") + 1)).alias("positions")
-        )
-        .select(
-            "term",
-            "doc_id",
-            F.size("positions").cast("long").alias("tf"),
-            "doc_len",
-            "positions",
-        )
-    )
+    p = build_postings_with_len(transcripts, text_col, id_col, positions=True)
+    return p.select("term", "doc_id", "tf", "doc_len", "positions")
 
 
 def _decode_full_ids(row) -> np.ndarray:
@@ -120,7 +106,14 @@ def _greedy_chain_starts(
     return n, first
 
 
-def make_phrase_kernel(n_docs: int, avg_len: float, k: int, slop: int = 0):
+def make_phrase_kernel(
+    n_docs: int,
+    avg_len: float,
+    k: int,
+    slop: int = 0,
+    deletes=None,
+    doc_filter=None,
+):
     """applyInPandas kernel over (phrase_id, salt) groups of positional
     segment rows joined with the phrase-term table and df stats.
 
@@ -129,10 +122,28 @@ def make_phrase_kernel(n_docs: int, avg_len: float, k: int, slop: int = 0):
     q_0 < ... < q_{m-1} for the phrase tokens IN ORDER with span
     q_{m-1} - q_0 <= (m-1) + slop (Lucene sloppy-PhraseQuery-shaped;
     slop=0 under this definition IS contiguity) — verified by the
-    greedy chain over intersection survivors only."""
+    greedy chain over intersection survivors only.
+
+    FRAGMENT-AWARE (round-6 lifecycle support): a term may arrive as
+    SEVERAL segment rows — one per live index fragment (upserted
+    indexes; rows then carry ``seq``). Each row's postings are
+    delete-masked at decode (operators/upsert.dead_mask, the WAND
+    kernel's rule), then merged id-sorted; masking guarantees one alive
+    version per doc, so the merged list is strictly increasing and the
+    candidate intersection / position verify are fragment-agnostic.
+    Position decode stays survivor-grain: each survivor remembers its
+    (fragment row, original posting index).
+
+    ``deletes``: per-salt delete map (dict or broadcast).
+    ``doc_filter``: per-salt sorted allowlist (dict, broadcast, or
+    DocFilterFiles) — scoped phrase serving, same strict semantics as
+    the WAND kernel (a salt missing from the filter allows nothing)."""
     n_docs_f, avg_len_f = float(n_docs), float(avg_len)
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        from mwmbl_spark.operators.upsert import dead_mask
+        from mwmbl_spark.operators.wand import _resolve_filter_entry
+
         def empty() -> pd.DataFrame:
             return pd.DataFrame(
                 {
@@ -151,20 +162,88 @@ def make_phrase_kernel(n_docs: int, avg_len: float, k: int, slop: int = 0):
         if pdf["term"].nunique() < n_terms:
             return empty()
 
-        terms = {}
+        dmap = deletes.value if hasattr(deletes, "value") else deletes
+        dead_entry = (
+            dmap.get(int(pdf["salt"].iloc[0]))
+            if dmap and "salt" in pdf
+            else None
+        )
+        fmap = doc_filter.value if hasattr(doc_filter, "value") else doc_filter
+        filt_entry = (
+            _resolve_filter_entry(fmap, int(pdf["salt"].iloc[0]))
+            if fmap is not None and "salt" in pdf
+            else None
+        )
+
+        frag_rows: dict[str, list[dict]] = {}
+        meta: dict[str, dict] = {}
         for row in pdf.itertuples():
             ids = _decode_full_ids(row)
-            tfs = vb_decode(bytes(row.tfs)).astype(np.float64)
-            dls = vb_decode(bytes(row.doc_lens)).astype(np.float64)
-            terms[row.term] = {
-                "ids": ids,
-                "tfs": tfs,
-                "dls": dls,
-                "offsets": list(row.offsets),
-                "pos_offs": np.asarray(row.pos_offs, dtype=np.int64),
-                "blob": bytes(row.positions),
-                "df": float(row.df),
-            }
+            seq = int(getattr(row, "seq", 0) or 0)
+            orig = np.arange(ids.size, dtype=np.int64)
+            keep = dead_mask(ids, seq, dead_entry)
+            if keep is not None:
+                ids, orig = ids[keep], orig[keep]
+            if filt_entry is not None and ids.size:
+                if filt_entry.size == 0:
+                    ids, orig = ids[:0], orig[:0]
+                else:
+                    at = np.minimum(
+                        np.searchsorted(filt_entry, ids), len(filt_entry) - 1
+                    )
+                    fkeep = filt_entry[at] == ids
+                    ids, orig = ids[fkeep], orig[fkeep]
+            tfs = vb_decode(bytes(row.tfs)).astype(np.float64)[orig]
+            dls = vb_decode(bytes(row.doc_lens)).astype(np.float64)[orig]
+            frag_rows.setdefault(row.term, []).append(
+                {
+                    "ids": ids,
+                    "tfs": tfs,
+                    "dls": dls,
+                    "orig": orig,
+                    "pos_offs": np.asarray(row.pos_offs, dtype=np.int64),
+                    "blob": bytes(row.positions),
+                }
+            )
+            meta[row.term] = {"offsets": list(row.offsets), "df": float(row.df)}
+
+        # merge fragments per term (alive ids are globally unique after
+        # delete masking, so a plain sort yields a strict posting order)
+        terms: dict[str, dict] = {}
+        for tname, rows in frag_rows.items():
+            if len(rows) == 1:
+                r = rows[0]
+                merged = {
+                    "ids": r["ids"],
+                    "tfs": r["tfs"],
+                    "dls": r["dls"],
+                    "frag_of": np.zeros(r["ids"].size, dtype=np.int64),
+                    "orig": r["orig"],
+                }
+            else:
+                ids = np.concatenate([r["ids"] for r in rows])
+                order = np.argsort(ids, kind="stable")
+                merged = {
+                    "ids": ids[order],
+                    "tfs": np.concatenate([r["tfs"] for r in rows])[order],
+                    "dls": np.concatenate([r["dls"] for r in rows])[order],
+                    "frag_of": np.repeat(
+                        np.arange(len(rows), dtype=np.int64),
+                        [r["ids"].size for r in rows],
+                    )[order],
+                    "orig": np.concatenate([r["orig"] for r in rows])[order],
+                }
+            merged["rows"] = rows
+            merged.update(meta[tname])
+            if merged["ids"].size == 0:
+                return empty()  # conjunctive: an empty term list kills all
+            terms[tname] = merged
+
+        def pos_of(t: dict, i: int) -> np.ndarray:
+            """Positions of the i-th MERGED posting of term ``t`` —
+            decoded from the owning fragment row's payload slice."""
+            r = t["rows"][int(t["frag_of"][i])]
+            return decode_positions(r["blob"], r["pos_offs"], int(t["orig"][i]))
 
         cand = None
         for t in terms.values():
@@ -182,7 +261,7 @@ def make_phrase_kernel(n_docs: int, avg_len: float, k: int, slop: int = 0):
             for t in terms.values():
                 idx = np.searchsorted(t["ids"], cand)
                 starts_per_doc = [
-                    (ci, decode_positions(t["blob"], t["pos_offs"], int(pi)).astype(np.int64))
+                    (ci, pos_of(t, int(pi)).astype(np.int64))
                     for ci, pi in enumerate(idx)
                 ]
                 for off in t["offsets"]:
@@ -228,9 +307,7 @@ def make_phrase_kernel(n_docs: int, avg_len: float, k: int, slop: int = 0):
             kept, counts_l, first_l = [], [], []
             for ci in range(cand.size):
                 pos = {
-                    tname: decode_positions(
-                        t["blob"], t["pos_offs"], int(idx_per_term[tname][ci])
-                    ).astype(np.int64)
+                    tname: pos_of(t, int(idx_per_term[tname][ci])).astype(np.int64)
                     for tname, t in terms.items()
                 }
                 tok_pos = [pos[tok_terms[i]] for i in range(length)]
@@ -286,6 +363,8 @@ def phrase_topk(
     k: int = 10,
     num_buckets: int | None = None,
     slop: int = 0,
+    deletes=None,
+    doc_filter=None,
 ) -> DataFrame:
     """Phrase-filtered BM25 top-k served FROM the positional index ->
     (phrase_id, doc_id, score, n_matches, first_pos, rank).
@@ -304,7 +383,13 @@ def phrase_topk(
     in tests/test_plan_quality.py), term membership is a broadcast semi
     join, and the batch costs ONE kernel job before the final top-k
     window. Scores keep GLOBAL corpus statistics over the phrase's
-    distinct terms (a phrase restricts candidates; ranking stays BM25)."""
+    distinct terms (a phrase restricts candidates; ranking stays BM25).
+
+    ``deletes`` / ``doc_filter`` (round-6 lifecycle): the WAND kernel's
+    delete-vector map and scoped-serving allowlist, applied at posting
+    decode — phrase serving composes with upserts, compaction, and
+    tenant scopes exactly like ranked retrieval (IndexBuilder.
+    phrase_query_topk wires them from the live index state)."""
     from mwmbl_spark import DEFAULT_NUM_BUCKETS
     from mwmbl_spark.functions.tokenize import tokenize_py
     from mwmbl_spark.functions.xxhash import bucket_of_py
@@ -332,7 +417,10 @@ def phrase_topk(
         F.broadcast(stats.select("term", "df")), "term"
     )
     local = joined.groupBy("phrase_id", "salt").applyInPandas(
-        make_phrase_kernel(n_docs, avg_len, k, slop=slop), schema=PHRASE_OUT_SCHEMA
+        make_phrase_kernel(
+            n_docs, avg_len, k, slop=slop, deletes=deletes, doc_filter=doc_filter
+        ),
+        schema=PHRASE_OUT_SCHEMA,
     )
     w = Window.partitionBy("phrase_id").orderBy(F.desc("score"), F.asc("doc_id"))
     return (

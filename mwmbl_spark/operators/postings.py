@@ -62,6 +62,7 @@ def build_postings_with_len(
     text_col: str = "text",
     id_col: str = "doc_id",
     include_empty_docs: bool = False,
+    positions: bool = False,
 ) -> DataFrame:
     """postings carrying doc_len: (term, doc_id, tf, doc_len) in ONE
     tokenize pass. The build path uses this shape — it removes both the
@@ -76,8 +77,36 @@ def build_postings_with_len(
     (``select(doc_id, doc_len).distinct()``) with no second source scan
     and no anti-join — posting consumers must filter
     ``term IS NOT NULL``.
+
+    ``positions=True`` (round-6, the positional index build): adds each
+    (term, doc)'s sorted 1-based occurrence positions as ``positions
+    array<int>`` in the same single pass (posexplode instead of explode;
+    ``tf`` is derived as size(positions), identical to the count
+    aggregate by construction — marker rows get tf=0/[], filtered out
+    before any posting consumer sees them). Shuffle volume grows by one
+    int per token occurrence; everything else is unchanged.
     """
     toks = tokenized(transcripts, text_col, id_col)
+    if positions:
+        pexplode = F.posexplode_outer if include_empty_docs else F.posexplode
+        sel = toks.select(
+            "doc_id",
+            F.greatest(F.col("doc_len"), F.lit(0)).alias("doc_len"),
+            pexplode("tokens").alias("p", "term"),
+        )
+        return (
+            sel.groupBy("term", "doc_id", "doc_len")
+            .agg(
+                F.sort_array(F.collect_list(F.col("p") + 1)).alias("positions")
+            )
+            .select(
+                "term",
+                "doc_id",
+                "doc_len",
+                F.size("positions").cast("long").alias("tf"),
+                "positions",
+            )
+        )
     explode = F.explode_outer if include_empty_docs else F.explode
     sel = toks.select(
         "doc_id",

@@ -68,12 +68,30 @@ def decode_segments(segs: DataFrame) -> DataFrame:
 def reshard(spark, old_builder, new_cfg) -> "IndexBuilder":  # noqa: F821
     """Rebuild an index under a new layout. Stats carry over by
     re-aggregation from the decoded postings (df/cf/doc lengths are
-    layout-independent), so no re-tokenization of the source corpus."""
+    layout-independent), so no re-tokenization of the source corpus.
+
+    Round-6 lifecycle fixes: the decode is ALIVE-only (the old index's
+    delete vectors are applied — resharding an upserted index no longer
+    resurrects superseded postings; stats re-aggregate from the same
+    alive set, and doc_totals were already delta-corrected at upsert
+    time, so the two stay consistent), and the positional payload rides
+    through when ``new_cfg.positions`` (requires the old index to be
+    positional — positions cannot be invented from a plain index;
+    positional -> plain deliberately drops the payload)."""
     from mwmbl_spark.manifest import commit_partition, committed_partitions
     from mwmbl_spark.operators.segments import build_segments
+    from mwmbl_spark.operators.upsert import decode_segments as decode_alive
     from mwmbl_spark.plans.build_index import IndexBuilder
 
+    with_pos = bool(getattr(new_cfg, "positions", False))
+    if with_pos and not getattr(old_builder.cfg, "positions", False):
+        raise ValueError(
+            "reshard cannot add a positional payload: the source index "
+            "stores no positions — rebuild from the corpus with "
+            "IndexConfig(positions=True)"
+        )
     new_builder = IndexBuilder(spark, new_cfg)
+    new_builder._ensure_meta()
     part = "reshard-0"
     if part in committed_partitions(spark, new_cfg.path):
         return new_builder
@@ -81,9 +99,13 @@ def reshard(spark, old_builder, new_cfg) -> "IndexBuilder":  # noqa: F821
     import time
 
     t0 = time.perf_counter()
-    decoded = decode_segments(old_builder.segments()).persist()
+    dm = old_builder.delete_map() or None
+    decoded = decode_alive(
+        old_builder.segments(), dm, with_positions=with_pos
+    ).persist()
+    pos_cols = ["positions"] if with_pos else []
     try:
-        postings = decoded.select("term", "doc_id", "tf")
+        postings = decoded.select("term", "doc_id", "tf", *pos_cols)
         doc_lens = decoded.select("doc_id", "doc_len").distinct()
         stats = postings.groupBy("term").agg(
             F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf")
@@ -96,7 +118,9 @@ def reshard(spark, old_builder, new_cfg) -> "IndexBuilder":  # noqa: F821
         n_docs, sum_len = old_builder.doc_totals()
         avg = sum_len / max(1, n_docs)
         segs = build_segments(
-            postings, doc_lens, stats, n_docs, avg, new_cfg.num_buckets, new_cfg.nsalt
+            postings, doc_lens, stats, n_docs, avg, new_cfg.num_buckets,
+            new_cfg.nsalt,
+            positions_col="positions" if with_pos else None,
         )
         base = new_cfg.path
         n_write = min(

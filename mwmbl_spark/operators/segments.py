@@ -172,6 +172,39 @@ def decode_positions(blob: bytes, pos_offs: np.ndarray, i: int) -> np.ndarray:
     return np.cumsum(vb_decode(bytes(blob[lo:hi])), dtype=np.uint64)
 
 
+def decode_all_positions(blob: bytes, pos_offs: np.ndarray) -> list[np.ndarray]:
+    """EVERY posting's position array of one segment row, vectorized —
+    the compaction-path inverse of ``_encode_positions_pd`` (a
+    per-posting ``decode_positions`` loop would be O(n_postings)
+    interpreted Python; a compaction decodes whole fragments).
+
+    One ``vb_decode`` over the whole blob gives the flat delta stream;
+    per-posting value counts come from counting varbyte TERMINATOR
+    bytes (high bit clear) inside each posting's byte range, and the
+    per-posting cumsum (the delta chain restarts at each posting) is
+    the grouped-cumsum trick: global cumsum minus each group head's
+    spurious prefix."""
+    from mwmbl_spark.functions.codec import vb_decode
+
+    pos_offs = np.asarray(pos_offs, dtype=np.int64)
+    n_post = len(pos_offs) - 1
+    raw = np.frombuffer(bytes(blob), dtype=np.uint8)
+    if raw.size == 0:
+        return [np.empty(0, dtype=np.int32)] * max(n_post, 0)
+    vals = vb_decode(bytes(blob))
+    cum_last = np.zeros(raw.size + 1, dtype=np.int64)
+    np.cumsum(raw < 128, out=cum_last[1:])
+    counts = cum_last[pos_offs[1:]] - cum_last[pos_offs[:-1]]
+    c = np.cumsum(vals, dtype=np.uint64)
+    heads = np.concatenate(([0], np.cumsum(counts)))[:-1]
+    nz = counts > 0
+    prefix = np.zeros(n_post, dtype=np.uint64)
+    prefix[nz] = c[heads[nz]] - vals[heads[nz]]
+    flat = c - np.repeat(prefix, counts)
+    bounds = np.cumsum(counts)[:-1]
+    return [a.astype(np.int32) for a in np.split(flat, bounds)]
+
+
 def build_segments(
     postings: DataFrame,
     doc_lens: DataFrame | None,

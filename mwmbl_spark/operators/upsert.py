@@ -229,27 +229,47 @@ def dead_mask(ids: np.ndarray, seq: int, entry: tuple[np.ndarray, np.ndarray] | 
 # Full segment decode (compaction path)
 # ---------------------------------------------------------------------------
 
-def decode_segments(segs: DataFrame, delete_map: DeleteMap | None = None) -> DataFrame:
+def decode_segments(
+    segs: DataFrame,
+    delete_map: DeleteMap | None = None,
+    with_positions: bool = False,
+) -> DataFrame:
     """Inverse of build_segments: segment rows -> alive posting rows
     (term, salt, doc_id, tf, doc_len). mapInPandas, NumPy decode per
     row; when ``delete_map`` is given the rows must carry ``seq`` and
     superseded postings are dropped. This is the compaction read — a
-    full rewrite by design, partition-parallel over segment files."""
+    full rewrite by design, partition-parallel over segment files.
+
+    ``with_positions`` (round-6): also decode the positional payload
+    (segments built with ``positions_col=``) back to ``positions
+    array<int>`` per posting — the compaction path of a POSITIONAL
+    index re-encodes it via build_segments(positions_col=...), so the
+    payload survives every decode-re-encode in the index lifecycle.
+    Vectorized (segments.decode_all_positions), alive-masked with the
+    same keep mask as the other columns."""
     from mwmbl_spark.functions.codec import delta_decode_blocked
+    from mwmbl_spark.operators.segments import decode_all_positions
 
     dm = delete_map or {}
+    schema = DECODE_SCHEMA + (", positions array<int>" if with_positions else "")
 
     def gen(batches):
         for pdf in batches:
             out = {k: [] for k in ("term", "salt", "doc_id", "tf", "doc_len", "seq")}
+            pos_acc: list[np.ndarray] = []
             for row in pdf.itertuples():
                 seq = int(getattr(row, "seq", 0))
                 ids = delta_decode_blocked(row.doc_ids, BLOCK_SIZE)
                 tf = vb_decode(row.tfs)
                 dl = vb_decode(row.doc_lens)
                 keep = dead_mask(ids, seq, dm.get(int(row.salt)))
+                plists = None
+                if with_positions:
+                    plists = decode_all_positions(row.positions, row.pos_offs)
                 if keep is not None:
                     ids, tf, dl = ids[keep], tf[keep], dl[keep]
+                    if plists is not None:
+                        plists = [p for p, k in zip(plists, keep) if k]
                 if ids.size == 0:
                     continue
                 out["term"].append(np.full(ids.size, row.term, dtype=object))
@@ -258,10 +278,15 @@ def decode_segments(segs: DataFrame, delete_map: DeleteMap | None = None) -> Dat
                 out["tf"].append(tf.astype(np.int64))
                 out["doc_len"].append(dl.astype(np.int64))
                 out["seq"].append(np.full(ids.size, np.int64(seq)))
+                if plists is not None:
+                    pos_acc.extend(plists)
             if out["term"]:
-                yield pd.DataFrame({k: np.concatenate(v) for k, v in out.items()})
+                frame = {k: np.concatenate(v) for k, v in out.items()}
+                if with_positions:
+                    frame["positions"] = pos_acc
+                yield pd.DataFrame(frame)
 
-    return segs.mapInPandas(gen, schema=DECODE_SCHEMA)
+    return segs.mapInPandas(gen, schema=schema)
 
 
 # ---------------------------------------------------------------------------

@@ -97,6 +97,17 @@ class IndexConfig:
     num_buckets: int = DEFAULT_NUM_BUCKETS
     nsalt: int = DEFAULT_NSALT
     n_src_partitions: int = 8
+    # POSITIONAL index (round-6): segments carry the per-posting
+    # delta+varbyte position payload (segments.build_segments
+    # positions_col), enabling index-side phrase/proximity serving
+    # (IndexBuilder.phrase_query_topk). The payload survives the whole
+    # lifecycle — upserts re-encode it for new fragments, compaction
+    # decodes and re-packs it (operators/upsert.decode_segments
+    # with_positions) — and the WAND kernel ignores it, so one index
+    # serves both query modes. Costs ~1 varbyte per token occurrence of
+    # extra segment storage and a collect_list-of-positions in the
+    # posting aggregation.
+    positions: bool = False
 
 
 class IndexBuilder:
@@ -123,6 +134,54 @@ class IndexBuilder:
         # applied to filters. Small LRU: distinct concurrent scopes are
         # few; a tenant fan-out should hoist its own descriptors.
         self._doc_filter_cache: "OrderedDict[tuple[int, int], object]" = OrderedDict()
+        self._meta_ok = False  # _ensure_meta ran for this builder
+
+    def _ensure_meta(self) -> None:
+        """Physical-layout guard: ``num_buckets``/``nsalt``/``positions``
+        are baked into the files (bucket partition dirs, salt grouping,
+        segment schema) — opening an index with a DIFFERENT config
+        silently mis-prunes (wrong bucket_of => empty results) or
+        mis-salts. The first commit writes ``_index_meta.json``; every
+        later builder construction against the same path must match, or
+        this raises instead of corrupting/serving garbage. Local paths
+        only (remote tables carry their own schema/layout metadata);
+        legacy indexes without the file are accepted and stamped on
+        their next commit."""
+        if self._meta_ok:
+            return
+        base = self.cfg.path
+        if "://" in base and not base.startswith("file://"):
+            self._meta_ok = True
+            return
+        import json
+
+        root = base.removeprefix("file://")
+        meta_path = os.path.join(root, "_index_meta.json")
+        want = {
+            "num_buckets": self.cfg.num_buckets,
+            "nsalt": self.cfg.nsalt,
+            "positions": self.cfg.positions,
+        }
+        if os.path.exists(meta_path):
+            with open(meta_path) as fh:
+                have = json.load(fh)
+            diff = {k: (have.get(k), v) for k, v in want.items() if have.get(k) != v}
+            if diff:
+                raise ValueError(
+                    f"IndexConfig does not match the on-disk index at {base!r}: "
+                    + ", ".join(
+                        f"{k} stored={s!r} requested={r!r}" for k, (s, r) in diff.items()
+                    )
+                    + " — these are baked into the index files; open with the "
+                    "stored values or rebuild"
+                )
+        else:
+            os.makedirs(root, exist_ok=True)
+            tmp = meta_path + ".tmp"
+            with open(tmp, "w") as fh:
+                json.dump(want, fh)
+            os.replace(tmp, meta_path)
+        self._meta_ok = True
 
     def _live(self, as_of: int | None = None) -> dict[str, int]:
         from mwmbl_spark.manifest import partition_seqs
@@ -194,6 +253,7 @@ class IndexBuilder:
         different threads fill each other's scheduling gaps. Commit
         SEQs are pre-allocated per partition so the manifest stays
         race-free (each commit writes its own uniquely-named file)."""
+        self._ensure_meta()
         df = transcripts.withColumn("src_part", self.src_partition_col())
         all_parts = [str(i) for i in range(self.cfg.n_src_partitions)]
         todo = pending_partitions(self.spark, self.cfg.path, all_parts)
@@ -285,7 +345,9 @@ class IndexBuilder:
         # because stats/doc-stats/segments all read the posting relation
         from concurrent.futures import ThreadPoolExecutor
 
-        p = build_postings_with_len(sub, include_empty_docs=True).persist()
+        p = build_postings_with_len(
+            sub, include_empty_docs=True, positions=self.cfg.positions
+        ).persist()
         posts = p.where(F.col("term").isNotNull())
         try:
             # job 1 (alone: materializes the persisted p exactly once)
@@ -313,7 +375,8 @@ class IndexBuilder:
             # derives avgdl from doc_stats totals), but exact is free here
             avg = sum_len / max(1, n_docs)
             segs = build_segments(
-                posts, None, stats, n_docs, avg, self.cfg.num_buckets, self.cfg.nsalt
+                posts, None, stats, n_docs, avg, self.cfg.num_buckets, self.cfg.nsalt,
+                positions_col="positions" if self.cfg.positions else None,
             )
             self._write_segments(segs, part)
             _write_doc_stats(f"{base}/doc_stats/src_part={part}", n_docs, sum_len)
@@ -342,6 +405,7 @@ class IndexBuilder:
         )
 
     def segments(self, as_of: int | None = None) -> DataFrame:
+        self._ensure_meta()
         segs = self.spark.read.option("basePath", f"{self.cfg.path}/segments").parquet(
             f"{self.cfg.path}/segments"
         )
@@ -496,6 +560,36 @@ class IndexBuilder:
         self._stats_cache = (key, stats, n_docs, avg_len)
         return stats, n_docs, avg_len
 
+    def _serving_state(self, as_of: int | None, doc_filter):
+        """One resolution of the serving inputs shared by every query
+        mode (ranked ``query_topk``, phrase ``phrase_query_topk``):
+        (stats, n_docs, avg_len, deletes, segments, doc_filter). Live
+        serving uses the memoized stats / delete broadcast / scope
+        caches; the ``as_of`` path deliberately bypasses them (they key
+        the CURRENT live set; audit queries are rare and must not
+        thrash the serving caches) and pays its own stats jobs and a
+        per-call delete-map load."""
+        if doc_filter is not None and hasattr(doc_filter, "sparkSession"):
+            doc_filter = self._resolve_doc_filter(doc_filter)
+        if as_of is not None:
+            from mwmbl_spark.operators.upsert import load_delete_map
+
+            live = self._live(as_of)
+            self._check_snapshot_readable(live, as_of)
+            stats, n_docs, avg_len = self.global_stats(as_of=as_of)
+            deletes = load_delete_map(self.cfg.path, live, as_of=as_of) or None
+            segs = self._with_seq(
+                self.spark.read.option(
+                    "basePath", f"{self.cfg.path}/segments"
+                ).parquet(f"{self.cfg.path}/segments"),
+                live,
+            )
+        else:
+            stats, n_docs, avg_len = self.cached_global_stats()
+            deletes = self.delete_broadcast()
+            segs = self.segments()
+        return stats, n_docs, avg_len, deletes, segs, doc_filter
+
     def query_topk(
         self,
         queries: DataFrame,
@@ -524,25 +618,9 @@ class IndexBuilder:
         driver-side) and served by executor-side reads. Scores keep
         GLOBAL corpus statistics (the filter restricts results, it does
         not re-weight idf)."""
-        if doc_filter is not None and hasattr(doc_filter, "sparkSession"):
-            doc_filter = self._resolve_doc_filter(doc_filter)
-        if as_of is not None:
-            from mwmbl_spark.operators.upsert import load_delete_map
-
-            live = self._live(as_of)
-            self._check_snapshot_readable(live, as_of)
-            stats, n_docs, avg_len = self.global_stats(as_of=as_of)
-            deletes = load_delete_map(self.cfg.path, live, as_of=as_of) or None
-            segs = self._with_seq(
-                self.spark.read.option(
-                    "basePath", f"{self.cfg.path}/segments"
-                ).parquet(f"{self.cfg.path}/segments"),
-                live,
-            )
-        else:
-            stats, n_docs, avg_len = self.cached_global_stats()
-            deletes = self.delete_broadcast()
-            segs = self.segments()
+        stats, n_docs, avg_len, deletes, segs, doc_filter = self._serving_state(
+            as_of, doc_filter
+        )
         return wand_topk(
             segs,
             stats,
@@ -552,6 +630,47 @@ class IndexBuilder:
             k=k,
             mode=mode,
             num_buckets=self.cfg.num_buckets,
+            deletes=deletes,
+            doc_filter=doc_filter,
+        )
+
+    def phrase_query_topk(
+        self,
+        phrases: list[tuple[int, str]],
+        k: int = 10,
+        slop: int = 0,
+        as_of: int | None = None,
+        doc_filter=None,
+    ) -> DataFrame:
+        """Phrase / ordered-proximity top-k served from the LIVE
+        positional index (operators/positional.phrase_topk) — the
+        phrase twin of ``query_topk``, sharing its entire serving
+        state: memoized global stats, the delete-vector broadcast (so
+        results reflect every upsert/delete without a rebuild), the
+        scoped-serving doc filter, and ``as_of`` time travel. Requires
+        ``IndexConfig(positions=True)`` — the payload is baked into the
+        segment files, so this raises on a non-positional index instead
+        of failing inside the kernel."""
+        from mwmbl_spark.operators.positional import phrase_topk
+
+        if not self.cfg.positions:
+            raise ValueError(
+                "phrase_query_topk needs a positional index: build with "
+                "IndexConfig(positions=True) (the payload is part of the "
+                "segment files; a non-positional index cannot serve phrases)"
+            )
+        stats, n_docs, avg_len, deletes, segs, doc_filter = self._serving_state(
+            as_of, doc_filter
+        )
+        return phrase_topk(
+            segs,
+            stats,
+            phrases,
+            n_docs,
+            avg_len,
+            k=k,
+            num_buckets=self.cfg.num_buckets,
+            slop=slop,
             deletes=deletes,
             doc_filter=doc_filter,
         )
@@ -649,7 +768,10 @@ class IndexBuilder:
             ),
             live_old,
         )
-        posts = decode_segments(segs_in, dm).select("term", "doc_id", "tf", "doc_len")
+        pos_cols = ["positions"] if self.cfg.positions else []
+        posts = decode_segments(
+            segs_in, dm, with_positions=self.cfg.positions
+        ).select("term", "doc_id", "tf", "doc_len", *pos_cols)
         stats = (
             self.spark.read.option("basePath", f"{base}/stats")
             .parquet(f"{base}/stats")
@@ -663,6 +785,7 @@ class IndexBuilder:
         segs = build_segments(
             posts, None, stats, max(n_docs_s, 0), avg_s,
             self.cfg.num_buckets, self.cfg.nsalt,
+            positions_col="positions" if self.cfg.positions else None,
         )
         self._write_segments(segs, part)
         stats.write.mode("overwrite").parquet(f"{base}/stats/src_part={part}")
@@ -945,10 +1068,13 @@ class IndexBuilder:
         )
 
         t0 = time.perf_counter()
+        self._ensure_meta()
         base = self.cfg.path
         seq = next_seq(self.spark, base)
         part = name or f"u{seq}"
-        p = build_postings_with_len(batch, include_empty_docs=True).persist()
+        p = build_postings_with_len(
+            batch, include_empty_docs=True, positions=self.cfg.positions
+        ).persist()
         posts = p.where(F.col("term").isNotNull())
         sup = None
         try:
@@ -1008,7 +1134,9 @@ class IndexBuilder:
                     "mode": "append", "n_dead": 0, "rows_collected": 0,
                 }
             segs = build_segments(
-                posts, None, stats_frag, n_new, avg, self.cfg.num_buckets, self.cfg.nsalt
+                posts, None, stats_frag, n_new, avg, self.cfg.num_buckets,
+                self.cfg.nsalt,
+                positions_col="positions" if self.cfg.positions else None,
             )
             self._write_segments(segs, part)
             stats_frag.write.mode("overwrite").parquet(f"{base}/stats/src_part={part}")
@@ -1048,6 +1176,7 @@ class IndexBuilder:
         from mwmbl_spark.operators.upsert import write_delete_vector
 
         t0 = time.perf_counter()
+        self._ensure_meta()
         base = self.cfg.path
         seq = next_seq(self.spark, base)
         part = name or f"d{seq}"
@@ -1129,6 +1258,7 @@ class IndexBuilder:
         )
 
         t0 = time.perf_counter()
+        self._ensure_meta()
         live = self._live()
         if not live:
             return None
@@ -1150,9 +1280,10 @@ class IndexBuilder:
         segs_in = self.segments().where(
             F.col("src_part").cast("string").isin(parts)
         )
-        posts = decode_segments(segs_in, dm).select(
-            "term", "doc_id", "tf", "doc_len"
-        )
+        pos_cols = ["positions"] if self.cfg.positions else []
+        posts = decode_segments(
+            segs_in, dm, with_positions=self.cfg.positions
+        ).select("term", "doc_id", "tf", "doc_len", *pos_cols)
         # stats: arithmetic roll-up over the merged fragments only; a
         # full compact nets every delta so df<=0 rows vanish, a minor
         # compact MUST keep negative rows (deltas against postings that
@@ -1178,6 +1309,7 @@ class IndexBuilder:
         segs = build_segments(
             posts, None, stats, max(n_docs_s, 0), avg_b,
             self.cfg.num_buckets, self.cfg.nsalt,
+            positions_col="positions" if self.cfg.positions else None,
         )
         self._write_segments(segs, part)
         stats.write.mode("overwrite").parquet(f"{base}/stats/src_part={part}")
