@@ -1576,6 +1576,128 @@ def q_phrase_upserted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SNIPPET_WINDOW = 12
+
+
+def q_snippet_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-window SNIPPETS for the served page (round-6, Lucene
+    UnifiedHighlighter best-passage shape — the passage-SELECTION step
+    the reference's span highlighter, format.py:33-77, never had):
+    BM25 top-10 per query, then per (query, doc) the 12-token window
+    covering the most distinct query terms (ties: hits desc, start
+    asc), emitted with its token-joined snippet text. All JVM column
+    algebra over the served docs only."""
+    from mwmbl_spark.operators.snippets import best_window_snippets
+
+    t = _docs_as_transcripts(spark, sf_dir)
+    p = post_ops.build_postings(t)
+    dl = post_ops.doc_lengths(t)
+    stats = post_ops.term_stats(p)
+    cs = post_ops.corpus_stats(dl)
+    cands = bm25_ops.bm25_topk(
+        p, dl, stats, _queries_df(spark), cs.n_docs, cs.avg_doc_len, k=10
+    ).select("query_id", "doc_id", "score", "rank")
+    out = best_window_snippets(
+        cands, t, _queries_df(spark), window=SNIPPET_WINDOW
+    )
+    return out.select(
+        "query_id", "doc_id", F.round("score", 6).alias("score"), "rank",
+        "start", "n_distinct", "n_hits", "snippet",
+    )
+
+
+FACET_COLS = ["lang", "source"]
+
+
+def q_facet_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FACETED search counts (round-6): per query, the document count
+    of every (facet, value) over the full disjunctive candidate set —
+    the result-set summary every production engine serves next to the
+    page (Solr/Elasticsearch facet/terms aggregations). Candidates are
+    docs matching >= 1 query term; facets melt JVM-side (explode of a
+    struct array, no UDF) and aggregate in one partial-agg groupBy."""
+    from mwmbl_spark.operators.facets import facet_counts
+
+    t = _docs_as_transcripts(spark, sf_dir)
+    p = post_ops.build_postings(t)
+    qt = (
+        _queries_df(spark)
+        .select(
+            "query_id",
+            F.explode(F.array_distinct(tokenize_expr(F.col("query")))).alias("term"),
+        )
+    )
+    cands = (
+        p.join(F.broadcast(qt), "term").select("query_id", "doc_id").distinct()
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return facet_counts(cands, docs, FACET_COLS)
+
+
+PASSAGE_WINDOW = 32
+PASSAGE_STRIDE = 16
+PASSAGE_PID_OFFSET = 1_000_000
+
+
+def q_passage_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PASSAGE-grain retrieval (round-6, the RAG/DPR serving shape):
+    documents shatter into 32-token windows at stride 16, BM25 runs AT
+    PASSAGE GRAIN (passage df / passage length stats — the engine's
+    whole posting/stats/topk stack reused unchanged over synthetic
+    passage ids doc_id*1e6+start), top-10 passages per query come back
+    as (doc_id, start). The reference ranks whole pages only; passage
+    grain is what a retrieval-augmented training pipeline consumes."""
+    from mwmbl_spark.operators.passages import build_passages
+
+    t = _docs_as_transcripts(spark, sf_dir)
+    pas = build_passages(
+        t, PASSAGE_WINDOW, PASSAGE_STRIDE, pid_offset=PASSAGE_PID_OFFSET
+    )
+    p = post_ops.build_postings(pas)
+    dl = post_ops.doc_lengths(pas)
+    stats = post_ops.term_stats(p)
+    cs = post_ops.corpus_stats(dl)
+    out = bm25_ops.bm25_topk(
+        p, dl, stats, _queries_df(spark), cs.n_docs, cs.avg_doc_len, k=10
+    )
+    return out.select(
+        "query_id",
+        F.expr(f"doc_id div {PASSAGE_PID_OFFSET}").alias("doc_id"),
+        (F.col("doc_id") % PASSAGE_PID_OFFSET).cast("int").alias("start"),
+        F.round("score", 6).alias("score"),
+        "rank",
+    )
+
+
+MLT_SOURCE_DOCS = [3, 57, 201, 444]
+MLT_TOP_TERMS = 5
+
+
+def q_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MORE-LIKE-THIS (round-6, Lucene MoreLikeThis shape): for each
+    source doc, its top-5 tf-idf terms become a disjunctive BM25 query
+    over the corpus (source doc excluded), top-10. Term selection and
+    scoring are the engine's existing postings/stats/bm25 operators —
+    the new piece is only the term-extraction join."""
+    from mwmbl_spark.operators.mlt import more_like_this
+
+    t = _docs_as_transcripts(spark, sf_dir)
+    p = post_ops.build_postings(t)
+    dl = post_ops.doc_lengths(t)
+    stats = post_ops.term_stats(p)
+    cs = post_ops.corpus_stats(dl)
+    src = spark.createDataFrame(
+        [(int(d),) for d in MLT_SOURCE_DOCS], "src_doc_id long"
+    )
+    out = more_like_this(
+        src, p, dl, stats, cs.n_docs, cs.avg_doc_len,
+        top_terms=MLT_TOP_TERMS, k=10,
+    )
+    return out.select(
+        "src_doc_id", "doc_id", F.round("score", 6).alias("score"), "rank"
+    )
+
+
 def q_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-3-style eval-set decontamination: the eval set is the
     12-token prefix of every 29th document, so each seed doc must
@@ -3432,6 +3554,155 @@ FROM ranked WHERE rank <= 10"""
 
 ORACLE["proximity_topk"] = _prox_sql()
 
+# best-window snippets: page = BM25 top-10 (plain-sum twin — both sides
+# hash-agg); per (query, doc) the window of SNIPPET_WINDOW tokens
+# maximizing (distinct terms, hits, -start), starts anchored at hit
+# positions (exchange argument: some optimal window starts at a hit)
+ORACLE["snippet_topk"] = _bm25_cand() + f""",
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS rank
+  FROM scored
+),
+page AS (SELECT * FROM ranked WHERE rank <= 10),
+tokpos AS (
+  SELECT t.doc_id, r.pos::INT AS pos, t.toks[r.pos::INT] AS term
+  FROM tok t, unnest(range(1, len(t.toks) + 1)) AS r(pos)
+  WHERE t.doc_id IN (SELECT doc_id FROM page)
+),
+hits AS (
+  SELECT c.query_id, c.doc_id, tp.pos, tp.term
+  FROM page c
+  JOIN tokpos tp ON tp.doc_id = c.doc_id
+  JOIN qterm q ON q.query_id = c.query_id AND q.term = tp.term
+),
+win AS (
+  SELECT h.query_id, h.doc_id, h.pos AS start,
+         count(DISTINCT h2.term)::BIGINT AS n_distinct,
+         count(*)::BIGINT AS n_hits
+  FROM hits h
+  JOIN hits h2 ON h2.query_id = h.query_id AND h2.doc_id = h.doc_id
+              AND h2.pos >= h.pos AND h2.pos < h.pos + {SNIPPET_WINDOW}
+  GROUP BY 1, 2, 3
+),
+best AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id, doc_id
+            ORDER BY n_distinct DESC, n_hits DESC, start) AS rn
+  FROM win
+)
+SELECT b.query_id, b.doc_id, round(p.score, 6) AS score, p.rank,
+       b.start, b.n_distinct, b.n_hits,
+       array_to_string(t.toks[b.start : b.start + {SNIPPET_WINDOW} - 1],
+                       ' ') AS snippet
+FROM best b
+JOIN page p USING (query_id, doc_id)
+JOIN tok t ON t.doc_id = b.doc_id
+WHERE b.rn = 1"""
+
+# faceted counts over the disjunctive candidate set (>= 1 term match);
+# NULL facet values count as real rows on both sides
+_FACET_UNION = "\n  UNION ALL\n".join(
+    f"  SELECT m.query_id, '{c}' AS facet, d.{c}::VARCHAR AS value\n"
+    f"  FROM fmatch m JOIN documents d USING (doc_id)"
+    for c in FACET_COLS
+)
+ORACLE["facet_counts"] = f"""
+WITH {_POST_SQL},
+{_QTERM_SQL},
+fmatch AS (SELECT DISTINCT q.query_id, p.doc_id FROM qterm q JOIN post p USING (term)),
+fac AS (
+{_FACET_UNION}
+)
+SELECT query_id, facet, value, count(*)::BIGINT AS n_docs
+FROM fac GROUP BY 1, 2, 3"""
+
+# passage-grain BM25: documents shatter into PASSAGE_WINDOW-token
+# windows at PASSAGE_STRIDE (starts 1, 1+S, ... <= len; empty docs
+# yield one empty passage), passages become synthetic docs
+# doc_id*OFFSET+start, and the STANDARD bm25 oracle runs over them —
+# passage df / passage length stats by construction
+_PASSAGE_PRELUDE = f"""ptok AS (
+  SELECT doc_id,
+         CASE WHEN text LIKE '%…'
+              THEN toks0[1:greatest(0, len(toks0)-2)]
+              ELSE toks0 END AS toks
+  FROM (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                       x -> x <> '') AS toks0,
+           text
+    FROM documents
+  )
+),
+pdoc AS (
+  SELECT doc_id * {PASSAGE_PID_OFFSET} + s.start AS doc_id,
+         array_to_string(
+           toks[s.start : s.start + {PASSAGE_WINDOW} - 1], ' ') AS text
+  FROM ptok, unnest(range(1, greatest(len(toks), 1) + 1,
+                          {PASSAGE_STRIDE})) AS s(start)
+),
+"""
+ORACLE["passage_topk"] = _bm25_cand(
+    src="pdoc", prelude=_PASSAGE_PRELUDE
+) + f""",
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS rank
+  FROM scored
+)
+SELECT query_id, (doc_id // {PASSAGE_PID_OFFSET})::BIGINT AS doc_id,
+       (doc_id % {PASSAGE_PID_OFFSET})::INT AS start,
+       round(score, 6) AS score, rank
+FROM ranked WHERE rank <= 10"""
+
+# more-like-this: top-MLT_TOP_TERMS source terms by tf*ln(N/df)
+# (ties: term asc), disjunctive BM25 over them, source excluded
+_MLT_SRC_VALUES = ", ".join(f"({d})" for d in MLT_SOURCE_DOCS)
+ORACLE["more_like_this"] = f"""
+WITH {_POST_SQL},
+dl AS (SELECT doc_id, len(toks) AS doc_len FROM tok),
+stats AS (SELECT term, count(*) AS df FROM post GROUP BY term),
+corpus AS (SELECT count(*)::DOUBLE AS n_docs, avg(doc_len)::DOUBLE AS avg_len FROM dl),
+srcs(src_doc_id) AS (VALUES {_MLT_SRC_VALUES}),
+sterm AS (
+  SELECT s.src_doc_id, p.term,
+         row_number() OVER (PARTITION BY s.src_doc_id
+                            ORDER BY p.tf * ln(c.n_docs / st.df) DESC,
+                                     p.term) AS rn
+  FROM srcs s
+  JOIN post p ON p.doc_id = s.src_doc_id
+  JOIN stats st ON st.term = p.term
+  CROSS JOIN corpus c
+),
+qt AS (SELECT src_doc_id, term FROM sterm WHERE rn <= {MLT_TOP_TERMS}),
+cand AS (
+  SELECT q.src_doc_id, p.doc_id,
+         ln((c.n_docs - s.df + 0.5) / (s.df + 0.5) + 1.0)
+           * p.tf * ({BM25_K1} + 1.0)
+           / (p.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * dl.doc_len / c.avg_len))
+           AS partial
+  FROM qt q
+  JOIN post p USING (term)
+  JOIN stats s ON p.term = s.term
+  JOIN dl ON p.doc_id = dl.doc_id
+  CROSS JOIN corpus c
+  WHERE p.doc_id <> q.src_doc_id
+),
+scored AS (
+  SELECT src_doc_id, doc_id, sum(partial) AS score
+  FROM cand GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY src_doc_id
+                               ORDER BY score DESC, doc_id) AS rank
+  FROM scored
+)
+SELECT src_doc_id::BIGINT AS src_doc_id, doc_id,
+       round(score, 6) AS score, rank
+FROM ranked WHERE rank <= 10"""
+
 ORACLE["span_dedup"] = f"""
 WITH {_TOK_SQL},
 occ AS (
@@ -4544,13 +4815,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # driver-green (or newest this round), (2) entries whose last
     # driver-green row is oldest. Re-rotate each round (move the keys of
     # the new CORRECTNESS_r{N}.json to the back) so every contract earns
-    # a driver-green row at least once every two rounds. Round-6 NB: 8
-    # new contracts push the last 4 r04-window keys (dedup_embedding,
+    # a driver-green row at least once every two rounds. Round-6 NB: 12
+    # new contracts push the last 8 r04-window keys (embedding_topk,
+    # lsh_topk, pq_refine_topk, ivfpq_refine_topk, dedup_embedding,
     # lang_id, text_features, token_stats) past position 50 — rotate
-    # them FIRST in round 7 (all four were locally sweep-verified green
+    # them FIRST in round 7 (all eight were locally sweep-verified green
     # this round at sf0.01).
     return {
         # -- round-6 new contracts land here (front of window) --
+        "snippet_topk": _shipped(q_snippet_topk),
+        "facet_counts": _shipped(q_facet_counts),
+        "passage_topk": _shipped(q_passage_topk),
+        "more_like_this": _shipped(q_more_like_this),
         "ivfpq_filtered_topk": _shipped(q_ivfpq_filtered_topk),
         "phrase_topk": _shipped(q_phrase_topk),
         "phrase_upserted_topk": _shipped(q_phrase_upserted_topk),

@@ -370,6 +370,19 @@ def main() -> None:
         print(f"BENCH ERROR q18 setup: {exc}", file=sys.stderr)
         timings["q18_bpe_batched_512"] = -1.0
 
+    # q19: index-side phrase serving (round-6) — the composed plan:
+    # positional postings -> payload segments -> bucket-pruned phrase
+    # kernel -> top-k (one number like q17; bench/phrase_scale.py
+    # separates build vs serve at the 2M-doc corpus)
+    try:
+        timed(
+            "q19_phrase_topk",
+            lambda: entrymod.q_phrase_topk(spark, sf_dir).count(),
+        )
+    except Exception as exc:  # noqa: BLE001
+        print(f"BENCH ERROR q19 setup: {exc}", file=sys.stderr)
+        timings["q19_phrase_topk"] = -1.0
+
     build_s = timings.get("q1_index_build", -1.0)
     total = round(sum(v for k, v in timings.items() if v > 0 and k in CORE), 4)
     print(
