@@ -4816,11 +4816,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # driver-green row is oldest. Re-rotate each round (move the keys of
     # the new CORRECTNESS_r{N}.json to the back) so every contract earns
     # a driver-green row at least once every two rounds. Round-6 NB: 12
-    # new contracts push the last 8 r04-window keys (embedding_topk,
-    # lsh_topk, pq_refine_topk, ivfpq_refine_topk, dedup_embedding,
-    # lang_id, text_features, token_stats) past position 50 — rotate
-    # them FIRST in round 7 (all eight were locally sweep-verified green
-    # this round at sf0.01).
+    # new contracts push the last 9 r04-window keys (simhash,
+    # embedding_topk, lsh_topk, pq_refine_topk, ivfpq_refine_topk,
+    # dedup_embedding, lang_id, text_features, token_stats) past
+    # position 50 — rotate them FIRST in round 7 (all nine were locally
+    # sweep-verified green this round at sf0.01).
     return {
         # -- round-6 new contracts land here (front of window) --
         "snippet_topk": _shipped(q_snippet_topk),

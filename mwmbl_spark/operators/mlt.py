@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 from mwmbl_spark import BM25_B, BM25_K1
 from mwmbl_spark.operators.bm25 import bm25_partial
 
-__all__ = ["mlt_terms", "more_like_this"]
+__all__ = ["mlt_terms", "more_like_this", "more_like_this_wand"]
 
 
 def mlt_terms(
@@ -100,4 +100,53 @@ def more_like_this(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("src_doc_id", "doc_id", "score", "rank")
+    )
+
+
+def more_like_this_wand(
+    sources: DataFrame,
+    segments: DataFrame,
+    postings: DataFrame,
+    stats: DataFrame,
+    n_docs: int,
+    avg_len: float,
+    top_terms: int = 5,
+    k: int = 10,
+    num_buckets: int | None = None,
+    deletes=None,
+    doc_filter=None,
+) -> DataFrame:
+    """More-like-this served FROM THE INDEX: the extracted terms ride
+    the WAND segment path (bucket-pruned scan, block-max pruning) —
+    the 100×-scale serving form of ``more_like_this``, which reads the
+    raw posting relation. Same output contract (src_doc_id, doc_id,
+    score, rank), rank-identical modulo exact-float-tie doc swaps (the
+    kernel sums canonically, the exhaustive plan hash-aggregates).
+
+    The extracted terms re-encode as one query string per source
+    (space-joined sorted terms — each term is a tokenizer atom, so
+    tokenization round-trips exactly). The kernel retrieves k+1 and
+    the source doc is dropped before the final re-rank, since a source
+    doc contains every one of its own top terms and would rank first.
+    ``postings`` is only read at source grain (term extraction);
+    serving touches just the selected terms' buckets.
+    """
+    from mwmbl_spark.operators.wand import wand_topk
+
+    qt = mlt_terms(sources, postings, stats, n_docs, top_terms)
+    qdf = qt.groupBy(F.col("src_doc_id").alias("query_id")).agg(
+        F.concat_ws(" ", F.sort_array(F.collect_list("term"))).alias("query")
+    )
+    raw = wand_topk(
+        segments, stats, qdf, n_docs, avg_len, k=k + 1,
+        num_buckets=num_buckets, deletes=deletes, doc_filter=doc_filter,
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        raw.where(F.col("doc_id") != F.col("query_id"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("query_id").alias("src_doc_id"), "doc_id", "score", "rank"
+        )
     )

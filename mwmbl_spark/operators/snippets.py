@@ -50,6 +50,9 @@ def best_window_snippets(
     window: int = 12,
     id_col: str = "doc_id",
     text_col: str = "text",
+    push_ids_max: int = 8192,
+    bucket_col: str | None = None,
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """Attach a best-window snippet to each served (query, doc) pair.
 
@@ -59,15 +62,54 @@ def best_window_snippets(
     candidates point into; only candidate docs are tokenized.
     ``queries``: (query_id, query).
 
+    ``push_ids_max``: when the candidate id set is at most this many
+    ids (a served page is queries × k — hundreds, not millions), the
+    ids are collected and pushed into the doc scan as LITERAL
+    predicates. This collect is page-grain by construction — never
+    corpus-grain; candidate sets larger than the cap fall back to the
+    plain join. 0 disables the probe. NB: a bare IN list longer than
+    ``spark.sql.parquet.pushdown.inFilterThreshold`` (default 10)
+    reaches parquet as a min/max RANGE filter, which skips nothing for
+    hash-scattered ids over a flat store — the literal push only pays
+    together with ``bucket_col``.
+
+    ``bucket_col``/``n_buckets``: the DOC-STORE deployment shape (the
+    dedup-store pruned-scan pattern): the store is directory-
+    partitioned by ``pmod(xxhash64(id), n_buckets)`` and id-sorted
+    within buckets, so the pushed bucket list prunes directories
+    (page-size dirs read, not corpus-size) and the id list row-group-
+    skips inside them. The bucket twin is the parity-gated
+    ``dedup_store._bucket_py``.
+
     Returns ``candidates`` columns + (start, n_distinct, n_hits,
     snippet). A candidate of a disjunctive/majority retrieval always
     has >= 1 hit, so the join keeps every candidate row.
     """
     pairs = candidates.select("query_id", F.col(id_col)).distinct()
 
-    toks = (
-        docs.join(pairs.select(id_col).distinct(), id_col)
-        .select(id_col, tokenize_expr(F.col(text_col)).alias("toks"))
+    ids = None
+    if push_ids_max:
+        probe = [
+            r[0]
+            for r in pairs.select(id_col)
+            .distinct()
+            .limit(push_ids_max + 1)
+            .collect()
+        ]
+        if len(probe) <= push_ids_max:
+            ids = probe
+    if ids is not None:
+        pred = F.col(id_col).isin(ids)
+        if bucket_col is not None and n_buckets:
+            from mwmbl_spark.operators.dedup_store import _bucket_py
+
+            buckets = sorted({_bucket_py(i, n_buckets) for i in ids})
+            pred = F.col(bucket_col).isin(buckets) & pred
+        fetched = docs.where(pred)
+    else:
+        fetched = docs.join(pairs.select(id_col).distinct(), id_col)
+    toks = fetched.select(
+        id_col, tokenize_expr(F.col(text_col)).alias("toks")
     )
 
     qterm = queries.select(

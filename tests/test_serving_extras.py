@@ -6,12 +6,22 @@ fix the edge cases a 60-row contract can miss)."""
 
 from __future__ import annotations
 
+import contextlib
+import io
+
 import pyspark.sql.functions as F
 
 from mwmbl_spark.operators.facets import facet_counts
 from mwmbl_spark.operators.mlt import mlt_terms, more_like_this
 from mwmbl_spark.operators.passages import build_passages
 from mwmbl_spark.operators.snippets import best_window_snippets
+
+
+def _explain(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
 
 
 def _docs(spark, rows):
@@ -158,6 +168,47 @@ def test_passage_roundtrip_tokens(spark):
         assert tokenize_py(r["text"]) == toks[start - 1 : start + 1]
 
 
+def test_serving_extras_plan_quality(spark):
+    # scale guards: query-side tables broadcast, arg-max windows take
+    # the map-side group limit, and the hit self-join stays an
+    # equi-join on (query, doc) — never a cartesian/BNLJ
+    from mwmbl_spark.operators import bm25 as bm25_ops
+    from mwmbl_spark.operators import postings as post_ops
+    from mwmbl_spark.synth import synth_transcripts, with_doc_id
+
+    t = with_doc_id(synth_transcripts(spark, n_conv=30, turns_per_conv=4, seed=5))
+    p = post_ops.build_postings(t)
+    dl = post_ops.doc_lengths(t)
+    st = post_ops.term_stats(p)
+    cs = post_ops.corpus_stats(dl)
+    q = spark.createDataFrame(
+        [(0, "the spark data query")], "query_id long, query string"
+    )
+    top = bm25_ops.bm25_topk(
+        p, dl, st, q, cs.n_docs, cs.avg_doc_len, k=10
+    ).select("query_id", "doc_id", "score", "rank")
+
+    splan = _explain(best_window_snippets(top, t, q, window=8))
+    assert "BroadcastHashJoin" in splan
+    assert "WindowGroupLimit" in splan  # best-window arg-max is rn==1
+    assert "CartesianProduct" not in splan
+    assert "BroadcastNestedLoopJoin" not in splan
+
+    meta = t.select("doc_id", F.substring("text", 1, 1).alias("lang"))
+    fplan = _explain(facet_counts(top.select("query_id", "doc_id"), meta, ["lang"]))
+    assert "Generate" in fplan  # JVM explode melt, no UDF
+    assert "BatchEvalPython" not in fplan and "ArrowEvalPython" not in fplan
+
+    src = spark.createDataFrame([(1,)], "src_doc_id long")
+    mplan = _explain(
+        more_like_this(src, p, dl, st, cs.n_docs, cs.avg_doc_len, top_terms=5, k=10)
+    )
+    assert "BroadcastHashJoin" in mplan
+    assert "WindowGroupLimit" in mplan
+    assert "CartesianProduct" not in mplan
+    assert "BroadcastNestedLoopJoin" not in mplan
+
+
 def test_mlt_terms_prefers_rare_terms(spark):
     # 'rare' (df=1) outranks 'common' (df=3) at equal tf; idf=ln(N/df)
     docs = _docs(
@@ -178,6 +229,41 @@ def test_mlt_terms_prefers_rare_terms(spark):
         for r in mlt_terms(src, p, stats, n_docs=3, top_terms=2).collect()
     ]
     assert set(terms) == {"rare", "extra1"}  # both df=1, beat 'common'
+
+
+def test_more_like_this_wand_matches_exhaustive(spark):
+    # the index-served form must reproduce the exhaustive ranking
+    # (scores to 1e-9 rank-by-rank; doc ids may swap only on exact
+    # float ties — same convention as the WAND/bm25 identity gate)
+    from mwmbl_spark.operators import bm25 as bm25_ops  # noqa: F401
+    from mwmbl_spark.operators import postings as post_ops
+    from mwmbl_spark.operators.mlt import more_like_this_wand
+    from mwmbl_spark.operators.segments import build_segments
+    from mwmbl_spark.synth import synth_transcripts, with_doc_id
+
+    t = with_doc_id(synth_transcripts(spark, n_conv=40, turns_per_conv=4, seed=11))
+    p = post_ops.build_postings(t)
+    dl = post_ops.doc_lengths(t)
+    st = post_ops.term_stats(p)
+    cs = post_ops.corpus_stats(dl)
+    segs = build_segments(p, dl, st, cs.n_docs, cs.avg_doc_len, 32, 4)
+    seeds = [r["doc_id"] for r in dl.limit(3).collect()]
+    src = spark.createDataFrame([(int(s),) for s in seeds], "src_doc_id long")
+
+    ex = more_like_this(src, p, dl, st, cs.n_docs, cs.avg_doc_len, top_terms=4, k=10)
+    iv = more_like_this_wand(
+        src, segs, p, st, cs.n_docs, cs.avg_doc_len, top_terms=4, k=10,
+        num_buckets=32,
+    )
+    a = sorted(
+        (r["src_doc_id"], r["rank"], round(r["score"], 9)) for r in ex.collect()
+    )
+    b = sorted(
+        (r["src_doc_id"], r["rank"], round(r["score"], 9)) for r in iv.collect()
+    )
+    assert a == b
+    # and the source never leaks into its own page
+    assert all(r["doc_id"] != r["src_doc_id"] for r in iv.collect())
 
 
 def test_more_like_this_excludes_source_and_ranks(spark):
