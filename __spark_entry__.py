@@ -2009,6 +2009,20 @@ def q_mm_pixels_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_image_real(synth_jpeg_payloads(docs))
 
 
+def q_mm_pixels_jpeg_prog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PROGRESSIVE-JPEG decode (round-6 follow-through): the same
+    flat-block fixtures as mm_pixels_jpeg, but encoded as SOF2
+    multi-scan files — DC first + refinement scans, banded AC scans
+    with EOB runs shared across blocks (T.81 Annex G; jpeg.py). The
+    entropy layer is lossless, so the closed-form quantization
+    round-trip oracle holds VERBATIM for the progressive encoding —
+    one oracle value-gates two independent entropy decoders."""
+    from mwmbl_spark.multimodal import decode_image_real, synth_jpeg_payloads
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return decode_image_real(synth_jpeg_payloads(docs, progressive=True))
+
+
 def q_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize stage (binary-out mapInPandas): scaled dims + thumbnail
     byte count, value-gated (the thumb payload itself is engine-opaque;
@@ -4761,6 +4775,10 @@ SELECT doc_id, (bw * 8)::INT AS width, (bh * 8)::INT AS height,
        round(pixel_sum::DOUBLE / n_values, 6) AS mean_pixel
 FROM px"""
 
+# Progressive fixtures decode to the SAME pixels (lossless entropy
+# layer) — the oracle is the mm_pixels_jpeg formula verbatim.
+ORACLE["mm_pixels_jpeg_prog"] = ORACLE["mm_pixels_jpeg"]
+
 ORACLE["mm_resize"] = """
 WITH m AS (
   SELECT doc_id, octet_length(encode(text)) AS n FROM documents
@@ -4816,11 +4834,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # driver-green row is oldest. Re-rotate each round (move the keys of
     # the new CORRECTNESS_r{N}.json to the back) so every contract earns
     # a driver-green row at least once every two rounds. Round-6 NB: 12
-    # new contracts push the last 9 r04-window keys (simhash,
-    # embedding_topk, lsh_topk, pq_refine_topk, ivfpq_refine_topk,
-    # dedup_embedding, lang_id, text_features, token_stats) past
-    # position 50 — rotate them FIRST in round 7 (all nine were locally
-    # sweep-verified green this round at sf0.01).
+    # new contracts push the last 10 r04-window keys (dedup_groups,
+    # simhash, embedding_topk, lsh_topk, pq_refine_topk,
+    # ivfpq_refine_topk, dedup_embedding, lang_id, text_features,
+    # token_stats) past position 50 — rotate them FIRST in round 7
+    # (all ten were locally sweep-verified green this round at
+    # sf0.01).
     return {
         # -- round-6 new contracts land here (front of window) --
         "snippet_topk": _shipped(q_snippet_topk),
@@ -4832,6 +4851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_upserted_topk": _shipped(q_phrase_upserted_topk),
         "search_corrected": _shipped(q_search_corrected),
         "mm_pixels_jpeg": _shipped(q_mm_pixels_jpeg),
+        "mm_pixels_jpeg_prog": _shipped(q_mm_pixels_jpeg_prog),
         "hybrid_ann_topk": _shipped(q_hybrid_ann_topk),
         "proximity_topk": _shipped(q_proximity_topk),
         # -- last driver-verified in CORRECTNESS_r04 (oldest green) --

@@ -220,18 +220,29 @@ def synth_png_payloads(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
 RESIZE_OUT = "doc_id long, width int, height int, thumb binary"
 
 
-def synth_jpeg_payloads(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def synth_jpeg_payloads(
+    docs: DataFrame, id_col: str = "doc_id", progressive: bool = False
+) -> DataFrame:
     """Deterministic synthetic JPEG fixture (round-6): for each doc, a
-    baseline grayscale JPEG of FLAT 8x8 blocks — bw = doc_id % 3 + 1
+    grayscale JPEG of FLAT 8x8 blocks — bw = doc_id % 3 + 1
     blocks wide, bh = (doc_id // 3) % 2 + 1 blocks tall, block i
     (row-major) filled with v = (doc_id*29 + i*17) % 256, encoded with
     the tie-free QUANT_ORACLE table. A flat block decodes to the
     closed-form quantization round-trip of v (jpeg.py docstring), so
     pixel_sum/mean have an exact SQL restatement (the mm_pixels_jpeg
-    oracle) despite the codec being lossy."""
+    oracle) despite the codec being lossy. ``progressive=True`` emits
+    SOF2 multi-scan files (DC first + refine, banded AC with shared
+    EOB runs) — entropy coding is lossless, so the SAME oracle holds
+    verbatim (the mm_pixels_jpeg_prog contract)."""
     import numpy as np
 
-    from mwmbl_spark.jpeg import QUANT_ORACLE, encode_jpeg_gray
+    from mwmbl_spark.jpeg import (
+        QUANT_ORACLE,
+        encode_jpeg_gray,
+        encode_jpeg_gray_progressive,
+    )
+
+    enc = encode_jpeg_gray_progressive if progressive else encode_jpeg_gray
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -242,7 +253,7 @@ def synth_jpeg_payloads(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 bh = (d // 3) % 2 + 1
                 vals = ((d * 29 + np.arange(bw * bh) * 17) % 256).reshape(bh, bw)
                 img = np.repeat(np.repeat(vals, 8, 0), 8, 1).astype(np.uint8)
-                payloads.append(encode_jpeg_gray(img, quant=QUANT_ORACLE))
+                payloads.append(enc(img, quant=QUANT_ORACLE))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
     return docs.select(F.col(id_col).alias("doc_id")).mapInPandas(

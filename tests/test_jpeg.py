@@ -21,6 +21,7 @@ from mwmbl_spark.jpeg import (
     _magnitude,
     decode_jpeg,
     encode_jpeg_gray,
+    encode_jpeg_gray_progressive,
     flat_block_roundtrip,
 )
 
@@ -153,12 +154,79 @@ def test_color_420_decode():
 def test_unsupported_features_raise_named():
     img = np.zeros((8, 8), dtype=np.uint8)
     good = encode_jpeg_gray(img)
-    # progressive: swap SOF0 marker for SOF2
-    prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
-    with pytest.raises(NotImplementedError, match="progressive"):
-        decode_jpeg(prog)
+    # lossless (SOF3) and arithmetic (SOF9) still refuse by name
+    with pytest.raises(NotImplementedError, match="lossless"):
+        decode_jpeg(good.replace(b"\xff\xc0", b"\xff\xc3", 1))
+    with pytest.raises(NotImplementedError, match="arithmetic"):
+        decode_jpeg(good.replace(b"\xff\xc0", b"\xff\xc9", 1))
+    # SOF2 with a BASELINE scan header (Ss=0, Se=63) is malformed
+    # progressive — must fail loud, never misparse
+    with pytest.raises(ValueError, match="scan header"):
+        decode_jpeg(good.replace(b"\xff\xc0", b"\xff\xc2", 1))
     with pytest.raises(ValueError, match="SOI"):
         decode_jpeg(b"\x89PNG\r\n")
+
+
+def test_dequant_matches_manual_reference():
+    """Decoder == per-block manual quantize/dequantize/IDCT reference
+    on random content (regression: the first cut paired zigzag
+    coefficients with NATURAL-order quant entries, max pixel error 150
+    at quality 50 — flat blocks and smooth gradients never noticed)."""
+    from mwmbl_spark.jpeg import _T
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(16, 16)).astype(np.uint8)
+    dec = decode_jpeg(encode_jpeg_gray(img))
+    q = QUANT_LUMA.astype(float)
+    for by in range(0, 16, 8):
+        for bx in range(0, 16, 8):
+            block = img[by:by + 8, bx:bx + 8].astype(float) - 128
+            zz = np.round((_T @ block @ _T.T).reshape(64)[ZIGZAG] / q[ZIGZAG])
+            nat = np.zeros(64)
+            nat[ZIGZAG] = zz * q[ZIGZAG]
+            ref = np.clip(np.round(_T.T @ nat.reshape(8, 8) @ _T + 128), 0, 255)
+            assert np.array_equal(dec[by:by + 8, bx:bx + 8], ref)
+
+
+def test_progressive_decodes_identical_to_baseline():
+    """Entropy coding is lossless, so progressive and baseline
+    encodings of the same array must decode IDENTICALLY — across
+    successive-approximation depths, band splits, restart intervals,
+    odd dims, and both quant tables."""
+    rng = np.random.default_rng(42)
+    for shape in [(8, 8), (16, 16), (17, 23), (40, 56)]:
+        for qt in (None, QUANT_ORACLE):
+            img = rng.integers(0, 256, size=shape).astype(np.uint8)
+            base = decode_jpeg(encode_jpeg_gray(img, quant=qt))
+            prog = decode_jpeg(encode_jpeg_gray_progressive(img, quant=qt))
+            assert np.array_equal(base, prog), (shape, qt is None)
+    img = rng.integers(0, 256, size=(33, 41)).astype(np.uint8)
+    base = decode_jpeg(encode_jpeg_gray(img))
+    for kwargs in [
+        dict(dc_al=2, ac_al=2),           # two refinement passes per band
+        dict(bands=((1, 63),)),            # single full AC band
+        dict(restart_interval=3),          # RST markers in every scan
+        dict(dc_al=0, ac_al=0),            # spectral selection only
+        dict(dc_al=2, ac_al=1, restart_interval=2,
+             bands=((1, 2), (3, 20), (21, 63))),
+    ]:
+        prog = decode_jpeg(encode_jpeg_gray_progressive(img, **kwargs))
+        assert np.array_equal(base, prog), kwargs
+
+
+def test_progressive_flat_blocks_closed_form():
+    """Flat-block fixtures through the PROGRESSIVE codec hit the same
+    closed-form oracle as baseline (all-zero AC bands -> one shared
+    EOB run across every block — the EOBn path the Annex-K table
+    can't even express)."""
+    rng = np.random.default_rng(5)
+    vals = rng.integers(0, 256, size=(2, 3))
+    img = np.repeat(np.repeat(vals, 8, 0), 8, 1).astype(np.uint8)
+    dec = decode_jpeg(encode_jpeg_gray_progressive(img, quant=QUANT_ORACLE))
+    want = np.repeat(
+        np.repeat(np.vectorize(flat_block_roundtrip)(vals), 8, 0), 8, 1
+    )
+    assert np.array_equal(dec, want)
 
 
 def test_spark_decode_matches_oracle_formula(spark):
