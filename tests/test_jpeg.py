@@ -151,6 +151,85 @@ def test_color_420_decode():
     assert px[0] == r and px[2] == b
 
 
+def _make_color_420_progressive(y_val: int, cb_val: int, cr_val: int) -> bytes:
+    """Hand-assemble a PROGRESSIVE 16x16 4:2:0 JPEG: one interleaved
+    DC scan (ns=3 — the multi-component MCU branch of the progressive
+    decoder) followed by three per-component AC scans (all-zero bands
+    for flat planes -> a pure EOB run each). Unit quant, Al=0."""
+    from mwmbl_spark.jpeg import _AC_PROG_BITS, _AC_PROG_VALS
+
+    q = np.ones(64, dtype=np.int64)
+    dc_codes = _build_codes(_DC_BITS, _DC_VALS)
+    ac_codes = _build_codes(_AC_PROG_BITS, _AC_PROG_VALS)
+
+    def dc_of(v):
+        return int(np.round((v - 128.0) * 8.0))
+
+    # scan 1: interleaved DC first (Ss=0 Se=0 Ah=0 Al=0), one MCU
+    bw = _BitWriter()
+    dcs = {1: 0, 2: 0, 3: 0}
+    for cid, v in ((1, y_val), (1, y_val), (1, y_val), (1, y_val),
+                   (2, cb_val), (3, cr_val)):
+        size, bits = _magnitude(dc_of(v) - dcs[cid])
+        c, ln = dc_codes[size]
+        bw.write(c, ln)
+        if size:
+            bw.write(bits, size)
+        dcs[cid] = dc_of(v)
+    dc_scan = (
+        b"\xff\xda" + struct.pack(">HB", 12, 3)
+        + bytes([1, 0x00, 2, 0x00, 3, 0x00, 0, 0, 0x00])
+        + bw.flush()
+    )
+
+    # per-component AC first scans 1..63: flat planes -> every block's
+    # band is all-zero -> a single EOB1 symbol covers all its blocks
+    ac_scans = b""
+    for cid, nblocks in ((1, 4), (2, 1), (3, 1)):
+        bw = _BitWriter()
+        n = nblocks
+        nbits = n.bit_length() - 1
+        c, ln = ac_codes[nbits << 4]
+        bw.write(c, ln)
+        if nbits:
+            bw.write(n, nbits)
+        ac_scans += (
+            b"\xff\xda" + struct.pack(">HB", 8, 1)
+            + bytes([cid, 0x00, 1, 63, 0x00])
+            + bw.flush()
+        )
+
+    from mwmbl_spark.jpeg import _dht_segment as dht
+
+    dqt = b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(
+        int(x) for x in q.reshape(64)[ZIGZAG]
+    )
+    sof = (
+        b"\xff\xc2"
+        + struct.pack(">HBHHB", 17, 8, 16, 16, 3)
+        + bytes([1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0])
+    )
+    return (
+        b"\xff\xd8" + dqt + sof
+        + dht(0x00, _DC_BITS, _DC_VALS)
+        + dht(0x10, _AC_PROG_BITS, _AC_PROG_VALS)
+        + dc_scan + ac_scans + b"\xff\xd9"
+    )
+
+
+def test_color_420_progressive_decode():
+    """The progressive decoder's interleaved-DC (multi-component MCU)
+    branch: flat 4:2:0 planes across an interleaved DC scan + three
+    non-interleaved AC scans must reproduce the baseline color
+    fixture's exact BT.601 output."""
+    rgb = decode_jpeg(_make_color_420_progressive(120, 128, 128))
+    assert rgb.shape == (16, 16, 3)
+    assert np.all(rgb == 120)
+    rgb2 = decode_jpeg(_make_color_420_progressive(120, 100, 180))
+    base = decode_jpeg(_make_color_420(120, 100, 180))
+    assert np.array_equal(rgb2, base)
+
+
 def test_unsupported_features_raise_named():
     img = np.zeros((8, 8), dtype=np.uint8)
     good = encode_jpeg_gray(img)
