@@ -12,6 +12,9 @@ What each number means:
   candidate-grain × n_facets, grows with matching docs, not corpus.
 - ``mlt_s``: 4-seed more-like-this serve — reads the seeds' posting
   rows + the selected (rare) terms' posting lists.
+- ``mlt_wand_s``: the same 4 seeds served FROM THE INDEX
+  (more_like_this_wand: bucket-pruned segment scan + block-max
+  pruning) — the 100x-scale form; rank-identical to ``mlt_s``.
 - ``passage_pipeline_s``: the one-shot passage-grain query — shatter
   (32-token windows, stride 16, struct ids: the corpus uses hashed
   64-bit doc ids, the exact case packed ids cannot survive) → passage
@@ -39,7 +42,8 @@ from mwmbl_spark.operators import bm25 as bm25_ops  # noqa: E402
 from mwmbl_spark.operators import postings as post_ops  # noqa: E402
 from mwmbl_spark.operators.bm25 import query_terms  # noqa: E402
 from mwmbl_spark.operators.facets import facet_counts  # noqa: E402
-from mwmbl_spark.operators.mlt import more_like_this  # noqa: E402
+from mwmbl_spark.operators.mlt import more_like_this, more_like_this_wand  # noqa: E402
+from mwmbl_spark.operators.segments import build_segments, write_segments  # noqa: E402
 from mwmbl_spark.operators.passages import build_passages  # noqa: E402
 from mwmbl_spark.operators.snippets import best_window_snippets  # noqa: E402
 from mwmbl_spark.synth import synth_transcripts, with_doc_id  # noqa: E402
@@ -155,6 +159,26 @@ def main() -> None:
             ).count()
         )
 
+        # index-served MLT: the extracted terms ride the WAND segment
+        # path (bucket-pruned scan + block-max pruning) instead of
+        # joining the raw posting relation — the 100x-scale form
+        nb_seg, nsalt = 32, 8
+        write_segments(
+            build_segments(
+                p, dl, stats, cs.n_docs, cs.avg_doc_len, nb_seg, nsalt
+            )
+            .repartition(nb_seg, "bucket")
+            .sortWithinPartitions("bucket", "term", "salt"),
+            f"{tmp}/segments",
+        )
+        bsegs = spark.read.parquet(f"{tmp}/segments")
+        mlt_wand_s = run(
+            lambda: more_like_this_wand(
+                src, bsegs, p, stats, cs.n_docs, cs.avg_doc_len,
+                top_terms=5, k=10, num_buckets=nb_seg,
+            ).count()
+        )
+
         # passage-grain pipeline, one shot (shatter -> stats -> serve);
         # struct ids: synth doc ids are hashed 64-bit, packing overflows
         def passage_pipeline() -> int:
@@ -189,6 +213,7 @@ def main() -> None:
                     "snippet_attach_store_s": round(snippet_attach_store_s, 3),
                     "facet_s": round(facet_s, 3),
                     "mlt_s": round(mlt_s, 3),
+                    "mlt_wand_s": round(mlt_wand_s, 3),
                     "passage_pipeline_s": round(passage_pipeline_s, 3),
                     "cores": cores,
                 }
