@@ -2023,6 +2023,33 @@ def q_mm_pixels_jpeg_prog(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_image_real(synth_jpeg_payloads(docs, progressive=True))
 
 
+def q_mm_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PCM audio decode (round-6): deterministic mono 16-bit WAV
+    fixtures (multimodal.synth_wav_payloads) decoded by the
+    dependency-free RIFF parser (mwmbl_spark/riffav.py, stdlib
+    struct + NumPy). Integer PCM has no lossy layer, so sample sum /
+    sum-of-squares / peak are EXACT and the oracle restates them in
+    closed form — the audio modality's synth_png_payloads moment."""
+    from mwmbl_spark.multimodal import decode_audio_real, synth_wav_payloads
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return decode_audio_real(synth_wav_payloads(docs))
+
+
+def q_mm_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame-sample + decode (round-6): MJPEG-AVI fixtures
+    (multimodal.synth_avi_payloads — flat-block JPEG frames, EVEN
+    frames baseline-coded and ODD frames progressive, so both entropy
+    decoders run inside the video path) walked by the stdlib RIFF
+    parser; every second frame (every_n=2) decodes through
+    mwmbl_spark/jpeg.py to closed-form pixel sums. Converts the
+    frame_sample_stub fan-out into a real decode contract."""
+    from mwmbl_spark.multimodal import decode_video_frames_real, synth_avi_payloads
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return decode_video_frames_real(synth_avi_payloads(docs), every_n=2)
+
+
 def q_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize stage (binary-out mapInPandas): scaled dims + thumbnail
     byte count, value-gated (the thumb payload itself is engine-opaque;
@@ -4779,6 +4806,46 @@ FROM px"""
 # layer) — the oracle is the mm_pixels_jpeg formula verbatim.
 ORACLE["mm_pixels_jpeg_prog"] = ORACLE["mm_pixels_jpeg"]
 
+ORACLE["mm_audio_stats"] = """
+WITH dims AS (
+  SELECT doc_id,
+         (doc_id % 50 + 10)::INT AS n,
+         (16000 + (doc_id % 4) * 8000)::INT AS rate
+  FROM documents
+),
+s AS (
+  SELECT doc_id, n, rate,
+         ((doc_id * 37 + i.i * 11) % 4096 - 2048) AS v
+  FROM dims, unnest(generate_series(0, n - 1)) AS i(i)
+)
+SELECT doc_id, rate AS sample_rate, 1 AS channels,
+       n::BIGINT AS n_samples,
+       sum(v)::BIGINT AS sample_sum,
+       sum(v * v)::BIGINT AS sample_sq_sum,
+       max(abs(v))::BIGINT AS peak
+FROM s GROUP BY doc_id, rate, n"""
+
+# One flat 8x8 block per frame; every second frame kept (every_n=2);
+# the same tie-free quantization round-trip as the JPEG pixel oracles.
+ORACLE["mm_video_frames"] = """
+WITH f AS (
+  SELECT doc_id, (doc_id % 4 + 2)::INT AS nf FROM documents
+),
+fr AS (
+  SELECT doc_id, k.k AS frame_idx, (doc_id * 13 + k.k * 29) % 256 AS v
+  FROM f, unnest(generate_series(0, nf - 1)) AS k(k)
+  WHERE k.k % 2 = 0
+),
+rt AS (
+  SELECT doc_id, frame_idx,
+         greatest(0, least(255,
+           round(round((v - 128) * 8.0 / 24) * 24 / 8.0) + 128)) AS pv
+  FROM fr
+)
+SELECT doc_id, frame_idx::INT AS frame_idx, 8 AS width, 8 AS height,
+       (pv * 64)::BIGINT AS pixel_sum
+FROM rt"""
+
 ORACLE["mm_resize"] = """
 WITH m AS (
   SELECT doc_id, octet_length(encode(text)) AS n FROM documents
@@ -4834,12 +4901,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # driver-green row is oldest. Re-rotate each round (move the keys of
     # the new CORRECTNESS_r{N}.json to the back) so every contract earns
     # a driver-green row at least once every two rounds. Round-6 NB: 12
-    # new contracts push the last 10 r04-window keys (dedup_groups,
-    # simhash, embedding_topk, lsh_topk, pq_refine_topk,
-    # ivfpq_refine_topk, dedup_embedding, lang_id, text_features,
-    # token_stats) past position 50 — rotate them FIRST in round 7
-    # (all ten were locally sweep-verified green this round at
-    # sf0.01).
+    # new contracts push the last 13 r04-window keys (dedup_exact,
+    # dedup_minhash, dedup_incremental, dedup_groups, simhash,
+    # embedding_topk, lsh_topk, pq_refine_topk, ivfpq_refine_topk,
+    # dedup_embedding, lang_id, text_features, token_stats) past
+    # position 50 — rotate them FIRST in round 7 (all thirteen were
+    # locally sweep-verified green this round at sf0.01).
     return {
         # -- round-6 new contracts land here (front of window) --
         "snippet_topk": _shipped(q_snippet_topk),
@@ -4852,6 +4919,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_corrected": _shipped(q_search_corrected),
         "mm_pixels_jpeg": _shipped(q_mm_pixels_jpeg),
         "mm_pixels_jpeg_prog": _shipped(q_mm_pixels_jpeg_prog),
+        "mm_audio_stats": _shipped(q_mm_audio_stats),
+        "mm_video_frames": _shipped(q_mm_video_frames),
         "hybrid_ann_topk": _shipped(q_hybrid_ann_topk),
         "proximity_topk": _shipped(q_proximity_topk),
         # -- last driver-verified in CORRECTNESS_r04 (oldest green) --

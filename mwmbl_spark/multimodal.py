@@ -13,6 +13,13 @@ closed-form SQL oracle; non-PNG formats without Pillow still raise the
 honest dependency error. ``resize_image_real`` is a real
 nearest-neighbor downsample over decoded pixels, re-encoded as PNG.
 
+REAL audio + video decode (round-6): ``decode_audio_real`` (PCM WAV
+via mwmbl_spark/riffav.py — exact integer sample statistics) and
+``decode_video_frames_real`` (MJPEG-AVI: RIFF container walk + the
+repo's own JPEG codec per frame, baseline AND progressive). With
+png.py/jpeg.py this makes all four modalities real, value-gated
+decode paths; foreign codecs still raise the honest dependency error.
+
 The earlier plumbing stubs remain for schema/fan-out testing:
 ``decode_image_meta`` (byte-length-derived fake metadata),
 ``resize_stub``, ``frame_sample_stub``.
@@ -306,3 +313,159 @@ def frame_sample_stub(media: DataFrame, every_n_bytes: int = 97) -> DataFrame:
             yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "frame"])
 
     return media.mapInPandas(batches, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# REAL audio + video decode (round-6: RIFF codecs, mwmbl_spark/riffav.py)
+# ---------------------------------------------------------------------------
+
+AUDIO_OUT = (
+    "doc_id long, sample_rate int, channels int, n_samples long, "
+    "sample_sum long, sample_sq_sum long, peak long"
+)
+
+
+def synth_wav_payloads(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic PCM-WAV fixture: per doc, a mono 16-bit file with
+    n = doc_id % 50 + 10 samples, sample i = (doc_id*37 + i*11) % 4096
+    - 2048, rate 16000 + (doc_id % 4)*8000. Integer PCM decodes
+    exactly, so sum / sum-of-squares / peak have exact SQL
+    restatements (the mm_audio_stats oracle)."""
+    import numpy as np
+
+    from mwmbl_spark.riffav import encode_wav_pcm
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = d % 50 + 10
+                samples = (d * 37 + np.arange(n) * 11) % 4096 - 2048
+                payloads.append(
+                    encode_wav_pcm(samples, 16_000 + (d % 4) * 8_000)
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        batches, schema="doc_id long, payload binary"
+    ).select(
+        "doc_id",
+        F.lit("audio/wav").alias("media_type"),
+        "payload",
+        F.struct(
+            F.lit("synthetic-wav").alias("source"),
+            F.lit(None).cast("int").alias("declared_w"),
+            F.lit(None).cast("int").alias("declared_h"),
+        ).alias("meta"),
+    )
+
+
+def decode_audio_real(media: DataFrame) -> DataFrame:
+    """REAL PCM decode (stdlib struct + NumPy, riffav.decode_wav):
+    per-payload integer sample statistics. Exact by construction —
+    16-bit PCM has no lossy layer — so every output column is
+    oracle-checkable."""
+    import numpy as np
+
+    from mwmbl_spark.riffav import decode_wav
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                a, rate = decode_wav(bytes(payload))
+                v = a.astype(np.int64)
+                rows.append((
+                    doc_id, rate, a.shape[1], a.shape[0],
+                    int(v.sum()), int((v * v).sum()),
+                    int(np.abs(v).max()) if a.size else 0,
+                ))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "sample_rate", "channels", "n_samples",
+                "sample_sum", "sample_sq_sum", "peak",
+            ])
+
+    return media.mapInPandas(batches, schema=AUDIO_OUT)
+
+
+VIDEO_FRAMES_OUT = (
+    "doc_id long, frame_idx int, width int, height int, pixel_sum long"
+)
+
+
+def synth_avi_payloads(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic MJPEG-AVI fixture: per doc, doc_id % 4 + 2 frames,
+    frame f a FLAT 8x8 JPEG of value (doc_id*13 + f*29) % 256 with the
+    tie-free QUANT_ORACLE table — even frames baseline-encoded, odd
+    frames PROGRESSIVE (both entropy decoders run inside the video
+    path). Flat blocks make per-frame pixel sums closed-form (the
+    mm_video_frames oracle)."""
+    import numpy as np
+
+    from mwmbl_spark.jpeg import (
+        QUANT_ORACLE,
+        encode_jpeg_gray,
+        encode_jpeg_gray_progressive,
+    )
+    from mwmbl_spark.riffav import encode_avi_mjpeg
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                frames = []
+                for f in range(d % 4 + 2):
+                    v = (d * 13 + f * 29) % 256
+                    img = np.full((8, 8), v, dtype=np.uint8)
+                    enc = (
+                        encode_jpeg_gray_progressive if f % 2
+                        else encode_jpeg_gray
+                    )
+                    frames.append(enc(img, quant=QUANT_ORACLE))
+                payloads.append(encode_avi_mjpeg(frames, 8, 8))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        batches, schema="doc_id long, payload binary"
+    ).select(
+        "doc_id",
+        F.lit("video/avi").alias("media_type"),
+        "payload",
+        F.struct(
+            F.lit("synthetic-avi").alias("source"),
+            F.lit(None).cast("int").alias("declared_w"),
+            F.lit(None).cast("int").alias("declared_h"),
+        ).alias("meta"),
+    )
+
+
+def decode_video_frames_real(media: DataFrame, every_n: int = 1) -> DataFrame:
+    """REAL frame-sample + decode (riffav.decode_avi_frames + the JPEG
+    codec): one row per kept frame (frame_idx % every_n == 0) with its
+    decoded pixel statistics — the 1->N fan-out of frame_sample_stub
+    made real. Container walk and JPEG decode are both stdlib-only;
+    non-MJPEG codecs raise by name (PyAV/ffmpeg at scale)."""
+    import numpy as np
+
+    from mwmbl_spark.jpeg import decode_jpeg
+    from mwmbl_spark.riffav import decode_avi_frames
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                for k, fb in enumerate(decode_avi_frames(bytes(payload))):
+                    if k % every_n:
+                        continue
+                    px = decode_jpeg(fb)
+                    rows.append((
+                        doc_id, k, px.shape[1], px.shape[0],
+                        int(px.astype(np.int64).sum()),
+                    ))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "frame_idx", "width", "height", "pixel_sum",
+            ])
+
+    return media.mapInPandas(batches, schema=VIDEO_FRAMES_OUT)
