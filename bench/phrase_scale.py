@@ -81,9 +81,12 @@ def main() -> None:
             )
             return time.perf_counter() - t0
 
-        # min of 2 per variant — the first build of a fresh JVM pays
-        # codegen/JIT warmup, which would otherwise bill whichever
-        # variant runs first
+        # one DISCARDED warmup build (codegen/JIT), then min of 2
+        # per variant — without the discard, whichever variant runs
+        # first absorbs all warmup and the overhead ratio even
+        # inverts (a 0.72x "overhead" was measured with plain first)
+        built(True, f"{tmp}/warmup")
+        shutil.rmtree(f"{tmp}/warmup", ignore_errors=True)
         plain_s = min(built(False, f"{tmp}/plain") for _ in range(2))
         pos_s = min(built(True, f"{tmp}/positional") for _ in range(2))
         plain_b, pos_b = _du(f"{tmp}/plain"), _du(f"{tmp}/positional")
