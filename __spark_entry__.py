@@ -163,6 +163,12 @@ TYPO_QUERIES: list[tuple[int, str]] = [
     (2, "tabel jion"),  # transpositions: distance 2, no suggestion at max_edit=1
 ]
 
+COMPOUND_QUERIES: list[tuple[int, str]] = [
+    (0, "scanjoin sortkey"),      # both split: scan|join, sort|key
+    (1, "valueline zzzqqq"),      # value|line; zzzqqq has no valid split
+    (2, "window partorder"),      # 'window' is IN-vocab (excluded); part|order
+]
+
 
 def _bm25_inputs(spark: SparkSession, sf_dir: str):
     t = _docs_as_transcripts(spark, sf_dir)
@@ -235,6 +241,34 @@ def q_spell_correct(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = post_ops.term_stats(post_ops.build_postings(t))
     tq = spark.createDataFrame(TYPO_QUERIES, "query_id long, query string")
     return spell_corrections(tq, stats, n=3)
+
+
+def q_spell_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compound-word SEGMENTATION (round-6, SymSpell WordSegmentation
+    two-word case): OOV query terms split at every interior position;
+    splits whose halves are BOTH vocabulary terms rank by joint
+    document frequency. In-vocab terms are excluded up front;
+    unsplittable junk emits nothing. Query-grain split rows broadcast
+    into two vocabulary-grain joins — no vocab self-join."""
+    from mwmbl_spark.operators.spell import segment_compound
+
+    t = _docs_as_transcripts(spark, sf_dir)
+    stats = post_ops.term_stats(post_ops.build_postings(t))
+    cq = spark.createDataFrame(COMPOUND_QUERIES, "query_id long, query string")
+    return segment_compound(cq, stats, n=2)
+
+
+def q_mm_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strided audio ENERGY WINDOWS (round-6): the audio analogue of
+    passage shatter — window k covers samples [k*8, k*8+16) of the
+    decoded PCM fixture; per-window sum-of-squares and peak are exact
+    integers, so the whole 1->N fan-out is stated in closed form by
+    the oracle (the statistic a VAD / audio-quality filter thresholds
+    on at pipeline scale)."""
+    from mwmbl_spark.multimodal import audio_energy_windows, synth_wav_payloads
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return audio_energy_windows(synth_wav_payloads(docs), window=16, stride=8)
 
 
 def q_wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2699,6 +2733,64 @@ ranked AS (
 SELECT query_id, qterm, suggestion, df, distance, rank
 FROM ranked WHERE rank <= 3"""
 
+_COMPOUND_VALUES = ", ".join(f"({q}, '{s}')" for q, s in COMPOUND_QUERIES)
+
+ORACLE["spell_segment"] = f"""
+WITH {_POST_SQL},
+stats AS (SELECT term, count(*) AS df FROM post GROUP BY term),
+vocab AS (SELECT term, df FROM stats WHERE length(term) <= 32),
+tq(query_id, query) AS (VALUES {_COMPOUND_VALUES}),
+qterm AS (
+  SELECT DISTINCT query_id, t.term AS qterm
+  FROM tq, unnest(list_filter(string_split_regex(lower(trim(query)), '\\s+'),
+                              x -> x <> '')) AS t(term)
+),
+oov AS (
+  SELECT q.* FROM qterm q LEFT JOIN vocab v ON v.term = q.qterm
+  WHERE v.term IS NULL
+),
+splits AS (
+  SELECT query_id, qterm, i.i::INT AS split_pos,
+         substr(qterm, 1, i.i::INT) AS left_term,
+         substr(qterm, i.i::INT + 1) AS right_term
+  FROM oov, unnest(generate_series(1, length(qterm) - 1)) AS i(i)
+  WHERE length(qterm) >= 2
+),
+cand AS (
+  SELECT s.query_id, s.qterm, s.split_pos, s.left_term, s.right_term,
+         vl.df AS df_left, vr.df AS df_right
+  FROM splits s
+  JOIN vocab vl ON vl.term = s.left_term
+  JOIN vocab vr ON vr.term = s.right_term
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id, qterm
+                               ORDER BY df_left * df_right DESC, split_pos)
+            AS rank
+  FROM cand
+)
+SELECT query_id, qterm, split_pos, left_term, right_term,
+       df_left, df_right, rank
+FROM ranked WHERE rank <= 2"""
+
+ORACLE["mm_audio_windows"] = """
+WITH dims AS (
+  SELECT doc_id, (doc_id % 50 + 10)::INT AS n FROM documents
+),
+win AS (
+  SELECT doc_id, n, k.k::INT AS win_idx, (k.k * 8)::INT AS start
+  FROM dims, unnest(generate_series(0, (n + 7) // 8 - 1)) AS k(k)
+),
+s AS (
+  SELECT w.doc_id, w.win_idx, w.start,
+         ((w.doc_id * 37 + i.i * 11) % 4096 - 2048) AS v
+  FROM win w,
+       unnest(generate_series(w.start, least(w.start + 16, w.n) - 1)) AS i(i)
+)
+SELECT doc_id, win_idx, start, count(*)::INT AS n_samples,
+       sum(v * v)::BIGINT AS energy_sum, max(abs(v))::BIGINT AS peak
+FROM s GROUP BY doc_id, win_idx, start"""
+
 # streamed-then-queried index == plain BM25 over the final corpus state
 # (epoch 2 re-crawled every doc_id%10==3 through the streaming upsert)
 ORACLE["stream_topk"] = _bm25_sql("", ordered=True, src="stream_docs", prelude="""
@@ -4901,12 +4993,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # driver-green row is oldest. Re-rotate each round (move the keys of
     # the new CORRECTNESS_r{N}.json to the back) so every contract earns
     # a driver-green row at least once every two rounds. Round-6 NB: 12
-    # new contracts push the last 13 r04-window keys (dedup_exact,
-    # dedup_minhash, dedup_incremental, dedup_groups, simhash,
-    # embedding_topk, lsh_topk, pq_refine_topk, ivfpq_refine_topk,
-    # dedup_embedding, lang_id, text_features, token_stats) past
-    # position 50 — rotate them FIRST in round 7 (all thirteen were
-    # locally sweep-verified green this round at sf0.01).
+    # new contracts push the last 15 r04-window keys (session_stats,
+    # transitions, dedup_exact, dedup_minhash, dedup_incremental,
+    # dedup_groups, simhash, embedding_topk, lsh_topk, pq_refine_topk,
+    # ivfpq_refine_topk, dedup_embedding, lang_id, text_features,
+    # token_stats) past position 50 — rotate them FIRST in round 7.
+    # ALL 113 keys then present were locally verified green at sf0.01
+    # via a FULL tools/check_contract.py sweep this round (the 2 added
+    # after the sweep — spell_segment, mm_audio_windows — verified
+    # individually at sf0.001+sf0.01), so nothing pushed out is
+    # unverified on round-6 code.
     return {
         # -- round-6 new contracts land here (front of window) --
         "snippet_topk": _shipped(q_snippet_topk),
@@ -4921,6 +5017,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_pixels_jpeg_prog": _shipped(q_mm_pixels_jpeg_prog),
         "mm_audio_stats": _shipped(q_mm_audio_stats),
         "mm_video_frames": _shipped(q_mm_video_frames),
+        "mm_audio_windows": _shipped(q_mm_audio_windows),
+        "spell_segment": _shipped(q_spell_segment),
         "hybrid_ann_topk": _shipped(q_hybrid_ann_topk),
         "proximity_topk": _shipped(q_proximity_topk),
         # -- last driver-verified in CORRECTNESS_r04 (oldest green) --

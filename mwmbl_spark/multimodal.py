@@ -469,3 +469,47 @@ def decode_video_frames_real(media: DataFrame, every_n: int = 1) -> DataFrame:
             ])
 
     return media.mapInPandas(batches, schema=VIDEO_FRAMES_OUT)
+
+
+AUDIO_WINDOWS_OUT = (
+    "doc_id long, win_idx int, start int, n_samples int, "
+    "energy_sum long, peak long"
+)
+
+
+def audio_energy_windows(
+    media: DataFrame, window: int = 16, stride: int = 8
+) -> DataFrame:
+    """Strided energy windows over decoded PCM — the audio analogue of
+    the passage shatter (a 1->N fan-out at sample grain): window k
+    covers samples [k*stride, min(k*stride+window, n)), one window per
+    stride while any sample remains. Per window: sum of squared
+    samples over ALL channels (the energy a VAD / quality filter
+    thresholds on) and peak |amplitude|. Integer PCM makes both exact,
+    so the whole fan-out is oracle-checkable (mm_audio_windows)."""
+    import numpy as np
+
+    from mwmbl_spark.riffav import decode_wav
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                a, _rate = decode_wav(bytes(payload))
+                v = a.astype(np.int64)
+                n = v.shape[0]
+                k = 0
+                while k * stride < n:
+                    s = k * stride
+                    w = v[s:s + window]
+                    rows.append((
+                        doc_id, k, s, w.shape[0],
+                        int((w * w).sum()), int(np.abs(w).max()),
+                    ))
+                    k += 1
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "win_idx", "start", "n_samples",
+                "energy_sum", "peak",
+            ])
+
+    return media.mapInPandas(batches, schema=AUDIO_WINDOWS_OUT)

@@ -101,3 +101,69 @@ def spell_corrections(
         .where(F.col("rank") <= n)
         .select("query_id", "qterm", "suggestion", "df", "distance", "rank")
     )
+
+
+def segment_compound(
+    queries: DataFrame,
+    stats: DataFrame,
+    n: int = 1,
+    max_term_len: int = MAX_TERM_LEN,
+) -> DataFrame:
+    """Compound-word segmentation for OOV query terms (the SymSpell
+    WordSegmentation idea, two-word case): "sparkdata" -> "spark
+    data". Every interior split position of an out-of-vocabulary
+    query term is tried; a split survives if BOTH halves are
+    vocabulary terms, ranked by joint document frequency
+    (df_left * df_right desc, then split_pos asc — the
+    most-common-decomposition-wins rule). Returns (query_id, qterm,
+    split_pos, left_term, right_term, df_left, df_right, rank).
+
+    Scale shape: OOV terms x (len-1) split rows are query-grain and
+    broadcast into TWO vocabulary-grain joins (left half, then right
+    half against the colliding subset) — no vocabulary self-join, no
+    pairwise compare, same envelope as spell_corrections. In-vocab
+    terms are excluded up front (left_anti against the vocabulary):
+    a dictionary word needs no segmentation."""
+    vocab = stats.select("term", "df").where(F.length("term") <= max_term_len)
+    qt = (
+        query_terms(queries)
+        .select("query_id", F.col("term").alias("qterm"))
+        .distinct()
+    )
+    oov = qt.join(
+        vocab.select(F.col("term").alias("qterm")), "qterm", "left_anti"
+    )
+    splits = (
+        oov.where(F.length("qterm") >= 2)
+        .select(
+            "query_id",
+            "qterm",
+            F.explode(
+                F.sequence(F.lit(1), F.length("qterm") - 1)
+            ).alias("split_pos"),
+        )
+        .select(
+            "query_id",
+            "qterm",
+            "split_pos",
+            F.expr("substr(qterm, 1, split_pos)").alias("left_term"),
+            F.expr("substr(qterm, split_pos + 1)").alias("right_term"),
+        )
+    )
+    half1 = vocab.select(
+        F.col("term").alias("left_term"), F.col("df").alias("df_left")
+    ).join(F.broadcast(splits), "left_term")
+    cand = vocab.select(
+        F.col("term").alias("right_term"), F.col("df").alias("df_right")
+    ).join(F.broadcast(half1), "right_term")
+    w = Window.partitionBy("query_id", "qterm").orderBy(
+        F.desc(F.col("df_left") * F.col("df_right")), F.asc("split_pos")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= n)
+        .select(
+            "query_id", "qterm", "split_pos", "left_term", "right_term",
+            "df_left", "df_right", "rank",
+        )
+    )

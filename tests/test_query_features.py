@@ -244,3 +244,64 @@ def test_phrase_match_uses_corpus_tokenizer(spark):
     # attached: 'hello,' != 'hello', so only the clean second run hits
     out = phrase_match(docs, [(0, "HELLO world")]).collect()
     assert [(r["doc_id"], r["n_matches"], r["first_pos"]) for r in out] == [(7, 1, 3)]
+
+
+def test_segment_compound_splits_and_ranks(spark):
+    """'abc' with vocab {a, ab, b, bc, c}: two valid splits — a|bc and
+    ab|c — ranked by df product; in-vocab and unsplittable terms emit
+    nothing."""
+    from mwmbl_spark.operators.spell import segment_compound
+
+    # dfs: a=1, ab=3, b=1, bc=2, c=1 -> ab|c (3) beats a|bc (2)
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "ab bc"), (3, "ab"), (4, "ab bc")],
+        "doc_id long, text string",
+    )
+    stats = post_ops.term_stats(post_ops.build_postings(docs))
+    q = spark.createDataFrame(
+        [(0, "abc zz ab")], "query_id long, query string"
+    )
+    out = sorted(
+        (r["qterm"], r["rank"], r["left_term"], r["right_term"],
+         r["df_left"], r["df_right"])
+        for r in segment_compound(q, stats, n=2).collect()
+    )
+    # 'zz' unsplittable (z not in vocab), 'ab' in-vocab -> only 'abc'
+    assert out == [
+        ("abc", 1, "ab", "c", 3, 1),
+        ("abc", 2, "a", "bc", 1, 2),
+    ]
+
+
+def test_segment_compound_tie_breaks_on_split_pos(spark):
+    from mwmbl_spark.operators.spell import segment_compound
+
+    # dfs all 1: a|bc and ab|c tie on product -> earlier split wins
+    docs = spark.createDataFrame(
+        [(1, "a ab b bc c")], "doc_id long, text string"
+    )
+    stats = post_ops.term_stats(post_ops.build_postings(docs))
+    q = spark.createDataFrame([(0, "abc")], "query_id long, query string")
+    out = segment_compound(q, stats, n=1).collect()
+    assert [(r["split_pos"], r["left_term"], r["right_term"]) for r in out] == [
+        (1, "a", "bc")
+    ]
+
+
+def test_segment_compound_plan_no_cartesian(spark):
+    """Two broadcast joins at vocabulary grain — never a cartesian."""
+    import contextlib
+    import io
+
+    from mwmbl_spark.operators.spell import segment_compound
+
+    docs = spark.createDataFrame([(1, "a b ab")], "doc_id long, text string")
+    stats = post_ops.term_stats(post_ops.build_postings(docs))
+    q = spark.createDataFrame([(0, "ab cd")], "query_id long, query string")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        segment_compound(q, stats).explain("formatted")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan

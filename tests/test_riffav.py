@@ -109,3 +109,28 @@ def test_spark_video_frames_match_formula(spark):
         v = (d * 13 + f * 29) % 256
         assert (r["width"], r["height"]) == (8, 8)
         assert r["pixel_sum"] == 64 * flat_block_roundtrip(v), (d, f)
+
+
+def test_spark_audio_energy_windows_match_formula(spark):
+    """Strided windows: boundaries, short tails, exact integer
+    energy/peak per window."""
+    from pyspark.sql import functions as F
+
+    from mwmbl_spark.multimodal import audio_energy_windows, synth_wav_payloads
+
+    docs = spark.range(0, 15).select(F.col("id").alias("doc_id"))
+    rows = audio_energy_windows(
+        synth_wav_payloads(docs), window=16, stride=8
+    ).collect()
+    got = {(r["doc_id"], r["win_idx"]): r for r in rows}
+    for d in range(15):
+        n = d % 50 + 10
+        v = (d * 37 + np.arange(n) * 11) % 4096 - 2048
+        n_win = -(-n // 8)
+        assert {k[1] for k in got if k[0] == d} == set(range(n_win)), d
+        for k in range(n_win):
+            w = v[k * 8:k * 8 + 16]
+            r = got[(d, k)]
+            assert (r["start"], r["n_samples"]) == (k * 8, len(w))
+            assert r["energy_sum"] == int((w.astype(np.int64) ** 2).sum())
+            assert r["peak"] == int(np.abs(w).max())
