@@ -169,6 +169,17 @@ COMPOUND_QUERIES: list[tuple[int, str]] = [
     (2, "window partorder"),      # 'window' is IN-vocab (excluded); part|order
 ]
 
+# compound variants of QUERY_SET queries (round-6 search_segmented
+# contract): one missing-space OOV term each, both halves in the
+# search corpus vocabulary, so the split binds and retrieval recovers
+# the intended docs
+SEGMENT_QUERY_SET: list[tuple[int, str]] = [
+    (0, "keyvalue store"),
+    (1, "mergesort table"),
+    (2, "the slowscan"),
+    (3, "fast windowagg"),
+]
+
 
 def _bm25_inputs(spark: SparkSession, sf_dir: str):
     t = _docs_as_transcripts(spark, sf_dir)
@@ -789,6 +800,23 @@ def q_search_corrected(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search(
         spark, _web_docs(spark, sf_dir), qdf, k=10,
         term_doc_cap=None, correct_oov=True,
+    )
+
+
+def q_search_segmented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-6: compound segmentation wired into the query pipeline —
+    an OOV term with a valid two-word split is rewritten in place
+    (plans/search.segmented_query_meta: "keyvalue" -> "key value")
+    before expansion, retrieval, and scoring, the SymSpell compound
+    mode sibling of search_corrected's rewrite (and composable with
+    it — correction first, then segment what remains OOV). Twin-oracle
+    gated (oracle/search.search_py with segment_oov=True)."""
+    from mwmbl_spark.plans.search import search
+
+    qdf = spark.createDataFrame(SEGMENT_QUERY_SET, "query_id long, query string")
+    return search(
+        spark, _web_docs(spark, sf_dir), qdf, k=10,
+        term_doc_cap=None, segment_oov=True,
     )
 
 
@@ -4662,6 +4690,18 @@ def _twin_search_oracles() -> dict[str, str]:
                 f"NULL, CAST('{d['result_score']!r}' AS DOUBLE))"
             )
 
+    # round-6: compound-segmentation twin over the SEGMENT query set
+    segmented_vals = []
+    for qid, q in SEGMENT_QUERY_SET:
+        for srank, d in enumerate(
+            search_py(docs, q, k=10, segment_oov=True), 1
+        ):
+            segmented_vals.append(
+                f"({qid}, {srank}, {d['doc_id']}, "
+                f"'{esc(d['title'])}', '{esc(d['url'])}', '{esc(d['extract'])}', "
+                f"NULL, CAST('{d['result_score']!r}' AS DOUBLE))"
+            )
+
     search_vals, mmr_vals, capped_vals, reranked_vals = [], [], [], []
     for qid, q in QUERY_SET:
         for crank, d in enumerate(
@@ -4726,6 +4766,12 @@ def _twin_search_oracles() -> dict[str, str]:
             f"{', '.join(corrected_vals) or '(0,0,0,NULL,NULL,NULL,0,0.0)'}) "
             "t(query_id, rank, doc_id, title, url, extract, state, result_score)"
             + (" WHERE false" if not corrected_vals else "")
+        ),
+        "search_segmented": (
+            f"SELECT {base_cols} FROM (VALUES "
+            f"{', '.join(segmented_vals) or '(0,0,0,NULL,NULL,NULL,0,0.0)'}) "
+            "t(query_id, rank, doc_id, title, url, extract, state, result_score)"
+            + (" WHERE false" if not segmented_vals else "")
         ),
         "mmr_rerank": (
             f"SELECT {base_cols}, mmr_rank::INT AS mmr_rank "
@@ -5019,6 +5065,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_video_frames": _shipped(q_mm_video_frames),
         "mm_audio_windows": _shipped(q_mm_audio_windows),
         "spell_segment": _shipped(q_spell_segment),
+        "search_segmented": _shipped(q_search_segmented),
         "hybrid_ann_topk": _shipped(q_hybrid_ann_topk),
         "proximity_topk": _shipped(q_proximity_topk),
         # -- last driver-verified in CORRECTNESS_r04 (oldest green) --

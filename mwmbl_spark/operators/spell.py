@@ -133,8 +133,17 @@ def segment_compound(
     oov = qt.join(
         vocab.select(F.col("term").alias("qterm")), "qterm", "left_anti"
     )
+    return segment_terms(oov, vocab, n)
+
+
+def segment_terms(oov_terms: DataFrame, vocab: DataFrame, n: int = 1) -> DataFrame:
+    """Segmentation core over pre-filtered OOV terms: ``oov_terms``
+    (query_id, qterm) x ``vocab`` (term, df) -> ranked valid splits
+    (query_id, qterm, split_pos, left_term, right_term, df_left,
+    df_right, rank). Shared by ``segment_compound`` (the standalone
+    operator) and the search plan's segment_oov rewriting."""
     splits = (
-        oov.where(F.length("qterm") >= 2)
+        oov_terms.where(F.length("qterm") >= 2)
         .select(
             "query_id",
             "qterm",

@@ -216,6 +216,58 @@ def corrected_query_meta(qmeta: DataFrame, counts: DataFrame) -> DataFrame:
     )
 
 
+def segmented_query_meta(qmeta: DataFrame, counts: DataFrame) -> DataFrame:
+    """query_meta with every OOV term that has a valid two-word
+    segmentation REPLACED by its top-1 split ("keyvalue" -> "key",
+    "value") — the SymSpell compound mode of ``correct_oov``'s
+    rewrite. Replacement (not union) for the same reason as
+    corrected_query_meta: the scorer's majority-match filter zeroes
+    docs matching only the other terms, so only a real rewrite of the
+    term list changes what the user gets. Terms that neither exist in
+    the vocabulary nor split stay as typed. Order is preserved: the
+    split occupies the original term's position (terms after it shift
+    right). Composes with ``corrected_query_meta`` — run that first,
+    then segment whatever is STILL out of vocabulary (a typo'd word
+    wants correction, a missing space wants a split).
+
+    Scale shape: one left_anti at query-batch grain + segment_terms'
+    two vocabulary-grain broadcast joins (operators/spell.py) — no
+    vocabulary self-join, same envelope as the correction path."""
+    from mwmbl_spark.operators.spell import segment_terms
+
+    qterms = qmeta.select("query_id", F.explode("terms").alias("qterm")).distinct()
+    oov = qterms.join(
+        counts.select(F.col("term").alias("qterm")), "qterm", "left_anti"
+    )
+    seg = segment_terms(
+        oov, counts.select("term", F.col("cnt").alias("df")), n=1
+    ).select("query_id", "qterm", "left_term", "right_term")
+    pos = qmeta.select(
+        "query_id", "query", "is_complete",
+        F.posexplode("terms").alias("pos", "qterm"),
+    )
+    return (
+        pos.join(F.broadcast(seg), ["query_id", "qterm"], "left")
+        .select(
+            "query_id", "query", "is_complete", "pos",
+            F.when(
+                F.col("left_term").isNotNull(),
+                F.array("left_term", "right_term"),
+            ).otherwise(F.array("qterm")).alias("part"),
+        )
+        .groupBy("query_id", "query", "is_complete")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "part"))),
+                    lambda s: s["part"],
+                )
+            ).alias("terms")
+        )
+        .select("query_id", "query", "terms", "is_complete")
+    )
+
+
 def search(
     spark: SparkSession,
     docs: DataFrame,
@@ -230,6 +282,7 @@ def search(
     term_doc_cap: int | None = 512,
     rerank_n: int | None = None,
     correct_oov: bool = False,
+    segment_oov: bool = False,
 ) -> DataFrame:
     """docs: (doc_id, title, url, extract, score, state); queries:
     (query_id, query). Returns ranked results per query.
@@ -268,7 +321,14 @@ def search(
     ``correct_oov`` (round-6): auto-correct — each out-of-vocabulary
     query term is replaced in place by its top-1 SymSpell correction
     (``corrected_query_meta``) before expansion, retrieval, AND
-    scoring; in-vocabulary terms are never second-guessed."""
+    scoring; in-vocabulary terms are never second-guessed.
+
+    ``segment_oov`` (round-6): compound splitting — an OOV term with a
+    valid two-word segmentation is replaced by its top-1 split
+    (``segmented_query_meta``). Runs AFTER correction when both are
+    on: a typo'd word wants the correction, a missing space wants the
+    split, and only terms the corrector could not place try to
+    segment."""
     index = index if index is not None else build_term_index(docs)
     counts = counts if counts is not None else term_counts(index)
     if term_doc_cap is not None:
@@ -276,6 +336,8 @@ def search(
     qmeta = query_meta(queries)
     if correct_oov:
         qmeta = corrected_query_meta(qmeta, counts)
+    if segment_oov:
+        qmeta = segmented_query_meta(qmeta, counts)
     retrieval = expanded_terms(qmeta, counts)
 
     matched = index.join(F.broadcast(retrieval), "term")

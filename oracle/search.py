@@ -56,6 +56,28 @@ def correct_oov_py(
     return best[1] if best else None
 
 
+def segment_oov_py(
+    counts: dict[str, int], term: str, max_term_len: int = 32
+) -> tuple[str, str] | None:
+    """Twin of plans/search.segmented_query_meta for ONE term: best
+    (left, right) split with both halves in-vocabulary (len <=
+    max_term_len), ranked (count_left*count_right desc, split_pos
+    asc)."""
+    best = None
+    for i in range(1, len(term)):
+        left, right = term[:i], term[i:]
+        cl, cr = counts.get(left), counts.get(right)
+        if (
+            cl is None or cr is None
+            or len(left) > max_term_len or len(right) > max_term_len
+        ):
+            continue
+        key = (-(cl * cr), i)
+        if best is None or key < best[0]:
+            best = (key, left, right)
+    return (best[1], best[2]) if best else None
+
+
 def complete_py(counts: dict[str, int], prefix: str, n: int = 3) -> list[str]:
     """Completer.complete twin [completer.py:24-35]: prefix-matching
     terms sorted as (count, term) tuples reverse=True — equal counts
@@ -75,6 +97,7 @@ def search_py(
     term_doc_cap: int | None = None,
     rerank_n: int | None = None,
     correct_oov: bool = False,
+    segment_oov: bool = False,
 ) -> list[dict]:
     by_id = {d["doc_id"]: d for d in docs}
     index = build_term_index_py(docs)
@@ -105,6 +128,15 @@ def search_py(
             t if t in counts else (correct_oov_py(counts, t) or t)
             for t in terms
         ]
+    if segment_oov:
+        # compound-split twin (plans/search.segmented_query_meta):
+        # OOV terms with a valid split expand IN PLACE; runs after
+        # correction so only uncorrectable terms try to segment
+        out: list[str] = []
+        for t in terms:
+            seg = None if t in counts else segment_oov_py(counts, t)
+            out.extend(seg) if seg else out.append(t)
+        terms = out
     is_complete = query.endswith(" ")
 
     retrieval = set(terms) | set(get_bigrams_py(len(terms), terms))

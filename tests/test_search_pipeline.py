@@ -323,3 +323,86 @@ def test_in_vocab_terms_never_second_guessed(spark, docs_df):
         map(tuple, search(spark, docs_df, qdf, k=5, correct_oov=True).collect())
     )
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# round-6: compound segmentation wired into query expansion
+# ---------------------------------------------------------------------------
+
+COMPOUND_SEARCH_QUERIES = [
+    (0, "sparktuning"),     # splits: spark|tuning
+    (1, "shuffle sparkjob"),  # spark|job? only if both halves in vocab
+    (2, "zzzzzqqqqq"),      # no valid split
+]
+
+
+def test_segmented_search_matches_python_twin(spark, docs_df):
+    qdf = spark.createDataFrame(
+        COMPOUND_SEARCH_QUERIES, "query_id long, query string"
+    )
+    out = search(spark, docs_df, qdf, k=5, segment_oov=True)
+    got: dict[int, list[int]] = {q: [] for q, _ in COMPOUND_SEARCH_QUERIES}
+    for r in out.orderBy("query_id", "rank").collect():
+        got[r["query_id"]].append(r["doc_id"])
+    for qid, q in COMPOUND_SEARCH_QUERIES:
+        want = [
+            d["doc_id"]
+            for d in search_py(_docs_as_dicts(), q, k=5, segment_oov=True)
+        ]
+        assert got[qid] == want, f"query {q!r}: {got[qid]} != {want}"
+
+
+def test_compound_query_retrieves_intended_docs(spark, docs_df):
+    """'sparktuning' splits to 'spark tuning' and must return what the
+    properly-spaced query returns (order preserved: the split occupies
+    the original position)."""
+    qdf = spark.createDataFrame([(0, "sparktuning")], "query_id long, query string")
+    fixed = [
+        r["doc_id"]
+        for r in search(spark, docs_df, qdf, k=5, segment_oov=True)
+        .orderBy("rank").collect()
+    ]
+    intended = [
+        d["doc_id"] for d in search_py(_docs_as_dicts(), "spark tuning", k=5)
+    ]
+    assert fixed == intended and len(fixed) > 1
+
+
+def test_correct_then_segment_compose(spark, docs_df):
+    """Both flags on: a typo'd term corrects, a compound term splits,
+    in the same query — correction runs first, segmentation only sees
+    what is STILL out of vocabulary."""
+    qdf = spark.createDataFrame(
+        [(0, "sparc sparktuning")], "query_id long, query string"
+    )
+    both = [
+        r["doc_id"]
+        for r in search(
+            spark, docs_df, qdf, k=5, correct_oov=True, segment_oov=True
+        ).orderBy("rank").collect()
+    ]
+    want = [
+        d["doc_id"]
+        for d in search_py(
+            _docs_as_dicts(), "sparc sparktuning", k=5,
+            correct_oov=True, segment_oov=True,
+        )
+    ]
+    assert both == want
+    # NB: this does NOT equal running the hand-repaired STRING "spark
+    # spark tuning" end-to-end — the scorer normalizes against the raw
+    # typed query's length (rank.py), which only the rewrite preserves.
+    # Composition subtlety (found live): when a compound's BIGRAM is in
+    # the vocabulary ("spark tuning" from the title), correction fires
+    # FIRST — inserting the space is levenshtein 1 to the bigram term —
+    # and segmentation never sees it. Precedence is pinned by the twin
+    # parity above. For a compound whose bigram never occurs adjacently
+    # ("tuningspark"), correction can't bind and segmentation must:
+    # both-flags == segment-only.
+    qdf1 = spark.createDataFrame([(0, "tuningspark")], "query_id long, query string")
+    seg_only = sorted(map(tuple, search(
+        spark, docs_df, qdf1, k=5, segment_oov=True).collect()))
+    both_flags = sorted(map(tuple, search(
+        spark, docs_df, qdf1, k=5, correct_oov=True, segment_oov=True
+    ).collect()))
+    assert seg_only == both_flags and len(seg_only) > 1
