@@ -5045,10 +5045,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ivfpq_refine_topk, dedup_embedding, lang_id, text_features,
     # token_stats) past position 50 — rotate them FIRST in round 7.
     # ALL 113 keys then present were locally verified green at sf0.01
-    # via a FULL tools/check_contract.py sweep this round (the 2 added
-    # after the sweep — spell_segment, mm_audio_windows — verified
-    # individually at sf0.001+sf0.01), so nothing pushed out is
-    # unverified on round-6 code.
+    # via a FULL tools/check_contract.py sweep this round (the 3 added
+    # after the sweep — spell_segment, mm_audio_windows,
+    # search_segmented — verified individually at sf0.001+sf0.01), so
+    # nothing pushed out is unverified on round-6 code.
     return {
         # -- round-6 new contracts land here (front of window) --
         "snippet_topk": _shipped(q_snippet_topk),
