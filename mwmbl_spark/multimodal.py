@@ -491,6 +491,9 @@ def audio_energy_windows(
 
     from mwmbl_spark.riffav import decode_wav
 
+    if window < 1 or stride < 1:
+        raise ValueError("window and stride must be >= 1")
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []

@@ -54,8 +54,12 @@ def encode_wav_pcm(
         raise ValueError("samples must be (n,) or (n, channels)")
     ch = a.shape[1]
     if bits == 16:
+        if a.size and (a.min() < -32768 or a.max() > 32767):
+            raise ValueError("sample out of int16 range")  # no silent wrap
         data = a.astype("<i2").tobytes()
     elif bits == 8:
+        if a.size and (a.min() < 0 or a.max() > 255):
+            raise ValueError("sample out of uint8 range")
         data = a.astype(np.uint8).tobytes()
     else:
         raise ValueError("bits must be 8 or 16")

@@ -134,3 +134,16 @@ def test_spark_audio_energy_windows_match_formula(spark):
             assert (r["start"], r["n_samples"]) == (k * 8, len(w))
             assert r["energy_sum"] == int((w.astype(np.int64) ** 2).sum())
             assert r["peak"] == int(np.abs(w).max())
+
+
+def test_guards_fail_loud():
+    import pytest as _pytest
+
+    from mwmbl_spark.multimodal import audio_energy_windows
+
+    with _pytest.raises(ValueError, match="int16 range"):
+        encode_wav_pcm(np.array([40000]), 16_000)
+    with _pytest.raises(ValueError, match="uint8 range"):
+        encode_wav_pcm(np.array([-1]), 16_000, bits=8)
+    with _pytest.raises(ValueError, match="stride"):
+        audio_energy_windows(None, window=16, stride=0)
