@@ -85,8 +85,13 @@ def worker(cores: int) -> None:
         # executors, so RAM-backed IO is the faithful stand-in.
         os.makedirs("/dev/shm/mwmbl_spark_local", exist_ok=True)
         extra["spark.local.dir"] = "/dev/shm/mwmbl_spark_local"
+    # 2x cores is the standard Spark shuffle-partition guidance and
+    # measured faster at BOTH levels on this corpus (1 core: 204->196s,
+    # 4 cores: 55.7->53.5s, bench/build_stages A/Bs) — applied
+    # uniformly so the N-vs-4N ratio stays apples-to-apples
     spark = get_spark(
-        f"scaling-{cores}", cores=cores, shuffle_partitions=cores, extra_conf=extra
+        f"scaling-{cores}", cores=cores, shuffle_partitions=2 * cores,
+        extra_conf=extra,
     )
     spark.sparkContext.setLogLevel("ERROR")
     transcripts = spark.read.parquet(path)
