@@ -5044,11 +5044,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # dedup_groups, simhash, embedding_topk, lsh_topk, pq_refine_topk,
     # ivfpq_refine_topk, dedup_embedding, lang_id, text_features,
     # token_stats) past position 50 — rotate them FIRST in round 7.
-    # ALL 113 keys then present were locally verified green at sf0.01
-    # via a FULL tools/check_contract.py sweep this round (the 3 added
-    # after the sweep — spell_segment, mm_audio_windows,
-    # search_segmented — verified individually at sf0.001+sf0.01), so
-    # nothing pushed out is unverified on round-6 code.
+    # ALL 115 keys were locally verified green at sf0.01 via a FULL
+    # tools/check_contract.py sweep on the final round-6 code, so
+    # nothing pushed out of the driver window is unverified.
     return {
         # -- round-6 new contracts land here (front of window) --
         "snippet_topk": _shipped(q_snippet_topk),
