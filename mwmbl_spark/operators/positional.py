@@ -65,17 +65,67 @@ def positional_postings(
     return p.select("term", "doc_id", "tf", "doc_len", "positions")
 
 
-def _decode_full_ids(row) -> np.ndarray:
-    """Full doc-id decode of one segment row (blocked delta+varbyte:
-    per-block cumsum, blocks located by byte offsets)."""
-    boffs = np.asarray(row.boffs_ids, dtype=np.int64)
-    data = bytes(row.doc_ids)
-    out = []
-    for b in range(len(boffs)):
-        lo = int(boffs[b])
-        hi = int(boffs[b + 1]) if b + 1 < len(boffs) else len(data)
-        out.append(np.cumsum(vb_decode(data[lo:hi]), dtype=np.uint64))
-    return np.concatenate(out) if out else np.empty(0, dtype=np.uint64)
+#: rarest-first skip decode engages when candidates * SKIP_FACTOR <
+#: the list's posting count (galloping-intersection threshold family)
+SKIP_FACTOR = 4
+
+
+def _blk_slice(data: bytes, boffs: np.ndarray, b: int) -> bytes:
+    lo = int(boffs[b])
+    hi = int(boffs[b + 1]) if b + 1 < len(boffs) else len(data)
+    return data[lo:hi]
+
+
+def _decode_row(row, cand: np.ndarray | None, skip_factor: int = SKIP_FACTOR):
+    """Decode one segment row's (ids, tfs, dls, orig) — ALL blocks when
+    ``cand`` is None (the rarest term seeds the candidate set), else
+    ONLY the blocks that can contain a candidate doc id (block_last
+    binary search — the WAND kernel's skip machinery; ids are strictly
+    increasing across blocks, so each candidate maps to exactly one
+    possible block). ``orig`` is the GLOBAL posting index (block *
+    BLOCK_SIZE + offset), which keeps position-payload lookups valid
+    over a partial decode."""
+    from mwmbl_spark.operators.segments import BLOCK_SIZE
+
+    b_ids = np.asarray(row.boffs_ids, dtype=np.int64)
+    n_blocks = len(b_ids)
+    # skip decode only pays when the candidate set is MUCH smaller
+    # than this list (the galloping-intersection threshold): for a
+    # hot-x-hot phrase the candidates cover ~every block and the
+    # block-selection pass is pure overhead — fall back to the plain
+    # full decode, which is the cost floor
+    if cand is None or cand.size * skip_factor >= int(row.n_postings):
+        blocks = range(n_blocks)
+    else:
+        last = np.asarray(row.block_last, dtype=np.int64)
+        at = np.searchsorted(last, cand.astype(np.int64))
+        blocks = np.unique(at[at < n_blocks])
+    b_tfs = np.asarray(row.boffs_tfs, dtype=np.int64)
+    b_lens = np.asarray(row.boffs_lens, dtype=np.int64)
+    d_ids, d_tfs, d_lens = bytes(row.doc_ids), bytes(row.tfs), bytes(row.doc_lens)
+    ids_p, tf_p, dl_p, orig_p = [], [], [], []
+    for b in blocks:
+        b = int(b)
+        ids = np.cumsum(vb_decode(_blk_slice(d_ids, b_ids, b)), dtype=np.uint64)
+        ids_p.append(ids)
+        tf_p.append(vb_decode(_blk_slice(d_tfs, b_tfs, b)).astype(np.float64))
+        dl_p.append(vb_decode(_blk_slice(d_lens, b_lens, b)).astype(np.float64))
+        orig_p.append(
+            np.arange(b * BLOCK_SIZE, b * BLOCK_SIZE + ids.size, dtype=np.int64)
+        )
+    if not ids_p:
+        return (
+            np.empty(0, dtype=np.uint64),
+            np.empty(0, dtype=np.float64),
+            np.empty(0, dtype=np.float64),
+            np.empty(0, dtype=np.int64),
+        )
+    return (
+        np.concatenate(ids_p),
+        np.concatenate(tf_p),
+        np.concatenate(dl_p),
+        np.concatenate(orig_p),
+    )
 
 
 def _greedy_chain_starts(
@@ -113,6 +163,7 @@ def make_phrase_kernel(
     slop: int = 0,
     deletes=None,
     doc_filter=None,
+    skip_factor: int = SKIP_FACTOR,
 ):
     """applyInPandas kernel over (phrase_id, salt) groups of positional
     segment rows joined with the phrase-term table and df stats.
@@ -175,44 +226,54 @@ def make_phrase_kernel(
             else None
         )
 
-        frag_rows: dict[str, list[dict]] = {}
-        meta: dict[str, dict] = {}
+        # RAREST-FIRST skip-intersection: terms process in ascending-df
+        # order, the rarest seeding the candidate set with a full
+        # decode; every later (more common) term then decodes ONLY the
+        # blocks that can contain a surviving candidate (block_last
+        # binary search). A stopword-grade phrase term no longer pays a
+        # full posting decode — its cost tracks the rare term's df.
+        by_term: dict[str, list] = {}
         for row in pdf.itertuples():
-            ids = _decode_full_ids(row)
-            seq = int(getattr(row, "seq", 0) or 0)
-            orig = np.arange(ids.size, dtype=np.int64)
-            keep = dead_mask(ids, seq, dead_entry)
-            if keep is not None:
-                ids, orig = ids[keep], orig[keep]
-            if filt_entry is not None and ids.size:
-                if filt_entry.size == 0:
-                    ids, orig = ids[:0], orig[:0]
-                else:
-                    at = np.minimum(
-                        np.searchsorted(filt_entry, ids), len(filt_entry) - 1
-                    )
-                    fkeep = filt_entry[at] == ids
-                    ids, orig = ids[fkeep], orig[fkeep]
-            tfs = vb_decode(bytes(row.tfs)).astype(np.float64)[orig]
-            dls = vb_decode(bytes(row.doc_lens)).astype(np.float64)[orig]
-            frag_rows.setdefault(row.term, []).append(
-                {
-                    "ids": ids,
-                    "tfs": tfs,
-                    "dls": dls,
-                    "orig": orig,
-                    "pos_offs": np.asarray(row.pos_offs, dtype=np.int64),
-                    "blob": bytes(row.positions),
-                }
-            )
-            meta[row.term] = {"offsets": list(row.offsets), "df": float(row.df)}
+            by_term.setdefault(row.term, []).append(row)
+        t_order = sorted(
+            by_term, key=lambda t: (float(by_term[t][0].df), t)
+        )
 
-        # merge fragments per term (alive ids are globally unique after
-        # delete masking, so a plain sort yields a strict posting order)
         terms: dict[str, dict] = {}
-        for tname, rows in frag_rows.items():
-            if len(rows) == 1:
-                r = rows[0]
+        cand: np.ndarray | None = None
+        for tname in t_order:
+            rows_out: list[dict] = []
+            for row in by_term[tname]:
+                ids, tfs, dls, orig = _decode_row(row, cand, skip_factor)
+                seq = int(getattr(row, "seq", 0) or 0)
+                keep = dead_mask(ids, seq, dead_entry)
+                if keep is not None:
+                    ids, tfs, dls, orig = ids[keep], tfs[keep], dls[keep], orig[keep]
+                if filt_entry is not None and ids.size:
+                    if filt_entry.size == 0:
+                        fkeep = np.zeros(ids.size, dtype=bool)
+                    else:
+                        at = np.minimum(
+                            np.searchsorted(filt_entry, ids), len(filt_entry) - 1
+                        )
+                        fkeep = filt_entry[at] == ids
+                    ids, tfs, dls, orig = (
+                        ids[fkeep], tfs[fkeep], dls[fkeep], orig[fkeep]
+                    )
+                rows_out.append(
+                    {
+                        "ids": ids,
+                        "tfs": tfs,
+                        "dls": dls,
+                        "orig": orig,
+                        "pos_offs": np.asarray(row.pos_offs, dtype=np.int64),
+                        "blob": bytes(row.positions),
+                    }
+                )
+            # merge fragments (alive ids are globally unique after
+            # delete masking, so a plain sort yields strict posting order)
+            if len(rows_out) == 1:
+                r = rows_out[0]
                 merged = {
                     "ids": r["ids"],
                     "tfs": r["tfs"],
@@ -221,35 +282,38 @@ def make_phrase_kernel(
                     "orig": r["orig"],
                 }
             else:
-                ids = np.concatenate([r["ids"] for r in rows])
+                ids = np.concatenate([r["ids"] for r in rows_out])
                 order = np.argsort(ids, kind="stable")
                 merged = {
                     "ids": ids[order],
-                    "tfs": np.concatenate([r["tfs"] for r in rows])[order],
-                    "dls": np.concatenate([r["dls"] for r in rows])[order],
+                    "tfs": np.concatenate([r["tfs"] for r in rows_out])[order],
+                    "dls": np.concatenate([r["dls"] for r in rows_out])[order],
                     "frag_of": np.repeat(
-                        np.arange(len(rows), dtype=np.int64),
-                        [r["ids"].size for r in rows],
+                        np.arange(len(rows_out), dtype=np.int64),
+                        [r["ids"].size for r in rows_out],
                     )[order],
-                    "orig": np.concatenate([r["orig"] for r in rows])[order],
+                    "orig": np.concatenate([r["orig"] for r in rows_out])[order],
                 }
-            merged["rows"] = rows
-            merged.update(meta[tname])
+            merged["rows"] = rows_out
+            first_row = by_term[tname][0]
+            merged["offsets"] = list(first_row.offsets)
+            merged["df"] = float(first_row.df)
             if merged["ids"].size == 0:
                 return empty()  # conjunctive: an empty term list kills all
             terms[tname] = merged
+            cand = (
+                merged["ids"]
+                if cand is None
+                else np.intersect1d(cand, merged["ids"])
+            )
+            if cand.size == 0:
+                return empty()
 
         def pos_of(t: dict, i: int) -> np.ndarray:
             """Positions of the i-th MERGED posting of term ``t`` —
             decoded from the owning fragment row's payload slice."""
             r = t["rows"][int(t["frag_of"][i])]
             return decode_positions(r["blob"], r["pos_offs"], int(t["orig"][i]))
-
-        cand = None
-        for t in terms.values():
-            cand = t["ids"] if cand is None else np.intersect1d(cand, t["ids"])
-            if cand.size == 0:
-                return empty()
 
         if slop == 0:
             # contiguity verify on survivors only: for the term at phrase
@@ -365,6 +429,7 @@ def phrase_topk(
     slop: int = 0,
     deletes=None,
     doc_filter=None,
+    skip_factor: int = SKIP_FACTOR,
 ) -> DataFrame:
     """Phrase-filtered BM25 top-k served FROM the positional index ->
     (phrase_id, doc_id, score, n_matches, first_pos, rank).
@@ -418,7 +483,8 @@ def phrase_topk(
     )
     local = joined.groupBy("phrase_id", "salt").applyInPandas(
         make_phrase_kernel(
-            n_docs, avg_len, k, slop=slop, deletes=deletes, doc_filter=doc_filter
+            n_docs, avg_len, k, slop=slop, deletes=deletes,
+            doc_filter=doc_filter, skip_factor=skip_factor,
         ),
         schema=PHRASE_OUT_SCHEMA,
     )
