@@ -275,10 +275,22 @@ def learn_bpe(
     # split(word, "") can emit a trailing "" on some Spark/regex
     # combinations — filter defensively so no phantom symbol enters
     chars = F.filter(F.split(F.col("word"), ""), lambda x: x != F.lit(""))
+    # size the symbol table's partitioning by its ROW COUNT, not by the
+    # session's shuffle-partition constant: every round re-runs a job
+    # over this table, so a 32-partition layout of a small vocabulary
+    # pays 32 tasks x rounds of pure scheduling (and an explicit
+    # partition count here is pinned against AQE re-splitting). ~100k
+    # words per task keeps per-round Python merge work sub-second;
+    # large word tables still spread across the full parallelism.
+    try:
+        par = spark.sparkContext.defaultParallelism
+    except Exception:  # noqa: BLE001
+        par = 8
+    n_sym_part = max(1, min(par, (n_words + 99_999) // 100_000))
     syms = words.select(
         F.concat(chars, F.array(F.lit(END_OF_WORD))).alias("symbols"),
         F.col("n").cast("long").alias("n"),
-    ).localCheckpoint()
+    ).coalesce(n_sym_part).localCheckpoint()
     jobs += 1
     merges: list[tuple[str, str]] = []
     rounds = 0

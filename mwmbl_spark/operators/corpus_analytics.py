@@ -135,16 +135,37 @@ def pmi_pairs(
         .where(F.col("df") >= min_df)
     )
     qual = terms.join(df_t.select("term"), "term")
-    if max_terms_per_doc is not None:
-        sizes = qual.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_terms"))
-        keep = sizes.where(F.col("n_terms") <= max_terms_per_doc).select("doc_id")
-        qual = qual.join(keep, "doc_id")
-    n_docs = qual.agg(
-        F.countDistinct("doc_id").cast("double").alias("n_population")
+    # r7 plan shape: ONE (doc_id) aggregation to per-doc sorted term
+    # arrays replaces the former qual-self-join — the old plan shuffled
+    # the qualifying membership table TWICE (both join inputs) plus a
+    # separate sizes-groupBy + keep-join for the doc cap; here the cap
+    # is a size() filter on the aggregated row and pair generation is a
+    # JVM higher-order combination expansion over the sorted array
+    # (term_a < term_b holds by construction — sort_array uses the same
+    # UTF8 binary ordering as the former `<` predicate), with map-side
+    # partial aggregation combining duplicate pairs before the n_ab
+    # shuffle. Identical output by construction.
+    docsets = qual.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("term")).alias("ts")
     )
-    a = qual.select(F.col("doc_id"), F.col("term").alias("term_a"))
-    b = qual.select(F.col("doc_id"), F.col("term").alias("term_b"))
-    pairs = a.join(b, "doc_id").where(F.col("term_a") < F.col("term_b"))
+    if max_terms_per_doc is not None:
+        docsets = docsets.where(F.size("ts") <= max_terms_per_doc)
+    n_docs = docsets.agg(
+        F.count(F.lit(1)).cast("double").alias("n_population")
+    )
+    ts = F.col("ts")
+    combos = F.flatten(
+        F.transform(
+            ts,
+            lambda x, i: F.transform(
+                F.slice(ts, i + F.lit(2), F.size(ts)),
+                lambda y: F.struct(x.alias("term_a"), y.alias("term_b")),
+            ),
+        )
+    )
+    pairs = docsets.select(F.explode(combos).alias("p")).select(
+        F.col("p.term_a").alias("term_a"), F.col("p.term_b").alias("term_b")
+    )
     n_ab = pairs.groupBy("term_a", "term_b").agg(F.count(F.lit(1)).alias("n_ab"))
     dfa = df_t.select(F.col("term").alias("term_a"), F.col("df").alias("df_a"))
     dfb = df_t.select(F.col("term").alias("term_b"), F.col("df").alias("df_b"))

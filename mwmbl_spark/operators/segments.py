@@ -43,15 +43,6 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import (
-    ArrayType,
-    BinaryType,
-    IntegerType,
-    LongType,
-    StructField,
-    StructType,
-)
 
 from mwmbl_spark import BM25_B, BM25_K1, DEFAULT_NUM_BUCKETS
 from mwmbl_spark.functions.codec import delta_encode_blocked, vb_encode_blocked
@@ -66,18 +57,6 @@ SEGMENT_SCHEMA = (
     "doc_ids binary, tfs binary, doc_lens binary"
 )
 
-_ENC_SCHEMA = StructType(
-    [
-        StructField("doc_ids", BinaryType()),
-        StructField("tfs", BinaryType()),
-        StructField("doc_lens", BinaryType()),
-        StructField("block_last", ArrayType(LongType())),
-        StructField("boffs_ids", ArrayType(IntegerType())),
-        StructField("boffs_tfs", ArrayType(IntegerType())),
-        StructField("boffs_lens", ArrayType(IntegerType())),
-    ]
-)
-
 
 def bucket_of(term_col, num_buckets: int = DEFAULT_NUM_BUCKETS):
     return F.pmod(F.xxhash64(term_col), F.lit(num_buckets)).cast("int")
@@ -87,48 +66,38 @@ def salt_of(doc_col, nsalt: int = DEFAULT_NSALT):
     return F.pmod(F.xxhash64(doc_col), F.lit(nsalt)).cast("int")
 
 
-@pandas_udf(_ENC_SCHEMA)
-def _encode_pd(ids: pd.Series, tfs: pd.Series, lens: pd.Series) -> pd.DataFrame:
-    """Blocked delta+varbyte encode per row (row = one segment's sorted
-    posting arrays); Arrow hands each element as a NumPy array. One UDF
-    call per ~10k segments, NumPy inside — never per-row Python."""
-    out = {k.name: [] for k in _ENC_SCHEMA.fields}
-    for a_ids, a_tfs, a_lens in zip(ids, tfs, lens):
-        signed = np.asarray(a_ids, dtype=np.int64)
-        if signed.size and signed[0] < 0:  # sorted asc: first is the min
-            raise ValueError(
-                "doc_id must be non-negative: the kernel's binary search "
-                "requires signed order == uint64 order (synth.with_doc_id "
-                "clears the sign bit; do the same for custom id schemes)"
-            )
-        v_ids = signed.astype(np.uint64)
-        d_ids, o_ids = delta_encode_blocked(v_ids, BLOCK_SIZE)
-        d_tfs, o_tfs = vb_encode_blocked(np.asarray(a_tfs, dtype=np.uint64), BLOCK_SIZE)
-        d_lens, o_lens = vb_encode_blocked(np.asarray(a_lens, dtype=np.uint64), BLOCK_SIZE)
-        n = v_ids.size
-        last_idx = np.minimum(
-            np.arange(BLOCK_SIZE - 1, n + BLOCK_SIZE - 1, BLOCK_SIZE), n - 1
+def _encode_posting_arrays(
+    signed_ids: np.ndarray, tfs: np.ndarray, lens: np.ndarray
+) -> tuple:
+    """Blocked delta+varbyte encode of ONE segment's doc_id-sorted
+    posting arrays -> (doc_ids, tfs, doc_lens, block_last, boffs_ids,
+    boffs_tfs, boffs_lens). Vectorized NumPy — never per-row Python."""
+    if signed_ids.size and signed_ids[0] < 0:  # sorted asc: first is the min
+        raise ValueError(
+            "doc_id must be non-negative: the kernel's binary search "
+            "requires signed order == uint64 order (synth.with_doc_id "
+            "clears the sign bit; do the same for custom id schemes)"
         )
-        out["doc_ids"].append(d_ids)
-        out["tfs"].append(d_tfs)
-        out["doc_lens"].append(d_lens)
-        out["block_last"].append(v_ids[last_idx].astype(np.int64))
-        out["boffs_ids"].append(o_ids.astype(np.int32))
-        out["boffs_tfs"].append(o_tfs.astype(np.int32))
-        out["boffs_lens"].append(o_lens.astype(np.int32))
-    return pd.DataFrame(out)
+    v_ids = signed_ids.astype(np.uint64)
+    d_ids, o_ids = delta_encode_blocked(v_ids, BLOCK_SIZE)
+    d_tfs, o_tfs = vb_encode_blocked(tfs.astype(np.uint64), BLOCK_SIZE)
+    d_lens, o_lens = vb_encode_blocked(lens.astype(np.uint64), BLOCK_SIZE)
+    n = v_ids.size
+    last_idx = np.minimum(
+        np.arange(BLOCK_SIZE - 1, n + BLOCK_SIZE - 1, BLOCK_SIZE), n - 1
+    )
+    return (
+        d_ids,
+        d_tfs,
+        d_lens,
+        v_ids[last_idx].astype(np.int64),
+        o_ids.astype(np.int32),
+        o_tfs.astype(np.int32),
+        o_lens.astype(np.int32),
+    )
 
 
-_POS_SCHEMA = StructType(
-    [
-        StructField("pos_offs", ArrayType(IntegerType())),
-        StructField("positions", BinaryType()),
-    ]
-)
-
-
-@pandas_udf(_POS_SCHEMA)
-def _encode_positions_pd(plists: pd.Series) -> pd.DataFrame:
+def _encode_positions_one(plist) -> tuple[np.ndarray, bytes]:
     """Per-segment positional payload (round-6): each posting's sorted
     1-based token positions, delta-encoded WITHIN the posting (first
     value absolute) and varbyte-packed into one blob; ``pos_offs``
@@ -137,28 +106,22 @@ def _encode_positions_pd(plists: pd.Series) -> pd.DataFrame:
     vectorized: one concatenate + one vb_encode per segment row."""
     from mwmbl_spark.functions.codec import _vb_encode_raw
 
-    offs_out, blob_out = [], []
-    for plist in plists:
-        counts = np.fromiter((len(x) for x in plist), dtype=np.int64, count=len(plist))
-        if counts.sum() == 0:
-            offs_out.append(np.zeros(len(plist) + 1, dtype=np.int32))
-            blob_out.append(b"")
-            continue
-        flat = np.concatenate([np.asarray(x, dtype=np.uint64) for x in plist])
-        starts_idx = np.zeros(len(plist) + 1, dtype=np.int64)
-        np.cumsum(counts, out=starts_idx[1:])
-        deltas = flat.copy()
-        deltas[1:] -= flat[:-1]
-        heads = starts_idx[:-1][counts > 0]
-        deltas[heads] = flat[heads]  # restart the chain at each posting
-        blob, val_starts = _vb_encode_raw(deltas)
-        byte_offs = np.empty(len(plist) + 1, dtype=np.int32)
-        # a zero-count posting shares its successor's offset (empty slice)
-        ends = np.append(val_starts, len(blob))
-        byte_offs[:] = ends[np.minimum(starts_idx, len(flat))]
-        offs_out.append(byte_offs)
-        blob_out.append(blob)
-    return pd.DataFrame({"pos_offs": offs_out, "positions": blob_out})
+    counts = np.fromiter((len(x) for x in plist), dtype=np.int64, count=len(plist))
+    if counts.sum() == 0:
+        return np.zeros(len(plist) + 1, dtype=np.int32), b""
+    flat = np.concatenate([np.asarray(x, dtype=np.uint64) for x in plist])
+    starts_idx = np.zeros(len(plist) + 1, dtype=np.int64)
+    np.cumsum(counts, out=starts_idx[1:])
+    deltas = flat.copy()
+    deltas[1:] -= flat[:-1]
+    heads = starts_idx[:-1][counts > 0]
+    deltas[heads] = flat[heads]  # restart the chain at each posting
+    blob, val_starts = _vb_encode_raw(deltas)
+    byte_offs = np.empty(len(plist) + 1, dtype=np.int32)
+    # a zero-count posting shares its successor's offset (empty slice)
+    ends = np.append(val_starts, len(blob))
+    byte_offs[:] = ends[np.minimum(starts_idx, len(flat))]
+    return byte_offs, blob
 
 
 def decode_positions(blob: bytes, pos_offs: np.ndarray, i: int) -> np.ndarray:
@@ -233,87 +196,135 @@ def build_segments(
     more than ~df(term)/NSALT postings.
 
     The per-segment assembly (sort by doc_id, per-posting tfn, block
-    maxima) is ALL JVM column expressions — sort_array over
-    collect_list'ed structs, transform/slice/array_max for block-max.
-    Python appears only in the Arrow-batched blocked-varbyte codec UDF.
+    maxima) and the blocked-varbyte encode run in ONE Arrow-batched
+    ``applyInPandas`` kernel grouped by (bucket, salt) — vectorized
+    NumPy inside, never per-row Python at the Spark boundary.
+
+    Round-7 plan shape (one exchange instead of two): raw posting rows
+    shuffle ONCE, hash-partitioned on (bucket, salt) — an explicit
+    ``repartition`` whose partition count adapts to the session's
+    parallelism and the bucket×salt key space, pinned against AQE
+    coalescing so the encode keeps its parallelism at small inputs.
+    Because ``bucket`` is a pure function of ``term``, clustering by
+    (bucket, salt) co-locates every (term, salt) group (knowledge
+    Catalyst cannot derive), so the kernel groups by term in pandas and
+    the output is ALREADY clustered by bucket for the partitioned
+    write — the old plan's second full exchange of the encoded rows
+    (groupBy(term, salt) then repartition(bucket)) is gone. Skew
+    protection is unchanged: a Zipf-head term still splits across NSALT
+    partitions.
 
     tfn is stored idf-free: idf changes as the corpus grows, tfn's only
     corpus dependency is avgdl — captured by ``avg_len_build``, so the
     query-time bound correction is a single multiply (wand.py).
     """
-    k1, b = BM25_K1, BM25_B
-    tf_d = F.col("tf").cast("double")
-    # EXACT float-expression twin of the kernel's NumPy computation
-    # (same association order -> bitwise-identical doubles)
-    tfn = (tf_d * (k1 + 1.0)) / (
-        tf_d + k1 * (1.0 - b + b * F.col("doc_len").cast("double") / F.lit(float(avg_len)))
-    )
     with_len = postings if doc_lens is None else postings.join(doc_lens, "doc_id")
     pos_cols = [F.col(positions_col).alias("plist")] if positions_col else []
     enriched = with_len.select(
-        "term",
-        "doc_id",
-        "tf",
-        "doc_len",
-        salt_of(F.col("doc_id"), nsalt).alias("salt"),
-        tfn.alias("tfn"),
-        *pos_cols,
-    )
-    struct_cols = ["doc_id", "tf", "doc_len", "tfn"] + (["plist"] if positions_col else [])
-    grouped = enriched.groupBy("term", "salt").agg(
-        F.sort_array(
-            F.collect_list(F.struct(*struct_cols))
-        ).alias("posts"),
-        F.count(F.lit(1)).alias("n_postings"),
-        F.max("tfn").alias("max_tfn"),
-    )
-    n_blocks = F.ceil(F.col("n_postings") / BLOCK_SIZE).cast("int")
-    enc = _encode_pd(
-        F.transform("posts", lambda p: p["doc_id"]),
-        F.transform("posts", lambda p: p["tf"]),
-        F.transform("posts", lambda p: p["doc_len"]),
-    )
-    pos_enc = (
-        [_encode_positions_pd(F.transform("posts", lambda p: p["plist"])).alias("penc")]
-        if positions_col
-        else []
-    )
-    pos_out = (
-        [F.col("penc.pos_offs").alias("pos_offs"),
-         F.col("penc.positions").alias("positions")]
-        if positions_col
-        else []
-    )
-    return grouped.select(
         bucket_of(F.col("term"), num_buckets).alias("bucket"),
         "term",
-        "salt",
-        "n_postings",
-        F.lit(float(avg_len)).alias("avg_len_build"),
-        "max_tfn",
-        F.transform(
-            F.sequence(F.lit(0), n_blocks - 1),
-            lambda blk: F.array_max(
-                F.transform(
-                    F.slice(F.col("posts"), blk * BLOCK_SIZE + 1, BLOCK_SIZE),
-                    lambda p: p["tfn"],
-                )
-            ),
-        ).alias("block_maxes"),
-        enc.alias("enc"),
-        *pos_enc,
-    ).select(
-        "bucket", "term", "salt", "n_postings", "avg_len_build", "max_tfn",
-        "block_maxes",
-        F.col("enc.block_last").alias("block_last"),
-        F.col("enc.boffs_ids").alias("boffs_ids"),
-        F.col("enc.boffs_tfs").alias("boffs_tfs"),
-        F.col("enc.boffs_lens").alias("boffs_lens"),
-        F.col("enc.doc_ids").alias("doc_ids"),
-        F.col("enc.tfs").alias("tfs"),
-        F.col("enc.doc_lens").alias("doc_lens"),
-        *pos_out,
+        salt_of(F.col("doc_id"), nsalt).alias("salt"),
+        "doc_id",
+        "tf",
+        F.col("doc_len").cast("long").alias("doc_len"),
+        *pos_cols,
     )
+    out_schema = SEGMENT_SCHEMA + (
+        ", pos_offs array<int>, positions binary" if positions_col else ""
+    )
+    try:
+        par = postings.sparkSession.sparkContext.defaultParallelism
+    except Exception:  # noqa: BLE001 — e.g. Connect sessions
+        par = 8
+    n_part = max(4, min(num_buckets * nsalt, par * 2))
+    kernel = _make_segment_kernel(float(avg_len), bool(positions_col))
+    return (
+        enriched.repartition(n_part, "bucket", "salt")
+        .groupBy("bucket", "salt")
+        .applyInPandas(kernel, schema=out_schema)
+    )
+
+
+def _make_segment_kernel(avg_len: float, with_positions: bool):
+    """Per-(bucket, salt) segment assembly + encode kernel. The tfn
+    float computation is the EXACT NumPy twin of the WAND kernel's
+    ``_partial`` (same association order -> bitwise-identical doubles,
+    the discipline the rank-identity contracts rely on)."""
+    k1, b = BM25_K1, BM25_B
+
+    def kern(key, pdf):
+        bucket, salt = int(key[0]), int(key[1])
+        ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+        tfs = pdf["tf"].to_numpy(dtype=np.int64)
+        lens = pdf["doc_len"].to_numpy(dtype=np.int64)
+        tf_d = tfs.astype(np.float64)
+        # same association order as the former JVM expression twin:
+        # (tf*(k1+1)) / (tf + k1*((1-b) + (b*dl)/avg))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            tfn = (tf_d * (k1 + 1.0)) / (
+                tf_d + k1 * ((1.0 - b) + (b * lens.astype(np.float64)) / avg_len)
+            )
+        codes, uniq = pd.factorize(pdf["term"], sort=False)
+        order = np.lexsort((ids, codes))
+        s_codes = codes[order]
+        s_ids = ids[order]
+        s_tfs = tfs[order]
+        s_lens = lens[order]
+        s_tfn = tfn[order]
+        plists = pdf["plist"].to_numpy()[order] if with_positions else None
+        bounds = np.flatnonzero(np.diff(s_codes)) + 1
+        starts = np.concatenate(([0], bounds))
+        ends = np.concatenate((bounds, [s_codes.size]))
+        n_terms = starts.size
+        cols: dict[str, list] = {
+            "term": [None] * n_terms,
+            "n_postings": np.empty(n_terms, dtype=np.int64),
+            "max_tfn": np.empty(n_terms, dtype=np.float64),
+            "block_maxes": [None] * n_terms,
+            "block_last": [None] * n_terms,
+            "boffs_ids": [None] * n_terms,
+            "boffs_tfs": [None] * n_terms,
+            "boffs_lens": [None] * n_terms,
+            "doc_ids": [None] * n_terms,
+            "tfs": [None] * n_terms,
+            "doc_lens": [None] * n_terms,
+        }
+        if with_positions:
+            cols["pos_offs"] = [None] * n_terms
+            cols["positions"] = [None] * n_terms
+        for i, (s, e) in enumerate(zip(starts, ends)):
+            g_tfn = s_tfn[s:e]
+            d_ids, d_tfs, d_lens, blast, o_ids, o_tfs, o_lens = (
+                _encode_posting_arrays(s_ids[s:e], s_tfs[s:e], s_lens[s:e])
+            )
+            cols["term"][i] = uniq[s_codes[s]]
+            cols["n_postings"][i] = e - s
+            cols["max_tfn"][i] = g_tfn.max()
+            cols["block_maxes"][i] = np.maximum.reduceat(
+                g_tfn, np.arange(0, e - s, BLOCK_SIZE)
+            )
+            cols["block_last"][i] = blast
+            cols["boffs_ids"][i] = o_ids
+            cols["boffs_tfs"][i] = o_tfs
+            cols["boffs_lens"][i] = o_lens
+            cols["doc_ids"][i] = d_ids
+            cols["tfs"][i] = d_tfs
+            cols["doc_lens"][i] = d_lens
+            if with_positions:
+                offs, blob = _encode_positions_one(list(plists[s:e]))
+                cols["pos_offs"][i] = offs
+                cols["positions"][i] = blob
+        out = pd.DataFrame(cols)
+        out.insert(0, "bucket", np.full(n_terms, bucket, dtype=np.int32))
+        out.insert(2, "salt", np.full(n_terms, salt, dtype=np.int32))
+        out.insert(
+            4, "avg_len_build", np.full(n_terms, avg_len, dtype=np.float64)
+        )
+        # column order now matches SEGMENT_SCHEMA exactly (applyInPandas
+        # also matches by name; the order keeps plans readable)
+        return out
+
+    return kern
 
 
 def write_segments(segs: DataFrame, path: str) -> None:

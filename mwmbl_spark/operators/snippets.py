@@ -89,6 +89,12 @@ def best_window_snippets(
 
     ids = None
     if push_ids_max:
+        # materialize the (page-grain) pair set ONCE before probing:
+        # the probe collect below otherwise runs the candidate
+        # retrieval eagerly at plan-construction time AND the returned
+        # plan re-runs it at execution (ADVICE r6) — with the
+        # checkpoint the retrieval job runs exactly once per call
+        pairs = pairs.localCheckpoint(eager=True)
         probe = [
             r[0]
             for r in pairs.select(id_col)

@@ -295,23 +295,38 @@ class IndexBuilder:
         with ThreadPoolExecutor(max_workers=n_threads) as pool:
             return list(pool.map(run_one, todo))
 
-    def _write_segments(self, segs: DataFrame, part: str) -> None:
-        """Clustered dynamic-partition write. Cluster rows by bucket
-        BEFORE the write: otherwise every task holds a writer per bucket
-        directory (tasks x buckets small files + writer memory), which
-        measured 10x slower at high parallelism; clustered, each task
-        streams a few whole buckets. Write-task count adapts to the
-        session's parallelism: on a small executor count, num_buckets
-        tiny tasks in many waves cost pure scheduling (64 tasks at 4
-        cores measured 17% slower than 16), while a big cluster takes
-        one task per bucket."""
-        n_write = min(
-            self.cfg.num_buckets,
-            max(4, self.spark.sparkContext.defaultParallelism * 4),
-        )
+    #: fragments at or below this many postings re-cluster their ENCODED
+    #: rows to one file per bucket before the write (an extra exchange of
+    #: a few MB); larger fragments keep build_segments' one-exchange
+    #: (bucket, salt) clustering, where per-file overhead is noise
+    SMALL_FRAGMENT_POSTINGS = 5_000_000
+
+    def _write_segments(
+        self, segs: DataFrame, part: str, n_postings: int | None = None
+    ) -> None:
+        """Clustered dynamic-partition write, layout ADAPTIVE to
+        fragment size (r7). ``build_segments`` hash-clusters its output
+        by (bucket, salt), so the unconditional ``repartition(n_write,
+        bucket)`` that used to live here — a SECOND full exchange of
+        every encoded row — is gone from the scale path: the sort keeps
+        each task's buckets contiguous and the writer streams one file
+        per (task, bucket). That leaves up to nsalt files per bucket,
+        whose per-file open cost is measurable ONLY when files are tiny
+        (A/B at sf0.1: 106 files cost a WAND batch 1.68 s vs 1.51 s at
+        14 files), so SMALL fragments — where the re-cluster shuffle
+        moves a few MB — buy the 1-file-per-bucket layout back; the
+        threshold is posting-count-, not cluster-size-, derived."""
+        if (
+            n_postings is not None
+            and n_postings <= self.SMALL_FRAGMENT_POSTINGS
+        ):
+            n_write = min(
+                self.cfg.num_buckets,
+                max(4, self.spark.sparkContext.defaultParallelism * 4),
+            )
+            segs = segs.repartition(n_write, F.col("bucket"))
         (
-            segs.repartition(n_write, F.col("bucket"))
-            .sortWithinPartitions("bucket", "term", "salt")
+            segs.sortWithinPartitions("bucket", "term", "salt")
             .write.mode("overwrite")
             .partitionBy("bucket")
             .parquet(f"{self.cfg.path}/segments/src_part={part}")
@@ -378,7 +393,7 @@ class IndexBuilder:
                 posts, None, stats, n_docs, avg, self.cfg.num_buckets, self.cfg.nsalt,
                 positions_col="positions" if self.cfg.positions else None,
             )
-            self._write_segments(segs, part)
+            self._write_segments(segs, part, n_postings=n_postings)
             _write_doc_stats(f"{base}/doc_stats/src_part={part}", n_docs, sum_len)
         finally:
             # blocking: async unpersist races the final task's accumulator
@@ -1077,12 +1092,22 @@ class IndexBuilder:
         ).persist()
         posts = p.where(F.col("term").isNotNull())
         sup = None
+        from concurrent.futures import ThreadPoolExecutor
+
         try:
-            agg = posts.agg(
-                F.count(F.lit(1)).alias("np"), F.sum("tf").alias("s")
-            ).collect()[0]
+            # jobs overlap (both read the cached posting relation; each
+            # Spark job carries ~0.5-1 s of fixed driver cost — the
+            # build-path FAIR-threading rule applied to the upsert)
+            with ThreadPoolExecutor(max_workers=2) as ex:
+                f_agg = ex.submit(
+                    lambda: posts.agg(
+                        F.count(F.lit(1)).alias("np"), F.sum("tf").alias("s")
+                    ).collect()[0]
+                )
+                f_di = ex.submit(self._write_doc_index, p, part)
+                agg = f_agg.result()
+                n_new = f_di.result()
             n_postings, sum_new = int(agg["np"]), int(agg["s"] or 0)
-            n_new = self._write_doc_index(p, part)
             avg = sum_new / max(1, n_new)
             new_ids = self.spark.read.parquet(f"{base}/doc_index/src_part={part}")
 
@@ -1138,26 +1163,41 @@ class IndexBuilder:
                 self.cfg.nsalt,
                 positions_col="positions" if self.cfg.positions else None,
             )
-            self._write_segments(segs, part)
-            stats_frag.write.mode("overwrite").parquet(f"{base}/stats/src_part={part}")
+
+            def _write_deletes():
+                if n_dead and use_distributed:
+                    (
+                        sup.select(
+                            F.col("salt").cast("int").alias("salt"), "doc_id"
+                        )
+                        .repartition(max(1, self.cfg.nsalt // 2), "salt")
+                        .write.mode("overwrite")
+                        .parquet(f"{base}/deletes/src_part={part}")
+                    )
+                elif n_dead:
+                    write_delete_vector(
+                        base, part,
+                        [int(r["salt"]) for r in dead],
+                        [int(r["doc_id"]) for r in dead],
+                    )
+
+            # the three output jobs are independent (segments ignore the
+            # stats relation; the delete vector reads only ``sup``) —
+            # overlap them instead of serializing three schedules
+            with ThreadPoolExecutor(max_workers=3) as ex:
+                f_segs = ex.submit(
+                    self._write_segments, segs, part, n_postings
+                )
+                f_stats = ex.submit(
+                    lambda: stats_frag.write.mode("overwrite").parquet(
+                        f"{base}/stats/src_part={part}"
+                    )
+                )
+                f_del = ex.submit(_write_deletes)
+                f_segs.result(), f_stats.result(), f_del.result()
             _write_doc_stats(
                 f"{base}/doc_stats/src_part={part}", n_new - n_dead, sum_new - sum_dead
             )
-            if n_dead and use_distributed:
-                (
-                    sup.select(
-                        F.col("salt").cast("int").alias("salt"), "doc_id"
-                    )
-                    .repartition(max(1, self.cfg.nsalt // 2), "salt")
-                    .write.mode("overwrite")
-                    .parquet(f"{base}/deletes/src_part={part}")
-                )
-            elif n_dead:
-                write_delete_vector(
-                    base, part,
-                    [int(r["salt"]) for r in dead],
-                    [int(r["doc_id"]) for r in dead],
-                )
             wall_ms = int((time.perf_counter() - t0) * 1000)
             commit_partition(
                 self.spark, base, part, n_new, n_postings, wall_ms, seq=seq
@@ -1311,10 +1351,6 @@ class IndexBuilder:
             self.cfg.num_buckets, self.cfg.nsalt,
             positions_col="positions" if self.cfg.positions else None,
         )
-        self._write_segments(segs, part)
-        stats.write.mode("overwrite").parquet(f"{base}/stats/src_part={part}")
-        _write_doc_stats(f"{base}/doc_stats/src_part={part}", n_docs_s, sum_len_s)
-
         # doc_index: latest row per doc WITHIN the merged set, dropping
         # docs whose latest version lives in an untouched fragment (only
         # untouched fragments NEWER than the oldest merged one can hold
@@ -1347,10 +1383,40 @@ class IndexBuilder:
             latest = latest.join(F.broadcast(dels), "doc_id", "left").where(
                 F.col("del_seq").isNull() | (F.col("di_seq") >= F.col("del_seq"))
             )
-        n_postings_row = stats.agg(F.sum("df").alias("s")).collect()[0]
-        latest.select("salt", "doc_id", "doc_len").write.mode("overwrite").parquet(
-            f"{base}/doc_index/src_part={part}"
+        # the four output jobs read disjoint inputs (segments: decoded
+        # merged fragments; stats roll-up: the stats parquet; doc_index:
+        # the slim sidecar) — overlap their schedules instead of
+        # serializing four fixed driver costs (the build-path
+        # FAIR-threading rule; the manifest commit still waits on all)
+        from concurrent.futures import ThreadPoolExecutor
+
+        from mwmbl_spark.manifest import live_fragment_sizes
+
+        # manifest-metadata size ESTIMATE (upper bound: deletions only
+        # shrink the survivors) drives the adaptive write layout
+        est_postings = sum(
+            n
+            for p_, n in live_fragment_sizes(self.spark, base).items()
+            if p_ in set(parts)
         )
+        with ThreadPoolExecutor(max_workers=4) as ex:
+            f_segs = ex.submit(self._write_segments, segs, part, est_postings)
+            f_stats = ex.submit(
+                lambda: stats.write.mode("overwrite").parquet(
+                    f"{base}/stats/src_part={part}"
+                )
+            )
+            f_np = ex.submit(
+                lambda: stats.agg(F.sum("df").alias("s")).collect()[0]
+            )
+            f_di = ex.submit(
+                lambda: latest.select("salt", "doc_id", "doc_len")
+                .write.mode("overwrite")
+                .parquet(f"{base}/doc_index/src_part={part}")
+            )
+            f_segs.result(), f_stats.result(), f_di.result()
+            n_postings_row = f_np.result()
+        _write_doc_stats(f"{base}/doc_stats/src_part={part}", n_docs_s, sum_len_s)
 
         # delete-vector carry-forward: merged fragments' rows that can
         # still kill postings in a remaining fragment (row seq > the

@@ -329,7 +329,16 @@ def search(
     on: a typo'd word wants the correction, a missing space wants the
     split, and only terms the corrector could not place try to
     segment."""
-    index = index if index is not None else build_term_index(docs)
+    if index is None:
+        # cold end-to-end shape: the P5 index feeds THREE independent
+        # plan branches (term counts for expansion/completions, the A7
+        # cap window, retrieval) — materialize it once per call instead
+        # of re-deriving the tokenize+explode subtree per branch, and
+        # truncate the otherwise-duplicated plan (optimizer time is
+        # real at this plan size). Eager for the same DAGScheduler-
+        # ERROR reason as dedup.minhash_near_duplicates; the serving
+        # shape passes a persisted index and never pays this.
+        index = build_term_index(docs).localCheckpoint(eager=True)
     counts = counts if counts is not None else term_counts(index)
     if term_doc_cap is not None:
         index = cap_term_index(index, docs.select("doc_id", "score"), term_doc_cap)
