@@ -129,27 +129,50 @@ def pmi_pairs(
     when it actually fits. Only the 1-row N scalar keeps a hint.
     """
     terms = doc_term_sets(docs, toks_col, id_col)
+    # r7 plan shape: ONE (doc_id) aggregation to per-doc sorted
+    # (term, df) struct arrays replaces the former qual-self-join — the
+    # old plan shuffled the qualifying membership table TWICE (both
+    # join inputs), paid a separate sizes-groupBy + keep-join for the
+    # doc cap, and re-attached df with two vocabulary-grain joins.
+    # Here df rides INSIDE the struct (functionally dependent on the
+    # term, so carrying it through the pair aggregation changes no
+    # group), the cap is a size() filter on the aggregated row, and
+    # pair generation is a JVM higher-order combination expansion over
+    # the sorted array (term_a < term_b holds by construction —
+    # sort_array orders by the struct's leading term field with the
+    # same UTF8 binary ordering as the former `<` predicate), with
+    # map-side partial aggregation combining duplicate pairs before
+    # the n_ab shuffle. The per-doc relation feeds two branches (the N
+    # scalar and pair generation), so it is materialized once — the
+    # staging-table pattern of minhash_near_duplicates; without it each
+    # branch re-runs the tokenize+distinct subtree (measured: no
+    # exchange reuse fires across them). Identical output by
+    # construction; the df aggregation stays the skew-safe
+    # groupBy-then-join form (a window over partitionBy(term) would
+    # put a Zipf-head term's whole posting set in one task).
     df_t = (
         terms.groupBy("term")
         .agg(F.count(F.lit(1)).alias("df"))
         .where(F.col("df") >= min_df)
     )
-    qual = terms.join(df_t.select("term"), "term")
-    # r7 plan shape: ONE (doc_id) aggregation to per-doc sorted term
-    # arrays replaces the former qual-self-join — the old plan shuffled
-    # the qualifying membership table TWICE (both join inputs) plus a
-    # separate sizes-groupBy + keep-join for the doc cap; here the cap
-    # is a size() filter on the aggregated row and pair generation is a
-    # JVM higher-order combination expansion over the sorted array
-    # (term_a < term_b holds by construction — sort_array uses the same
-    # UTF8 binary ordering as the former `<` predicate), with map-side
-    # partial aggregation combining duplicate pairs before the n_ab
-    # shuffle. Identical output by construction.
+    qual = terms.join(df_t, "term")
     docsets = qual.groupBy("doc_id").agg(
-        F.sort_array(F.collect_list("term")).alias("ts")
+        F.sort_array(
+            F.collect_list(F.struct(F.col("term"), F.col("df")))
+        ).alias("ts")
     )
     if max_terms_per_doc is not None:
         docsets = docsets.where(F.size("ts") <= max_terms_per_doc)
+    # pin the staged relation's partition count: AQE coalesces the tiny
+    # doc-grain aggregate to ONE partition, which would serialize the
+    # O(sum C(|d|,2)) pair expansion below onto a single task (measured
+    # 1.0 s single-threaded at sf0.1 vs 0.2 s spread); the repartition
+    # moves only capped doc arrays
+    try:
+        par = docs.sparkSession.sparkContext.defaultParallelism
+    except Exception:  # noqa: BLE001
+        par = 8
+    docsets = docsets.repartition(par).localCheckpoint(eager=True)
     n_docs = docsets.agg(
         F.count(F.lit(1)).cast("double").alias("n_population")
     )
@@ -159,20 +182,26 @@ def pmi_pairs(
             ts,
             lambda x, i: F.transform(
                 F.slice(ts, i + F.lit(2), F.size(ts)),
-                lambda y: F.struct(x.alias("term_a"), y.alias("term_b")),
+                lambda y: F.struct(
+                    x["term"].alias("term_a"),
+                    y["term"].alias("term_b"),
+                    x["df"].alias("df_a"),
+                    y["df"].alias("df_b"),
+                ),
             ),
         )
     )
     pairs = docsets.select(F.explode(combos).alias("p")).select(
-        F.col("p.term_a").alias("term_a"), F.col("p.term_b").alias("term_b")
+        F.col("p.term_a").alias("term_a"),
+        F.col("p.term_b").alias("term_b"),
+        F.col("p.df_a").alias("df_a"),
+        F.col("p.df_b").alias("df_b"),
     )
-    n_ab = pairs.groupBy("term_a", "term_b").agg(F.count(F.lit(1)).alias("n_ab"))
-    dfa = df_t.select(F.col("term").alias("term_a"), F.col("df").alias("df_a"))
-    dfb = df_t.select(F.col("term").alias("term_b"), F.col("df").alias("df_b"))
+    n_ab = pairs.groupBy("term_a", "term_b", "df_a", "df_b").agg(
+        F.count(F.lit(1)).alias("n_ab")
+    )
     scored = (
-        n_ab.join(dfa, "term_a")
-        .join(dfb, "term_b")
-        .crossJoin(F.broadcast(n_docs))
+        n_ab.crossJoin(F.broadcast(n_docs))
         .select(
             "term_a",
             "term_b",

@@ -91,12 +91,21 @@ class BigramModel:
 
 
 def train_bigram_model(
-    docs: DataFrame, toks_col: str = "toks", id_col: str = "doc_id"
+    docs: DataFrame,
+    toks_col: str = "toks",
+    id_col: str = "doc_id",
+    doc_bigrams: DataFrame | None = None,
 ) -> BigramModel:
     """Count-based corpus bigram model. c1 derives from c12 (one extra
     map-side-combined aggregation over the vocabulary-grain table, not
-    a second corpus scan)."""
-    bg = _doc_bigrams(docs, toks_col, id_col)
+    a second corpus scan). ``doc_bigrams``: pass a prebuilt
+    ``_doc_bigrams`` relation to share its scan with the caller
+    (``bigram_logprob``'s train-and-score path does)."""
+    bg = (
+        doc_bigrams
+        if doc_bigrams is not None
+        else _doc_bigrams(docs, toks_col, id_col)
+    )
     c12 = bg.groupBy("w1", "w2").agg(F.sum("tf").alias("n12"))
     c1 = c12.groupBy("w1").agg(F.sum("n12").alias("n1"))
     uni = (
@@ -143,8 +152,19 @@ def bigram_logprob(
     states the identical association; per-doc sum-order noise is
     absorbed by the repo's round-6 convention.
     """
-    m = model if model is not None else train_bigram_model(docs, toks_col, id_col)
-    bg = _doc_bigrams(docs, toks_col, id_col)
+    if model is not None:
+        m = model
+        bg = _doc_bigrams(docs, toks_col, id_col)
+    else:
+        # train-and-score in one call: the per-doc bigram table feeds
+        # BOTH the model aggregations and the scoring join — without
+        # materialization each branch re-runs the tokenize+ngram
+        # subtree (measured 7 ArrowEvalPython nodes in the executed
+        # plan; exchange reuse does not fire across them). One eager
+        # checkpoint = the staging-table pattern; a REUSED model (the
+        # documented amortization) never pays it.
+        bg = _doc_bigrams(docs, toks_col, id_col).localCheckpoint(eager=True)
+        m = train_bigram_model(docs, toks_col, id_col, doc_bigrams=bg)
     n12 = F.coalesce(F.col("n12"), F.lit(0)).cast("double")
     n1 = F.coalesce(F.col("n1"), F.lit(0)).cast("double")
     cf = F.coalesce(F.col("cf").cast("double"), F.lit(0.5))  # OOV pseudo-count

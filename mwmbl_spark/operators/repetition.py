@@ -43,6 +43,48 @@ def ngrams_expr(toks: Column, n: int) -> Column:
     )
 
 
+def _sorted_run_stats(g_sorted: Column) -> Column:
+    """struct(top long, dup long) over a SORTED gram array in one
+    ``aggregate`` pass: ``top`` = the longest equal run (= the count of
+    the most frequent gram), ``dup`` = total length of runs longer than
+    one (= occurrences of grams appearing more than once). Empty arrays
+    yield (0, 0)."""
+    zero = F.lit(0).cast("long")
+    acc0 = F.struct(
+        F.lit("").alias("prev"),
+        zero.alias("run"),
+        zero.alias("top"),
+        zero.alias("dup"),
+    )
+
+    def step(acc, x):
+        same = acc["prev"] == x
+        return F.struct(
+            x.alias("prev"),
+            F.when(same, acc["run"] + F.lit(1)).otherwise(F.lit(1))
+            .cast("long")
+            .alias("run"),
+            F.when(same, acc["top"])
+            .otherwise(F.greatest(acc["top"], acc["run"]))
+            .cast("long")
+            .alias("top"),
+            F.when(~same & (acc["run"] > 1), acc["dup"] + acc["run"])
+            .otherwise(acc["dup"])
+            .cast("long")
+            .alias("dup"),
+        )
+
+    def fin(acc):
+        return F.struct(
+            F.greatest(acc["top"], acc["run"]).alias("top"),
+            F.when(acc["run"] > 1, acc["dup"] + acc["run"])
+            .otherwise(acc["dup"])
+            .alias("dup"),
+        )
+
+    return F.aggregate(g_sorted, acc0, step, fin)
+
+
 def repetition_features(
     docs: DataFrame, id_col: str = "doc_id", toks_col: str = "toks"
 ) -> DataFrame:
@@ -52,50 +94,37 @@ def repetition_features(
     Fractions are 0.0 for documents with no grams of that order; all
     fractions rounded to 6 decimals (single-division float, stable
     across engines).
-    """
+
+    Plan shape (r7): every signal is a function of the document's OWN
+    gram multiset, so the former explode -> (doc, n, gram) count ->
+    (doc) rollup -> join-back — two corpus-wide shuffles plus a join
+    whose only purpose was re-attaching per-row math to its row — is
+    now a PER-ROW expression: sort the gram array, fold it once with a
+    run-length ``aggregate`` (the count of the most frequent gram is
+    the longest equal run; duplicated occurrences are runs longer than
+    one). ZERO exchanges at any corpus size, no skew surface, and the
+    gram-count arithmetic — and therefore every rounded fraction — is
+    identical by construction (plan-asserted shuffle-free in
+    tests/test_plan_quality.py)."""
     toks = F.col(toks_col)
-
-    def _tag(n: int):
-        # NB: a second lambda arg (even a default) makes F.transform pass
-        # the element INDEX into it — capture n via closure instead
-        return lambda g: F.struct(F.lit(n).alias("n"), g.alias("gram"))
-
-    tagged = F.concat(*[F.transform(ngrams_expr(toks, n), _tag(n)) for n in (2, 3)])
-    base = docs.select(F.col(id_col).alias("doc_id"))
-    per = (
-        docs.select(F.col(id_col).alias("doc_id"), F.explode(tagged).alias("g"))
-        .groupBy("doc_id", F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    n_col, cnt = F.col("n"), F.col("cnt")
-    agg = per.groupBy("doc_id").agg(
-        *[
-            c
-            for n in (2, 3)
-            for c in (
-                F.sum(F.when(n_col == n, cnt).otherwise(F.lit(0))).alias(f"n{n}"),
-                F.max(F.when(n_col == n, cnt)).alias(f"t{n}"),
-                F.sum(
-                    F.when((n_col == n) & (cnt > 1), cnt).otherwise(F.lit(0))
-                ).alias(f"d{n}"),
-            )
-        ]
-    )
 
     def frac(num: Column, den: Column) -> Column:
         return F.round(
             F.coalesce(num.cast("double") / F.when(den > 0, den), F.lit(0.0)), 6
         )
 
-    out = base.join(agg, "doc_id", "left")
-    return out.select(
-        "doc_id",
-        F.coalesce(F.col("n2"), F.lit(0)).cast("long").alias("n_bigrams"),
-        frac(F.col("t2"), F.col("n2")).alias("top_bigram_frac"),
-        frac(F.col("d2"), F.col("n2")).alias("dup_bigram_frac"),
-        F.coalesce(F.col("n3"), F.lit(0)).cast("long").alias("n_trigrams"),
-        frac(F.col("t3"), F.col("n3")).alias("top_trigram_frac"),
-        frac(F.col("d3"), F.col("n3")).alias("dup_trigram_frac"),
+    n2 = F.when(F.size(toks) >= 2, F.size(toks) - 1).otherwise(F.lit(0))
+    n3 = F.when(F.size(toks) >= 3, F.size(toks) - 2).otherwise(F.lit(0))
+    s2 = _sorted_run_stats(F.sort_array(ngrams_expr(toks, 2)))
+    s3 = _sorted_run_stats(F.sort_array(ngrams_expr(toks, 3)))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n2.cast("long").alias("n_bigrams"),
+        frac(s2["top"], n2).alias("top_bigram_frac"),
+        frac(s2["dup"], n2).alias("dup_bigram_frac"),
+        n3.cast("long").alias("n_trigrams"),
+        frac(s3["top"], n3).alias("top_trigram_frac"),
+        frac(s3["dup"], n3).alias("dup_trigram_frac"),
     )
 
 

@@ -365,27 +365,33 @@ class IndexBuilder:
         ).persist()
         posts = p.where(F.col("term").isNotNull())
         try:
-            # job 1 (alone: materializes the persisted p exactly once)
-            agg = posts.agg(
-                F.count(F.lit(1)).alias("np"), F.sum("tf").alias("s")
-            ).collect()[0]
-            n_postings, sum_len = int(agg["np"]), int(agg["s"] or 0)
             base = self.cfg.path
             stats = term_stats(posts)
-            # jobs 2+3 overlap (independent, both read cached p): the
-            # doc_index sidecar (subsumes the old row count — its parquet
-            # footer returns n_docs for free) and the stats fragment.
-            # Each Spark job carries ~0.5-1 s of fixed driver cost; FAIR
+            # jobs 1+2+3 overlap (independent, all read the persisted
+            # p): the scalar posting/len aggregate, the doc_index
+            # sidecar (subsumes the old row count — its parquet footer
+            # returns n_docs for free) and the stats fragment. Each
+            # Spark job carries ~0.5-1 s of fixed driver cost; FAIR
             # scheduling + driver threads pay it once, not per job.
-            with ThreadPoolExecutor(max_workers=2) as ex:
+            # Concurrent first access to the cached p is safe: the
+            # block manager computes each partition once and blocks
+            # the other jobs' tasks on it.
+            with ThreadPoolExecutor(max_workers=3) as ex:
+                f_agg = ex.submit(
+                    lambda: posts.agg(
+                        F.count(F.lit(1)).alias("np"), F.sum("tf").alias("s")
+                    ).collect()[0]
+                )
                 f_docs = ex.submit(self._write_doc_index, p, part)
                 f_stats = ex.submit(
                     lambda: stats.write.mode("overwrite").parquet(
                         f"{base}/stats/src_part={part}"
                     )
                 )
+                agg = f_agg.result()
                 n_docs = f_docs.result()
                 f_stats.result()
+            n_postings, sum_len = int(agg["np"]), int(agg["s"] or 0)
             # avg feeds only the STORED tfn bounds (query-time scoring
             # derives avgdl from doc_stats totals), but exact is free here
             avg = sum_len / max(1, n_docs)

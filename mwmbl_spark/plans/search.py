@@ -385,6 +385,13 @@ def search(
             .where(F.col("_r1") <= rerank_n)
             .select("query_id", "doc_id")
         )
+    # attach doc payloads. NOTE (r7, measured): forcing
+    # F.broadcast(pairs) here when a retrieval bound is in force looks
+    # right on paper (the docs side then never shuffles by doc_id) but
+    # benched 0.8 s SLOWER at sf0.1 — the eager broadcast build
+    # serializes retrieval against the docs scan, while AQE already
+    # rewrites this join to broadcast at runtime when the built pair
+    # set is small, without the stall. Left to the planner.
     candidates = pairs.join(docs.select(*DOC_COLS), "doc_id").join(
         qmeta.select("query_id", "terms", "is_complete"), "query_id"
     )

@@ -230,11 +230,12 @@ def test_pq_encode_is_shuffle_free(spark):
     assert "Exchange" not in plan and "Window" not in plan
 
 
-def test_repetition_aggs_are_partial(spark):
-    """Both repetition aggregations must combine map-side (partial_
-    count / partial_sum before each Exchange) and no Window may appear
-    — at 100 TB an un-combined gram explode would shuffle every
-    occurrence row."""
+def test_repetition_features_shuffle_free(spark):
+    """r7: every repetition signal is per-row math over the doc's own
+    gram multiset (sorted-run aggregate), so the plan must carry NO
+    Exchange, no Window, and no join — at 100 TB the former
+    explode+double-aggregate shape shuffled every gram occurrence for
+    arithmetic each row could do locally."""
     from mwmbl_spark.functions.tokenize import tokenize_pd
     from mwmbl_spark.operators.repetition import repetition_features
 
@@ -242,8 +243,9 @@ def test_repetition_aggs_are_partial(spark):
         synth_transcripts(spark, n_conv=10, turns_per_conv=4, seed=5)
     ).select("doc_id", tokenize_pd(F.col("text")).alias("toks"))
     plan = _explain(repetition_features(docs))
-    assert "partial_count" in plan and "partial_sum" in plan, plan
+    assert "Exchange" not in plan, plan
     assert "Window" not in plan, plan
+    assert "Join" not in plan, plan
 
 
 def test_training_pairs_single_shuffle(spark):
