@@ -183,7 +183,13 @@ SEGMENT_QUERY_SET: list[tuple[int, str]] = [
 
 def _bm25_inputs(spark: SparkSession, sf_dir: str):
     t = _docs_as_transcripts(spark, sf_dir)
-    p = post_ops.build_postings(t)
+    # stage the posting relation once: it feeds both the stats
+    # aggregation and the candidate join of every consumer, and the r7
+    # shuffle-free build_postings has no Exchange for ReuseExchange to
+    # dedupe those branches through (the exhaustive-path contracts
+    # compose p two or three times; the scale path serves from the
+    # segment index and never pays this)
+    p = post_ops.build_postings(t).localCheckpoint(eager=True)
     dl = post_ops.doc_lengths(t)
     stats = post_ops.term_stats(p)
     cs = post_ops.corpus_stats(dl)
@@ -1517,16 +1523,33 @@ def q_phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivors only), scores accumulate in the kernel's canonical
     sorted-term order. Only the phrase terms' buckets are read
     (plan-asserted in tests/test_plan_quality.py)."""
+    from mwmbl_spark.functions.tokenize import tokenize_py
+    from mwmbl_spark.functions.xxhash import bucket_of_py
     from mwmbl_spark.operators.positional import phrase_topk, positional_postings
-    from mwmbl_spark.operators.segments import build_segments
+    from mwmbl_spark.operators.segments import bucket_of, build_segments
 
     t = _docs_as_transcripts(spark, sf_dir)
-    pp = positional_postings(t)
+    # staged once: pp feeds the stats aggregation AND the segment
+    # subtree (no exchange for ReuseExchange to dedupe them through)
+    pp = positional_postings(t).localCheckpoint(eager=True)
     dl = post_ops.doc_lengths(t)
     stats = post_ops.term_stats(pp.select("term", "doc_id", "tf"))
     cs = post_ops.corpus_stats(dl)
+    # bucket-restrict the SEGMENT subtree to the phrase terms' buckets
+    # (r7): a WRITTEN index gets this pruning from the scan's partition
+    # filter, and the pre-r7 declarative segment assembly got it from
+    # Catalyst pushing phrase_topk's bucket predicate below the
+    # aggregation — the fused encode kernel is opaque to that pushdown,
+    # so this one-shot composed plan states the restriction explicitly.
+    # Result-identical: segments outside these buckets cannot hold a
+    # phrase term (bucket is a function of term); GLOBAL stats/N/avgdl
+    # subtrees stay unrestricted.
+    _buckets = sorted(
+        {bucket_of_py(w, 32) for _pid, ph in PHRASES for w in tokenize_py(ph)}
+    )
     segs = build_segments(
-        pp, None, stats, cs.n_docs, cs.avg_doc_len, num_buckets=32, nsalt=8,
+        pp.where(bucket_of(F.col("term"), 32).isin(_buckets)),
+        None, stats, cs.n_docs, cs.avg_doc_len, num_buckets=32, nsalt=8,
         positions_col="positions",
     )
     out = phrase_topk(
@@ -1554,16 +1577,24 @@ def q_proximity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     definition). The kernel verifies via a greedy chain per start
     (greedy-minimal next position is optimal, so greedy failure == no
     chain); the oracle restates the identical chain in SQL."""
+    from mwmbl_spark.functions.tokenize import tokenize_py
+    from mwmbl_spark.functions.xxhash import bucket_of_py
     from mwmbl_spark.operators.positional import phrase_topk, positional_postings
-    from mwmbl_spark.operators.segments import build_segments
+    from mwmbl_spark.operators.segments import bucket_of, build_segments
 
     t = _docs_as_transcripts(spark, sf_dir)
-    pp = positional_postings(t)
+    pp = positional_postings(t).localCheckpoint(eager=True)
     dl = post_ops.doc_lengths(t)
     stats = post_ops.term_stats(pp.select("term", "doc_id", "tf"))
     cs = post_ops.corpus_stats(dl)
+    # same explicit bucket restriction as q_phrase_topk (the fused
+    # kernel is opaque to the predicate pushdown that used to do this)
+    _buckets = sorted(
+        {bucket_of_py(w, 32) for _pid, ph in PROX_PHRASES for w in tokenize_py(ph)}
+    )
     segs = build_segments(
-        pp, None, stats, cs.n_docs, cs.avg_doc_len, num_buckets=32, nsalt=8,
+        pp.where(bucket_of(F.col("term"), 32).isin(_buckets)),
+        None, stats, cs.n_docs, cs.avg_doc_len, num_buckets=32, nsalt=8,
         positions_col="positions",
     )
     out = phrase_topk(

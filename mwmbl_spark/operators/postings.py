@@ -43,17 +43,73 @@ def tokenized(transcripts: DataFrame, text_col: str = "text", id_col: str = "doc
 
 
 def build_postings(transcripts: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """postings(term, doc_id, tf): explode tokens -> count per (term, doc).
+    """postings(term, doc_id, tf) — SHUFFLE-FREE (r7).
 
-    The explode happens map-side; partial aggregation combines duplicate
-    (term, doc_id) pairs before the shuffle, so shuffle volume is bounded
-    by distinct (term, doc) pairs, not raw token count.
+    Per-(term, doc) counts are a function of the document's own token
+    array, so the former explode -> groupBy(term, doc_id) — a full
+    corpus-wide exchange of distinct (term, doc) pairs — is replaced by
+    a per-row sorted-run expression (sort the tokens, each equal run is
+    one posting with tf = run length) followed by a narrow explode.
+    Zero exchanges at any corpus size; identical rows by construction.
+    Assumes one row per doc_id (the same precondition doc_lengths
+    already carries — a duplicated doc_id would previously have merged
+    counts across rows here while doc_lengths double-counted it).
     """
     toks = tokenized(transcripts, text_col, id_col)
-    return (
-        toks.select("doc_id", F.explode("tokens").alias("term"))
-        .groupBy("term", "doc_id")
-        .agg(F.count(F.lit(1)).alias("tf"))
+    pairs = _bind(
+        F.array_sort(F.col("tokens")),
+        lambda s: _run_slices(
+            s,
+            lambda st, en: F.struct(
+                F.element_at(s, st).alias("term"),
+                (en - st).cast("long").alias("tf"),
+            ),
+        ),
+    )
+    return toks.select("doc_id", F.explode(pairs).alias("pr")).select(
+        F.col("pr.term").alias("term"), "doc_id", F.col("pr.tf").alias("tf")
+    )
+
+
+def _bind(value, fn):
+    """Evaluate ``value`` ONCE and hand it to ``fn`` as a higher-order
+    lambda variable (the transform-over-singleton idiom): interpreted
+    HOF expressions re-evaluate every textual occurrence of a subtree,
+    so naming it is the expression-level equivalent of CSE."""
+    return F.element_at(F.transform(F.array(value), fn), 1)
+
+
+def _run_slices(sorted_arr, make):
+    """One struct per EQUAL-RUN of a sorted array: ``make(start, end)``
+    is called with the run's 1-based start and exclusive end. Empty
+    arrays yield an empty result (guarded — ``sequence(1, 0)`` would
+    otherwise DESCEND, the ngrams_expr trap)."""
+    return _bind(
+        sorted_arr,
+        lambda s: _bind(
+            F.when(
+                F.size(s) > 0,
+                F.filter(
+                    F.sequence(F.lit(1), F.size(s)),
+                    lambda i: (i == F.lit(1))
+                    | (F.element_at(s, i) != F.element_at(s, i - 1)),
+                ),
+            ).otherwise(F.array().cast("array<int>")),
+            lambda starts: F.zip_with(
+                starts,
+                # guarded: zip_with PADS a shorter side with nulls, so
+                # the ends array must be [] (not [size+1]) when there
+                # are no runs at all
+                F.when(
+                    F.size(starts) > 0,
+                    F.concat(
+                        F.slice(starts, 2, F.size(starts)),
+                        F.array(F.size(s) + 1),
+                    ),
+                ).otherwise(F.array().cast("array<int>")),
+                make,
+            ),
+        ),
     )
 
 
@@ -87,34 +143,69 @@ def build_postings_with_len(
     int per token occurrence; everything else is unchanged.
     """
     toks = tokenized(transcripts, text_col, id_col)
+    explode = F.explode_outer if include_empty_docs else F.explode
     if positions:
-        pexplode = F.posexplode_outer if include_empty_docs else F.posexplode
+        # sorted (term, 1-based position) pairs; runs of equal terms
+        # yield each posting's sorted position array
+        # position index 1..n, guarded for n=0 (sequence(1, 0) DESCENDS
+        # — the ngrams_expr trap; the slice clamps it to [])
+        pos_idx = F.slice(
+            F.sequence(F.lit(1), F.greatest(F.size("tokens"), F.lit(1))),
+            1,
+            F.size("tokens"),
+        )
+        pairs = _bind(
+            F.array_sort(
+                F.zip_with(
+                    F.col("tokens"),
+                    pos_idx,
+                    lambda t, i: F.struct(t.alias("t"), i.alias("i")),
+                )
+            ),
+            lambda sp: _run_slices(
+                F.transform(sp, lambda x: x["t"]),
+                lambda st, en: F.struct(
+                    F.element_at(sp, st)["t"].alias("term"),
+                    F.transform(
+                        F.slice(sp, st, en - st), lambda x: x["i"]
+                    ).alias("positions"),
+                ),
+            ),
+        )
         sel = toks.select(
             "doc_id",
             F.greatest(F.col("doc_len"), F.lit(0)).alias("doc_len"),
-            pexplode("tokens").alias("p", "term"),
+            explode(pairs).alias("pr"),
         )
-        return (
-            sel.groupBy("term", "doc_id", "doc_len")
-            .agg(
-                F.sort_array(F.collect_list(F.col("p") + 1)).alias("positions")
-            )
-            .select(
-                "term",
-                "doc_id",
-                "doc_len",
-                F.size("positions").cast("long").alias("tf"),
-                "positions",
-            )
+        return sel.select(
+            F.col("pr.term").alias("term"),
+            "doc_id",
+            "doc_len",
+            F.coalesce(F.size("pr.positions"), F.lit(0)).cast("long").alias("tf"),
+            F.coalesce(
+                F.col("pr.positions"), F.array().cast("array<int>")
+            ).alias("positions"),
         )
-    explode = F.explode_outer if include_empty_docs else F.explode
+    pairs = _bind(
+        F.array_sort(F.col("tokens")),
+        lambda s: _run_slices(
+            s,
+            lambda st, en: F.struct(
+                F.element_at(s, st).alias("term"),
+                (en - st).cast("long").alias("tf"),
+            ),
+        ),
+    )
     sel = toks.select(
         "doc_id",
         F.greatest(F.col("doc_len"), F.lit(0)).alias("doc_len"),
-        explode("tokens").alias("term"),
+        explode(pairs).alias("pr"),
     )
-    return sel.groupBy("term", "doc_id", "doc_len").agg(
-        F.count(F.lit(1)).alias("tf")
+    return sel.select(
+        F.col("pr.term").alias("term"),
+        "doc_id",
+        "doc_len",
+        F.coalesce(F.col("pr.tf"), F.lit(1)).cast("long").alias("tf"),
     )
 
 
