@@ -1529,9 +1529,12 @@ def q_phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mwmbl_spark.operators.segments import bucket_of, build_segments
 
     t = _docs_as_transcripts(spark, sf_dir)
-    # staged once: pp feeds the stats aggregation AND the segment
-    # subtree (no exchange for ReuseExchange to dedupe them through)
-    pp = positional_postings(t).localCheckpoint(eager=True)
+    # NOT staged (measured at 10x sf: an eager checkpoint of the
+    # positional posting relation materializes every term's position
+    # arrays and lost 27% — the two consumers are cheaper re-evaluated
+    # because the segment subtree's bucket filter below prunes its
+    # evaluation to the phrase terms only)
+    pp = positional_postings(t)
     dl = post_ops.doc_lengths(t)
     stats = post_ops.term_stats(pp.select("term", "doc_id", "tf"))
     cs = post_ops.corpus_stats(dl)
@@ -1583,12 +1586,13 @@ def q_proximity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mwmbl_spark.operators.segments import bucket_of, build_segments
 
     t = _docs_as_transcripts(spark, sf_dir)
-    pp = positional_postings(t).localCheckpoint(eager=True)
+    pp = positional_postings(t)
     dl = post_ops.doc_lengths(t)
     stats = post_ops.term_stats(pp.select("term", "doc_id", "tf"))
     cs = post_ops.corpus_stats(dl)
     # same explicit bucket restriction as q_phrase_topk (the fused
-    # kernel is opaque to the predicate pushdown that used to do this)
+    # kernel is opaque to the predicate pushdown that used to do this;
+    # and like there, the relation is deliberately NOT staged)
     _buckets = sorted(
         {bucket_of_py(w, 32) for _pid, ph in PROX_PHRASES for w in tokenize_py(ph)}
     )

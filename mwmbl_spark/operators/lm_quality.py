@@ -152,19 +152,19 @@ def bigram_logprob(
     states the identical association; per-doc sum-order noise is
     absorbed by the repo's round-6 convention.
     """
-    if model is not None:
-        m = model
-        bg = _doc_bigrams(docs, toks_col, id_col)
-    else:
-        # train-and-score in one call: the per-doc bigram table feeds
-        # BOTH the model aggregations and the scoring join — without
-        # materialization each branch re-runs the tokenize+ngram
-        # subtree (measured 7 ArrowEvalPython nodes in the executed
-        # plan; exchange reuse does not fire across them). One eager
-        # checkpoint = the staging-table pattern; a REUSED model (the
-        # documented amortization) never pays it.
-        bg = _doc_bigrams(docs, toks_col, id_col).localCheckpoint(eager=True)
-        m = train_bigram_model(docs, toks_col, id_col, doc_bigrams=bg)
+    # train-and-score shares ONE bg subtree with the model aggregations
+    # (plan-identical branches). NOTE (r7, measured both ways): eagerly
+    # checkpointing bg won ~0.5 s at sf0.1 but LOST ~1.5 s at 10x sf —
+    # the materialization grows with the corpus while the re-evaluated
+    # branches stream through codegen — so the scale-safe lazy form is
+    # kept; callers that really score many epochs pass a prebuilt
+    # ``model`` and never re-pay training.
+    bg = _doc_bigrams(docs, toks_col, id_col)
+    m = (
+        model
+        if model is not None
+        else train_bigram_model(docs, toks_col, id_col, doc_bigrams=bg)
+    )
     n12 = F.coalesce(F.col("n12"), F.lit(0)).cast("double")
     n1 = F.coalesce(F.col("n1"), F.lit(0)).cast("double")
     cf = F.coalesce(F.col("cf").cast("double"), F.lit(0.5))  # OOV pseudo-count

