@@ -89,6 +89,17 @@ def worker(cores: int) -> None:
     # measured faster at BOTH levels on this corpus (1 core: 204->196s,
     # 4 cores: 55.7->53.5s, bench/build_stages A/Bs) — applied
     # uniformly so the N-vs-4N ratio stays apples-to-apples
+    #
+    # NOTE (r7, VERDICT r6 #9 follow-up, measured and NOT adopted): a
+    # cores-derived scan-parallelism floor
+    # (spark.sql.files.minPartitionNum = 4*cores) was tried on the
+    # theory that the corpus's ~3 packed scan splits quantize badly on
+    # 4 cores now that the shuffle-free posting construction runs in
+    # the scan stage. It measured WORSE at BOTH levels in a
+    # ceiling-1.00 window (N 8173->7593 t/s, 4N 25225->21298 t/s): the
+    # few fat splits are the fewer-larger-tasks efficient shape and the
+    # scan stage is not the 4N bottleneck. Reverted; record in
+    # BENCH/BASELINE.md round-7 section.
     spark = get_spark(
         f"scaling-{cores}", cores=cores, shuffle_partitions=2 * cores,
         extra_conf=extra,
